@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One engine operator: a Spark query plus (when SQL-expressible) the
+  * equivalent DuckDB oracle SQL the driver hash-compares against.
+  * Output column names MUST match between the two — the compare sorts
+  * columns by name before hashing.
+  */
+final case class Op(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Registry {
+  def ops: Seq[Op] =
+    graft.operators.Rollups.ops ++
+      graft.operators.Carbon.ops ++
+      graft.operators.Index.ops ++
+      graft.operators.MetricQuery.ops ++
+      graft.operators.Dedup.ops ++
+      graft.operators.TextOps.ops ++
+      graft.operators.Similarity.ops ++
+      graft.operators.Multimodal.ops ++
+      graft.operators.Analytics.ops ++
+      graft.streaming.CarbonStream.ops
+}

@@ -1,0 +1,66 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed loaders for the driver-generated parquet tables — the single place
+  * that knows the on-disk layout (see TESTDATA.md). Everything else takes a
+  * `DataFrame` so operators stay storage-agnostic: at 100 TB these become
+  * partitioned/bucketed tables behind the same column contracts.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
+    * as a timestamp; the legacy conf maps it to a bigint of epoch
+    * nanoseconds. Set at load time so the operators work under any caller's
+    * session. Downstream code sees `ts` as NANOSECONDS.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** The carbon metric stream derived from `events`.
+    *
+    * cassabon's input is `path value timestamp` plaintext lines
+    * (reference listener/carbon_plaintext.go:208-255); the driver fixture has
+    * no network feed, so the canonical mapping builds a realistic multi-level
+    * dotted-path population from the event stream:
+    * `servers.<event_type>.u<user_id % 8>`  (5 types x 8 buckets = 40 paths,
+    * plus all their dot-prefixes for the index).
+    *
+    * `ts` is epoch seconds (cassabon timestamps are second-resolution);
+    * `event_id` is kept as the arrival-order tiebreaker for LAST rollups.
+    */
+  def metrics(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).select(
+      concat(lit("servers."), col("event_type"), lit(".u"),
+        (col("user_id") % 8).cast("string")).as("path"),
+      col("value"),
+      expr("ts DIV 1000000000").as("ts"), // ns -> floored epoch seconds
+      col("event_id"))
+
+  /** DuckDB-side rendering of [[metrics]], kept adjacent so the two can never
+    * drift. Referenced as a CTE by every core-surface oracle query.
+    */
+  val metricsSql: String =
+    """metrics AS (
+      |  SELECT 'servers.' || event_type || '.u' || CAST(user_id % 8 AS VARCHAR) AS path,
+      |         value,
+      |         CAST(floor(epoch(ts)) AS BIGINT) AS ts,
+      |         event_id
+      |  FROM events
+      |)""".stripMargin
+}

@@ -1,0 +1,233 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Op
+import graft.model.{RollupConfig, RollupDef, RollupMethod, Tables}
+
+/** Windowed rollup aggregation — the core of cassabon's metric store.
+  *
+  * Reference semantics (datastore/metricstore.go:25-43, metricmanager.go:120-180):
+  * each incoming (path, value, ts) is dispatched to the first matching rollup
+  * expression, accumulated per window with the expression's method, and
+  * flushed as one row per (window-table, path, window-close-boundary).
+  *
+  * Spark realization: one scan of the metric stream; the regex dispatch and
+  * the per-expression window fan-out are codegen'd `when` chains (no UDFs);
+  * a single `groupBy(tbl, path, stat_time)` performs map-side partial
+  * aggregation of all five methods at once, so the shuffle carries one row
+  * per (path, window) — not one per point. At 100 TB the shuffle key
+  * (paths x windows) is uniform, so no skew handling is needed; AQE
+  * coalesces the post-shuffle partitions.
+  */
+object Rollups {
+  import RollupConfig.{Catchall, LastKeyShift}
+
+  /** First-match-wins regex dispatch (metricstore.go:11-22) as a codegen'd
+    * `when` chain over the priority-ordered config.
+    */
+  def exprKey(path: Column): Column = {
+    val exprs = RollupConfig.reference.filterNot(_.isCatchall)
+    exprs.tail
+      .foldLeft(when(path.rlike(exprs.head.key), exprs.head.key)) { (acc, d) =>
+        acc.when(path.rlike(d.key), d.key)
+      }
+      .otherwise(Catchall)
+  }
+
+  private def methodOf(exprCol: Column): Column =
+    RollupConfig.reference.tail
+      .foldLeft(when(exprCol === RollupConfig.reference.head.key,
+        RollupConfig.reference.head.method.name)) { (acc, d) =>
+        acc.when(exprCol === d.key, d.method.name)
+      }
+
+  /** window close boundary: the point at `ts` belongs to the window that
+    * closes at the next `w` boundary (datastore/util.go:nextTimeBoundary).
+    */
+  private def statTime(ts: Column, w: Column): Column = ts - ts % w + w
+
+  /** The full rollup write set: (tbl, path, stat_time, stat) for every
+    * (expression, window) arm — cassabon's flush output across all tables.
+    * Single scan, single shuffle.
+    */
+  def rollups(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.metrics(spark, dir).withColumn("expr", exprKey(col("path")))
+    // expr -> its windows as array<struct<w,tbl>>, exploded: each point
+    // contributes one row per window of its matched expression.
+    val winArms: Column = {
+      val ds = RollupConfig.reference
+      ds.tail.foldLeft(when(col("expr") === ds.head.key, winArray(ds.head))) {
+        (acc, d) => acc.when(col("expr") === d.key, winArray(d))
+      }
+    }
+    m.withColumn("win", explode(winArms))
+      .groupBy(
+        col("win.tbl").as("tbl"),
+        col("path"),
+        statTime(col("ts"), col("win.w")).as("stat_time"))
+      .agg(
+        avg("value").as("a_avg"),
+        sum("value").as("a_sum"),
+        max("value").as("a_max"),
+        min("value").as("a_min"),
+        expr(s"max_by(value, ts * $LastKeyShift + event_id)").as("a_last"),
+        first("expr").as("expr")) // path determines expr, constant per group
+      .withColumn("method", methodOf(col("expr")))
+      .select(
+        col("tbl"), col("path"), col("stat_time"),
+        when(col("method") === "average", round(col("a_avg"), 6))
+          .when(col("method") === "sum", round(col("a_sum"), 6))
+          .when(col("method") === "max", col("a_max"))
+          .when(col("method") === "min", col("a_min"))
+          .otherwise(col("a_last")).as("stat"))
+  }
+
+  private def winArray(d: RollupDef): Column =
+    array(d.windows.map(w =>
+      struct(lit(w.windowSec).as("w"), lit(w.table).as("tbl"))): _*)
+
+  /** Single-method fixed-window rollup over the whole stream (the
+    * method-isolation queries: one per RollupMethod, 60 s windows).
+    */
+  def singleMethod(method: RollupMethod)(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.metrics(spark, dir)
+    val grouped = m.groupBy(col("path"), statTime(col("ts"), lit(60L)).as("stat_time"))
+    method match {
+      case RollupMethod.Average => grouped.agg(round(avg("value"), 6).as("stat"))
+      case RollupMethod.Sum     => grouped.agg(round(sum("value"), 6).as("stat"))
+      case RollupMethod.Max     => grouped.agg(max("value").as("stat"))
+      case RollupMethod.Min     => grouped.agg(min("value").as("stat"))
+      case RollupMethod.Last =>
+        grouped.agg(expr(s"max_by(value, ts * $LastKeyShift + event_id)").as("stat"))
+    }
+  }
+
+  /** Dispatch table: which expression + method owns each distinct path. */
+  def dispatch(spark: SparkSession, dir: String): DataFrame =
+    Tables.metrics(spark, dir)
+      .select("path").distinct()
+      .withColumn("expr", exprKey(col("path")))
+      .withColumn("method", methodOf(col("expr")))
+
+  /** TTL expiry (metricmanager.go:166-171 `default_time_to_live`): per
+    * rollup table, how many rows survive `stat_time > now - retention`,
+    * with `now` = the newest point in the stream (batch stand-in for
+    * wall clock). At scale this filter is a partition-prune over
+    * date-partitioned rollup tables, not a scan.
+    */
+  def retentionTtl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val now = Tables.metrics(spark, dir).agg(max("ts").as("now"))
+    val ret = RollupConfig.tables
+      .map(t => (t, RollupConfig.reference.flatMap(_.windows).find(_.table == t).get.retentionSec))
+      .toDF("tbl", "retention")
+    val counts = rollups(spark, dir)
+      .crossJoin(broadcast(now))
+      .join(broadcast(ret), "tbl")
+      .filter(col("stat_time") > col("now") - col("retention"))
+      .groupBy("tbl").count()
+    ret.select("tbl").join(counts, Seq("tbl"), "left")
+      .select(col("tbl"), coalesce(col("count"), lit(0L)).as("retained_rows"))
+  }
+
+  // ---------------------------------------------------------------- oracle sql
+
+  private def dispatchCaseSql(pathExpr: String): String = {
+    val whens = RollupConfig.reference.filterNot(_.isCatchall)
+      .map(d => s"WHEN regexp_matches($pathExpr, '${d.key}') THEN '${d.key}'")
+      .mkString(" ")
+    s"CASE $whens ELSE '$Catchall' END"
+  }
+
+  private def methodCaseSql(exprCol: String): String = {
+    val whens = RollupConfig.reference
+      .map(d => s"WHEN '${d.key}' THEN '${d.method.name}'").mkString(" ")
+    s"CASE $exprCol $whens END"
+  }
+
+  /** Reusable CTE chain ending in `rollups(tbl, path, stat_time, stat)` —
+    * the DuckDB mirror of [[rollups]]; fetch/delete/ttl oracles build on it.
+    */
+  val rollupsCtes: String = {
+    val armRows = RollupConfig.arms
+      .map { case (d, w) =>
+        s"('${d.key}', '${d.method.name}', ${w.windowSec}, '${w.table}')"
+      }
+      .mkString(", ")
+    s"""${Tables.metricsSql},
+       |dispatched AS (
+       |  SELECT m.*, ${dispatchCaseSql("m.path")} AS expr FROM metrics m
+       |),
+       |arms(expr, method, w, tbl) AS (VALUES $armRows),
+       |agg AS (
+       |  SELECT a.tbl, d.path, d.ts - d.ts % a.w + a.w AS stat_time, a.method,
+       |         avg(d.value) AS a_avg, sum(d.value) AS a_sum,
+       |         max(d.value) AS a_max, min(d.value) AS a_min,
+       |         arg_max(d.value, d.ts * $LastKeyShift + d.event_id) AS a_last
+       |  FROM dispatched d JOIN arms a USING (expr)
+       |  GROUP BY 1, 2, 3, 4
+       |),
+       |rollups AS (
+       |  SELECT tbl, path, stat_time,
+       |         CASE method WHEN 'average' THEN round(a_avg, 6)
+       |                     WHEN 'sum' THEN round(a_sum, 6)
+       |                     WHEN 'max' THEN a_max
+       |                     WHEN 'min' THEN a_min
+       |                     ELSE a_last END AS stat
+       |  FROM agg
+       |)""".stripMargin
+  }
+
+  private def singleMethodSql(method: RollupMethod): String = {
+    val statSql = method match {
+      case RollupMethod.Average => "round(avg(value), 6)"
+      case RollupMethod.Sum     => "round(sum(value), 6)"
+      case RollupMethod.Max     => "max(value)"
+      case RollupMethod.Min     => "min(value)"
+      case RollupMethod.Last    => s"arg_max(value, ts * $LastKeyShift + event_id)"
+    }
+    s"""WITH ${Tables.metricsSql}
+       |SELECT path, ts - ts % 60 + 60 AS stat_time, $statSql AS stat
+       |FROM metrics GROUP BY 1, 2""".stripMargin
+  }
+
+  private val dispatchSql: String =
+    s"""WITH ${Tables.metricsSql},
+       |paths AS (SELECT DISTINCT path FROM metrics)
+       |SELECT path, ${dispatchCaseSql("path")} AS expr,
+       |       ${methodCaseSql(dispatchCaseSql("path"))} AS method
+       |FROM paths""".stripMargin
+
+  private val multiSql: String =
+    s"WITH $rollupsCtes SELECT * FROM rollups"
+
+  private val ttlSql: String = {
+    val retRows = RollupConfig.tables
+      .map(t => s"('$t', ${RollupConfig.reference.flatMap(_.windows).find(_.table == t).get.retentionSec})")
+      .mkString(", ")
+    s"""WITH $rollupsCtes,
+       |nowt AS (SELECT max(ts) AS now FROM metrics),
+       |ret(tbl, retention) AS (VALUES $retRows),
+       |counts AS (
+       |  SELECT r.tbl, count(*) AS c
+       |  FROM rollups r, nowt n, ret t
+       |  WHERE r.tbl = t.tbl AND r.stat_time > n.now - t.retention
+       |  GROUP BY 1
+       |)
+       |SELECT r.tbl, CAST(COALESCE(c.c, 0) AS BIGINT) AS retained_rows
+       |FROM ret r LEFT JOIN counts c ON r.tbl = c.tbl""".stripMargin
+  }
+
+  def ops: Seq[Op] = Seq(
+    Op("rollup_avg",  singleMethod(RollupMethod.Average), Some(singleMethodSql(RollupMethod.Average))),
+    Op("rollup_sum",  singleMethod(RollupMethod.Sum),     Some(singleMethodSql(RollupMethod.Sum))),
+    Op("rollup_max",  singleMethod(RollupMethod.Max),     Some(singleMethodSql(RollupMethod.Max))),
+    Op("rollup_min",  singleMethod(RollupMethod.Min),     Some(singleMethodSql(RollupMethod.Min))),
+    Op("rollup_last", singleMethod(RollupMethod.Last),    Some(singleMethodSql(RollupMethod.Last))),
+    Op("rollup_dispatch", dispatch, Some(dispatchSql)),
+    Op("rollup_multi", rollups, Some(multiSql)),
+    Op("retention_ttl", retentionTtl, Some(ttlSql))
+  )
+}

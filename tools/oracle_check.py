@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Local pre-validation: mirror the driver's DuckDB-oracle compare.
+
+Usage: oracle_check.py [sfdir] [verify_out]
+Reads <verify_out>/<name>/ parquet (Spark dump) and <verify_out>/oracle_sql.json,
+runs each oracle against DuckDB views over <sfdir>/*.parquet, and compares
+(sorted columns-by-name, sorted rows, exact values; floats compared exactly
+first, then with 1e-9 tolerance reported separately).
+"""
+import glob
+import json
+import math
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for p in glob.glob(f"{sfdir}/*.parquet"):
+    name = os.path.basename(p)[: -len(".parquet")]
+    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), na_position="first").reset_index(drop=True)
+    return df
+
+fails = []
+for name in sorted(oracle):
+    spark_dir = f"{out}/{name}"
+    if not os.path.isdir(spark_dir):
+        print(f"FAIL {name}: no spark dump")
+        fails.append(name)
+        continue
+    try:
+        sdf = canon(pd.concat([pd.read_parquet(f) for f in glob.glob(f"{spark_dir}/*.parquet")]))
+        ddf = canon(con.sql(oracle[name]).df())
+    except Exception as e:
+        print(f"FAIL {name}: {type(e).__name__}: {e}")
+        fails.append(name)
+        continue
+    if list(sdf.columns) != list(ddf.columns):
+        print(f"FAIL {name}: columns spark={list(sdf.columns)} duck={list(ddf.columns)}")
+        fails.append(name)
+        continue
+    if len(sdf) != len(ddf):
+        print(f"FAIL {name}: rows spark={len(sdf)} duck={len(ddf)}")
+        fails.append(name)
+        continue
+    mismatch = None
+    for c in sdf.columns:
+        a, b = sdf[c].tolist(), ddf[c].tolist()
+        for i, (x, y) in enumerate(zip(a, b)):
+            xn = x is None or (isinstance(x, float) and math.isnan(x))
+            yn = y is None or (isinstance(y, float) and math.isnan(y))
+            if xn and yn:
+                continue
+            if xn != yn or x != y:
+                approx = (
+                    isinstance(x, float)
+                    and isinstance(y, float)
+                    and not (xn or yn)
+                    and abs(x - y) <= 1e-9 * max(1.0, abs(x), abs(y))
+                )
+                mismatch = (c, i, x, y, approx)
+                break
+        if mismatch:
+            break
+    if mismatch:
+        c, i, x, y, approx = mismatch
+        tag = "CLOSE" if approx else "FAIL"
+        print(f"{tag} {name}: col={c} row={i} spark={x!r} duck={y!r}")
+        fails.append(name)
+    else:
+        print(f"ok   {name}: {len(sdf)} rows")
+
+# queries with no oracle: just report row counts
+for d in sorted(glob.glob(f"{out}/*/")):
+    name = os.path.basename(d.rstrip("/"))
+    if name not in oracle:
+        try:
+            n = sum(len(pd.read_parquet(f)) for f in glob.glob(f"{d}/*.parquet"))
+            print(f"rows {name}: {n} (no oracle)")
+        except Exception as e:
+            print(f"rows {name}: unreadable: {e}")
+
+sys.exit(1 if fails else 0)

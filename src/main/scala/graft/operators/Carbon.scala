@@ -1,5 +1,144 @@
 package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
 import graft.Op
+import graft.functions.Pearson
+import graft.model.Tables
+
+/** The carbon plaintext listener surface: line parsing + validity stats +
+  * peer routing (reference listener/carbon_plaintext.go, listener/peerlist.go,
+  * logging/stats.go).
+  *
+  * The driver fixture has no network feed, so a deterministic line stream is
+  * reconstructed from the metric stream — including malformed lines (missing
+  * field, unparseable value, unparseable timestamp) on fixed id residues,
+  * mirroring what a listener actually sees. Both the Spark side and the
+  * DuckDB oracle build the identical stream, so parsing is verified
+  * end-to-end.
+  */
 object Carbon {
-  def ops: Seq[Op] = Seq()
+
+  /** `path value ts` lines with deterministic corruption:
+    * id%17==0 → missing timestamp field; id%13==0 → bad value;
+    * id%19==0 → bad timestamp (carbon_plaintext.go:219-243 rejects each).
+    */
+  private def lines(spark: SparkSession, dir: String): DataFrame =
+    Tables.metrics(spark, dir).select(
+      col("event_id").as("line_id"),
+      col("ts").as("arrival_ts"),
+      when(col("event_id") % 17 === 0,
+          format_string("%s %.3f", col("path"), col("value")))
+        .when(col("event_id") % 13 === 0,
+          format_string("%s x%.3f %d", col("path"), col("value"), col("ts")))
+        .when(col("event_id") % 19 === 0,
+          format_string("%s %.3f notatime", col("path"), col("value")))
+        .otherwise(format_string("%s %.3f %d", col("path"), col("value"), col("ts")))
+        .as("line"))
+
+  private val linesSql: String =
+    s"""${Tables.metricsSql},
+       |lines AS (
+       |  SELECT event_id AS line_id, ts AS arrival_ts,
+       |         CASE WHEN event_id % 17 = 0 THEN printf('%s %.3f', path, value)
+       |              WHEN event_id % 13 = 0 THEN printf('%s x%.3f %d', path, value, ts)
+       |              WHEN event_id % 19 = 0 THEN printf('%s %.3f notatime', path, value)
+       |              ELSE printf('%s %.3f %d', path, value, ts) END AS line
+       |  FROM metrics
+       |)""".stripMargin
+
+  /** Parse + validate the triplet — all codegen'd column ops, no UDF.
+    * Invalid lines keep null fields and `valid=false` (the listener drops
+    * them and bumps a counter; here they stay observable).
+    */
+  private def parsedFull(spark: SparkSession, dir: String): DataFrame =
+    lines(spark, dir)
+      .withColumn("p", split(col("line"), " "))
+      .withColumn("v", expr("try_cast(try_element_at(p, 2) AS DOUBLE)"))
+      .withColumn("t", expr("try_cast(try_element_at(p, 3) AS BIGINT)"))
+      .withColumn("valid",
+        size(col("p")) === 3 && col("v").isNotNull && col("t").isNotNull)
+      .select(
+        col("line_id"), col("arrival_ts"), col("valid"),
+        when(col("valid"), expr("try_element_at(p, 1)")).as("path"),
+        when(col("valid"), col("v")).as("value"),
+        when(col("valid"), col("t")).as("ts"))
+
+  private val parsedFullSql: String =
+    s"""$linesSql,
+       |sp AS (SELECT line_id, arrival_ts, string_split(line, ' ') AS p FROM lines),
+       |cast_try AS (
+       |  SELECT line_id, arrival_ts, p,
+       |         try_cast(p[2] AS DOUBLE) AS v, try_cast(p[3] AS BIGINT) AS t
+       |  FROM sp
+       |),
+       |flagged AS (
+       |  SELECT line_id, arrival_ts, p, v, t,
+       |         (len(p) = 3 AND v IS NOT NULL AND t IS NOT NULL) AS valid
+       |  FROM cast_try
+       |),
+       |parsed AS (
+       |  SELECT line_id, arrival_ts, valid,
+       |         CASE WHEN valid THEN p[1] END AS path,
+       |         CASE WHEN valid THEN v END AS value,
+       |         CASE WHEN valid THEN t END AS ts
+       |  FROM flagged
+       |)""".stripMargin
+
+  def parse(spark: SparkSession, dir: String): DataFrame =
+    parsedFull(spark, dir).drop("arrival_ts")
+
+  private val parseSql: String =
+    s"WITH $parsedFullSql SELECT line_id, valid, path, value, ts FROM parsed"
+
+  /** received-ok / received-fail counters per minute — the statsd events the
+    * listener emits (carbon_plaintext.go:219-243, logging/stats.go).
+    */
+  def receiveStats(spark: SparkSession, dir: String): DataFrame =
+    parsedFull(spark, dir)
+      .groupBy((col("arrival_ts") - col("arrival_ts") % 60).as("minute_ts"))
+      .agg(
+        sum(when(col("valid"), 1L).otherwise(0L)).as("received_ok"),
+        sum(when(col("valid"), 0L).otherwise(1L)).as("received_fail"))
+
+  private val receiveStatsSql: String =
+    s"""WITH $parsedFullSql
+       |SELECT arrival_ts - arrival_ts % 60 AS minute_ts,
+       |       CAST(sum(CASE WHEN valid THEN 1 ELSE 0 END) AS BIGINT) AS received_ok,
+       |       CAST(sum(CASE WHEN valid THEN 0 ELSE 1 END) AS BIGINT) AS received_fail
+       |FROM parsed GROUP BY 1""".stripMargin
+
+  /** Peer ownership: `pearson_hash8(path) % N` (peerlist.go:112-119) with the
+    * reference's N=but-configurable peer count. Per-peer path and point
+    * distribution — the check a cassabon operator runs to see hashing is
+    * balanced. At scale this is exactly the `repartition(N, pearson_hash8(path))`
+    * placement contract.
+    */
+  val PeerCount = 5
+
+  def peerRoute(spark: SparkSession, dir: String): DataFrame = {
+    Pearson.register(spark)
+    Tables.metrics(spark, dir)
+      .withColumn("peer", expr(s"pearson_hash8(path) % $PeerCount"))
+      .groupBy("peer")
+      .agg(countDistinct("path").as("paths"), count(lit(1)).as("points"))
+  }
+
+  private val peerRouteSql: String =
+    s"""WITH ${Tables.metricsSql},
+       |hashed AS (
+       |  SELECT path, ${Pearson.hash8Sql("path")} % $PeerCount AS peer
+       |  FROM metrics
+       |)
+       |SELECT CAST(peer AS INT) AS peer,
+       |       CAST(count(DISTINCT path) AS BIGINT) AS paths,
+       |       CAST(count(*) AS BIGINT) AS points
+       |FROM hashed GROUP BY 1""".stripMargin
+
+  def ops: Seq[Op] = Seq(
+    Op("carbon_parse", parse, Some(parseSql)),
+    Op("carbon_receive_stats", receiveStats, Some(receiveStatsSql)),
+    Op("peer_route", peerRoute, Some(peerRouteSql))
+  )
 }

@@ -1,5 +1,78 @@
 package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
 import graft.Op
+import graft.model.Tables
+
+/** The path index: every dot-prefix of every seen path, with depth and a
+  * leaf flag, answering glob queries constrained to the query's depth
+  * (reference datastore/indexmanager.go:201-278 builds it, 303-355 queries it).
+  *
+  * Scale posture: paths are deduped FIRST — the prefix explode runs over
+  * |unique paths|, not |points|. At 100 TB the distinct() is the only
+  * shuffle and its key set (paths) is tiny relative to the stream.
+  */
 object Index {
-  def ops: Seq[Op] = Seq()
+
+  /** All prefix nodes: (node, depth, leaf). A node is a leaf iff some full
+    * path equals it (indexmanager.go:225-236: isLeaf=true for the full path,
+    * false for every shorter prefix; a node seen both ways stays a leaf).
+    */
+  def build(spark: SparkSession, dir: String): DataFrame =
+    Tables.metrics(spark, dir)
+      .select("path").distinct()
+      .withColumn("p", split(col("path"), "\\."))
+      .select(col("p"), explode(expr("sequence(1, size(p))")).as("depth"))
+      .select(
+        concat_ws(".", expr("slice(p, 1, depth)")).as("node"),
+        col("depth"),
+        (col("depth") === size(col("p"))).as("leaf"))
+      .groupBy("node")
+      .agg(max("depth").as("depth"), max("leaf").as("leaf"))
+
+  private val buildCtes: String =
+    s"""${Tables.metricsSql},
+       |paths AS (SELECT DISTINCT path FROM metrics),
+       |sp AS (SELECT path, string_split(path, '.') AS p FROM paths),
+       |nodes AS (
+       |  SELECT array_to_string(p[1:CAST(d AS INT)], '.') AS node,
+       |         CAST(d AS INT) AS depth,
+       |         d = len(p) AS leaf
+       |  FROM sp, unnest(generate_series(1, len(p))) AS g(d)
+       |),
+       |index_nodes AS (
+       |  SELECT node, max(depth) AS depth, max(leaf) AS leaf
+       |  FROM nodes GROUP BY 1
+       |)""".stripMargin
+
+  private val buildSql: String =
+    s"WITH $buildCtes SELECT * FROM index_nodes"
+
+  /** Glob → regex exactly as the reference converts for its search backend
+    * (indexmanager.go:309-311): escape dots, `*` → `.*`, full-string match,
+    * constrained to the glob's depth, sorted by path.
+    */
+  def globToRegex(glob: String): String =
+    "^" + glob.replace(".", "\\.").replace("*", ".*") + "$"
+
+  val GlobQuery = "servers.*.u3"
+  private val globDepth = GlobQuery.split("\\.").length
+
+  def glob(spark: SparkSession, dir: String): DataFrame =
+    build(spark, dir)
+      .filter(col("depth") === globDepth && col("node").rlike(globToRegex(GlobQuery)))
+      .orderBy("node")
+
+  private val globSql: String =
+    s"""WITH $buildCtes
+       |SELECT * FROM index_nodes
+       |WHERE depth = $globDepth AND regexp_matches(node, '${globToRegex(GlobQuery)}')
+       |ORDER BY node""".stripMargin
+
+  def ops: Seq[Op] = Seq(
+    Op("index_build", build, Some(buildSql)),
+    Op("index_glob", glob, Some(globSql))
+  )
 }

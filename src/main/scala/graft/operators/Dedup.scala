@@ -1,5 +1,241 @@
 package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
 import graft.Op
+import graft.model.{Portable, Tables}
+
+/** Document deduplication for large-scale training-data pipelines: exact,
+  * n-gram Jaccard, MinHash+LSH banding, and SimHash — each over the
+  * `documents` table, each with a full DuckDB oracle.
+  *
+  * Scale posture (100 TB): nothing ever groups or joins on raw document
+  * text — exact dedup groups on a 16-byte md5; candidate generation for
+  * near-dup goes through LSH band buckets (minhash) or 15-bit pieces
+  * (simhash), so the quadratic all-pairs product is confined to colliding
+  * buckets. `dedup_ngram_jaccard` is the exact baseline the sketches are
+  * validated against; the sketch variants are the ones you run at scale.
+  */
 object Dedup {
-  def ops: Seq[Op] = Seq()
+  import Portable._
+
+  // ------------------------------------------------------------ shared pieces
+
+  /** Distinct word 3-gram shingles per document — the feature set shared by
+    * Jaccard, MinHash and SimHash. Texts are single-space word streams.
+    */
+  private def shingles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("t", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(t) >= 3
+          |  THEN transform(sequence(1, size(t) - 2), i -> concat_ws(' ', slice(t, i, 3)))
+          |  ELSE array() END""".stripMargin)).as("shingle"))
+      .distinct()
+
+  private val shinglesCtes: String =
+    """tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      |  FROM tok, unnest(generate_series(1, len(t) - 2)) AS g(i)
+      |)""".stripMargin
+
+  // --------------------------------------------------------------- exact dedup
+
+  /** Exact dedup: group identical texts by md5 (never by the 100 KB body),
+    * keep the lowest doc_id. The fixture has no exact duplicates, so a
+    * deterministic re-insertion (every 10th doc, id+1000000) makes the
+    * keep/drop behavior observable — both engines plant the same dups.
+    */
+  def exact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val planted = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    docs.union(planted)
+      .groupBy(md5Hex(col("text")).as("text_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
+  private val exactSql: String =
+    """WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+      |)
+      |SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+      |       CAST(count(*) AS BIGINT) AS n_copies
+      |FROM all_docs GROUP BY 1""".stripMargin
+
+  // ----------------------------------------------------------- n-gram jaccard
+
+  val JaccardThreshold = 0.8
+
+  /** Word-3-gram Jaccard near-dup pairs >= 0.8 — the exact-similarity
+    * baseline. Shuffle join on shingle; common-count / (|A|+|B|-common).
+    */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        round(col("common") / (col("sa.n") + col("sb.n") - col("common")), 6))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  private val ngramJaccardSql: String =
+    s"""WITH $shinglesCtes,
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |common AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b,
+       |       round(c.common / (sa.n + sb.n - c.common), 6) AS jaccard
+       |FROM common c
+       |JOIN sizes sa ON c.doc_a = sa.doc_id
+       |JOIN sizes sb ON c.doc_b = sb.doc_id
+       |WHERE round(c.common / (sa.n + sb.n - c.common), 6) >= $JaccardThreshold""".stripMargin
+
+  // ------------------------------------------------------------- minhash + lsh
+
+  val MinhashPrime = 2147483647L // 2^31 - 1: keeps a*h+b inside int64
+  val NumPerms = 16
+  val BandRows = 4 // 4 bands x 4 rows
+
+  /** (a_i, b_i) permutation constants from a fixed LCG (seed 42) — embedded
+    * identically in the Spark plan and the oracle SQL.
+    */
+  val perms: Seq[(Int, Long, Long)] = {
+    var x = 42L
+    def next(): Long = { x = (1103515245L * x + 12345L) % (1L << 31); x }
+    (0 until NumPerms).map { i =>
+      val a = next() % (MinhashPrime - 1) + 1
+      val b = next() % MinhashPrime
+      (i, a, b)
+    }
+  }
+
+  /** MinHash signatures + LSH band join: candidate pairs share at least one
+    * band signature. The band join touches only bucket collisions — the
+    * 100 TB path for near-dup at scale. 16 perms over md5-based shingle
+    * hashes, banded 4x4, band signature = md5 of the ordered minhash run.
+    */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashed = shingles(spark, dir)
+      .withColumn("hv", hash60(col("shingle")) % MinhashPrime)
+    val permsDf = perms.toDF("i", "a", "b")
+    val mh = hashed.join(broadcast(permsDf))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(min((col("a") * col("hv") + col("b")) % MinhashPrime).as("mh"))
+    val sigs = mh
+      .withColumn("band", expr(s"i div $BandRows"))
+      .groupBy("doc_id", "band")
+      .agg(expr(
+        "md5(cast(concat_ws('-', transform(array_sort(collect_list(struct(i, mh))), x -> cast(x.mh AS STRING))) AS binary))")
+        .as("sig"))
+    sigs.as("a")
+      .join(sigs.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  private val minhashLshSql: String = {
+    val permRows = perms.map { case (i, a, b) => s"($i, $a, $b)" }.mkString(", ")
+    s"""WITH $shinglesCtes,
+       |hashed AS (
+       |  SELECT doc_id, ${hex2bigSql("md5(shingle)")} % $MinhashPrime AS hv FROM sh
+       |),
+       |perms(i, a, b) AS (VALUES $permRows),
+       |mh AS (
+       |  SELECT doc_id, p.i, min((p.a * hashed.hv + p.b) % $MinhashPrime) AS mh
+       |  FROM hashed CROSS JOIN perms p GROUP BY 1, 2
+       |),
+       |sigs AS (
+       |  SELECT doc_id, i // $BandRows AS band,
+       |         md5(string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i)) AS sig
+       |  FROM mh GROUP BY 1, 2
+       |)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM sigs a JOIN sigs b
+       |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------- simhash
+
+  val SimhashBits = 60 // md5-derived hashes carry 60 portable bits
+  val HammingMax = 3
+  val SimhashPieces = 4 // 4 x 15-bit pieces: pigeonhole-complete for ham<=3
+
+  /** 60-bit SimHash over shingle hashes; near-dup pairs with hamming <= 3.
+    * Candidate generation is multi-index banding (4 pieces of 15 bits — a
+    * pair within hamming 3 must agree on at least one piece), then the exact
+    * `bit_count(xor)` re-check inside buckets. No all-pairs product.
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = shingles(spark, dir).withColumn("hv", hash60(col("shingle")))
+    val n = hashed.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val bits = hashed
+      .select(col("doc_id"),
+        explode(expr(s"filter(sequence(0, ${SimhashBits - 1}), j -> (shiftright(hv, j) & 1) = 1)")).as("j"))
+      .groupBy("doc_id", "j").agg(count(lit(1)).as("cnt"))
+    val sim = bits.join(n, "doc_id")
+      .groupBy("doc_id")
+      .agg(sum(expr("CASE WHEN 2 * cnt > n THEN shiftleft(CAST(1 AS BIGINT), j) ELSE 0 END")).as("sh"))
+    val pieces = sim.select(col("doc_id"), col("sh"),
+      explode(expr(s"transform(sequence(0, ${SimhashPieces - 1}), t -> named_struct('t', t, 'piece', shiftright(sh, t * 15) & 32767))")).as("pc"))
+      .select(col("doc_id"), col("sh"), col("pc.t").as("t"), col("pc.piece").as("piece"))
+    pieces.as("a")
+      .join(pieces.as("b"),
+        col("a.t") === col("b.t") && col("a.piece") === col("b.piece") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.sh ^ b.sh)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= HammingMax)
+  }
+
+  private val simhashSql: String =
+    s"""WITH $shinglesCtes,
+       |hashed AS (SELECT doc_id, ${hex2bigSql("md5(shingle)")} AS hv FROM sh),
+       |n AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY 1),
+       |setbits AS (
+       |  SELECT doc_id,
+       |         unnest([j for j in generate_series(0, ${SimhashBits - 1}) if (hv >> j) & 1 = 1]) AS j
+       |  FROM hashed
+       |),
+       |bits AS (SELECT doc_id, j, count(*) AS cnt FROM setbits GROUP BY 1, 2),
+       |sim AS (
+       |  SELECT b.doc_id,
+       |         CAST(sum(CASE WHEN 2 * b.cnt > n.n THEN (1::BIGINT << b.j) ELSE 0 END) AS BIGINT) AS sh
+       |  FROM bits b JOIN n ON b.doc_id = n.doc_id GROUP BY 1
+       |),
+       |pieces AS (
+       |  SELECT doc_id, sh, t, (sh >> (t * 15)) & 32767 AS piece
+       |  FROM sim, unnest(generate_series(0, ${SimhashPieces - 1})) AS g(t)
+       |)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+       |FROM pieces a JOIN pieces b
+       |  ON a.t = b.t AND a.piece = b.piece AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= $HammingMax""".stripMargin
+
+  def ops: Seq[Op] = Seq(
+    Op("dedup_exact", exact, Some(exactSql)),
+    Op("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
+    Op("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),
+    Op("dedup_simhash", simhash, Some(simhashSql))
+  )
 }

@@ -1,5 +1,220 @@
 package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
 import graft.Op
+import graft.model.Tables
+
+/** General analytics head: the engine doubles as a plain OLAP library, and
+  * these are the bench anchors (TPC-H-shaped joins/aggregations plus
+  * gap-based sessionization).
+  *
+  * Money math is done in fixed-point bigint cents (the columns are 2-decimal
+  * by construction), so every sum is an EXACT integer — immune to float
+  * summation order, deterministic across engines and partitionings. The
+  * displayed doubles are single correctly-rounded divisions of those ints.
+  *
+  * Scale posture: q1 is a single-pass partial agg (one shuffle of ~8 groups);
+  * q3/q5 broadcast every dimension (customer/supplier/nation/region) so the
+  * only shuffle is the orders⋈lineitem equi-join on orderkey; sessionize is
+  * one shuffle on user_id with in-partition ordering.
+  */
 object Analytics {
-  def ops: Seq[Op] = Seq()
+
+  private val centsL    = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+  private val discPctL  = "CAST(round(l_discount * 100) AS BIGINT)"
+  private val taxPctL   = "CAST(round(l_tax * 100) AS BIGINT)"
+
+  // ---------------------------------------------------------------- q1_pricing
+
+  val Q1Cutoff = "1998-09-02"
+
+  def q1Pricing(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(expr(s"l_shipdate <= timestamp '$Q1Cutoff'"))
+      .withColumn("cents", expr(centsL))
+      .withColumn("d", expr(discPctL))
+      .withColumn("t", expr(taxPctL))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        sum("cents").as("base_fp"),
+        sum(expr("cents * (100 - d)")).as("disc_fp"),
+        sum(expr("cents * (100 - d) * (100 + t)")).as("charge_fp"),
+        sum("d").as("d_fp"),
+        count(lit(1)).as("count_order"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+        (col("base_fp") / 100.0).as("sum_base_price"),
+        (col("disc_fp") / 10000.0).as("sum_disc_price"),
+        (col("charge_fp") / 1000000.0).as("sum_charge"),
+        round(col("sum_qty") / col("count_order"), 6).as("avg_qty"),
+        round(col("base_fp") / 100.0 / col("count_order"), 6).as("avg_price"),
+        round(col("d_fp") / 100.0 / col("count_order"), 6).as("avg_disc"),
+        col("count_order"))
+
+  private val q1Sql: String =
+    s"""WITH f AS (
+       |  SELECT l_returnflag, l_linestatus, l_quantity,
+       |         $centsL AS cents, $discPctL AS d, $taxPctL AS t
+       |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '$Q1Cutoff'
+       |),
+       |g AS (
+       |  SELECT l_returnflag, l_linestatus,
+       |         sum(l_quantity) AS sum_qty,
+       |         CAST(sum(cents) AS BIGINT) AS base_fp,
+       |         CAST(sum(cents * (100 - d)) AS BIGINT) AS disc_fp,
+       |         CAST(sum(cents * (100 - d) * (100 + t)) AS BIGINT) AS charge_fp,
+       |         CAST(sum(d) AS BIGINT) AS d_fp,
+       |         CAST(count(*) AS BIGINT) AS count_order
+       |  FROM f GROUP BY 1, 2
+       |)
+       |SELECT l_returnflag, l_linestatus, sum_qty,
+       |       base_fp / 100.0 AS sum_base_price,
+       |       disc_fp / 10000.0 AS sum_disc_price,
+       |       charge_fp / 1000000.0 AS sum_charge,
+       |       round(sum_qty / count_order, 6) AS avg_qty,
+       |       round(base_fp / 100.0 / count_order, 6) AS avg_price,
+       |       round(d_fp / 100.0 / count_order, 6) AS avg_disc,
+       |       count_order
+       |FROM g""".stripMargin
+
+  // --------------------------------------------------------------- q3_shipping
+
+  val Q3Date = "1998-01-01"
+  val Q3Segment = "BUILDING"
+
+  /** Top-10 open orders by revenue: broadcast customer, shuffle join
+    * orders⋈lineitem on orderkey; ordering is on the EXACT fixed-point
+    * revenue with orderkey tiebreak, so the limit-10 frontier is stable.
+    */
+  def q3Shipping(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === Q3Segment)
+    val ord = Tables.orders(spark, dir)
+      .filter(expr(s"o_orderdate < timestamp '$Q3Date'"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(expr(s"l_shipdate > timestamp '$Q3Date'"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(expr(s"$centsL * (100 - $discPctL)")).as("rev_fp"))
+      .orderBy(col("rev_fp").desc, col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey"), col("o_orderdate"),
+        (col("rev_fp") / 10000.0).as("revenue"))
+  }
+
+  private val q3Sql: String =
+    s"""SELECT l_orderkey, o_orderdate,
+       |       CAST(sum($centsL * (100 - $discPctL)) AS BIGINT) / 10000.0 AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = '$Q3Segment'
+       |  AND o_orderdate < TIMESTAMP '$Q3Date'
+       |  AND l_shipdate > TIMESTAMP '$Q3Date'
+       |GROUP BY 1, 2
+       |ORDER BY CAST(sum($centsL * (100 - $discPctL)) AS BIGINT) DESC, l_orderkey
+       |LIMIT 10""".stripMargin
+
+  // ----------------------------------------------------------------- q5_region
+
+  val Q5Region = "ASIA"
+  val Q5Year = "1996"
+
+  /** Revenue per nation for local supply chains (customer and supplier in
+    * the same nation) within one region-year. The whole dimension chain
+    * (region→nation→customer + supplier) broadcasts; the single shuffle is
+    * orders⋈lineitem on orderkey.
+    */
+  def q5Region(spark: SparkSession, dir: String): DataFrame = {
+    val nr = Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === Q5Region)
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(nr), col("c_nationkey") === col("n_nationkey"))
+    val supp = Tables.supplier(spark, dir)
+    val ord = Tables.orders(spark, dir).filter(expr(
+      s"o_orderdate >= timestamp '$Q5Year-01-01' AND o_orderdate < timestamp '${Q5Year.toInt + 1}-01-01'"))
+    Tables.lineitem(spark, dir)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(expr(s"$centsL * (100 - $discPctL)")).as("rev_fp"))
+      .select(col("n_name"), (col("rev_fp") / 10000.0).as("revenue"))
+  }
+
+  private val q5Sql: String =
+    s"""SELECT n_name,
+       |       CAST(sum($centsL * (100 - $discPctL)) AS BIGINT) / 10000.0 AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = '$Q5Region'
+       |  AND o_orderdate >= TIMESTAMP '$Q5Year-01-01'
+       |  AND o_orderdate < TIMESTAMP '${Q5Year.toInt + 1}-01-01'
+       |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- sessionize
+
+  val SessionGapSec = 1800L
+
+  /** Gap-based sessionization: a new session starts when a user's
+    * inter-event gap exceeds 30 min. One shuffle on user_id; `lag` + running
+    * sum inside the partition (arrival order = (ts, event_id)).
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts DIV 1000000000").as("ts_sec"), col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    ev.withColumn("prev", lag("ts_sec", 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev").isNull || col("ts_sec") - col("prev") > SessionGapSec, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum("new_sess").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(min("ts_sec").as("session_start"), max("ts_sec").as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+
+  private val sessionizeSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, event_id
+       |  FROM events
+       |),
+       |flagged AS (
+       |  SELECT user_id, ts_sec, event_id,
+       |         CASE WHEN lag(ts_sec) OVER w IS NULL
+       |                   OR ts_sec - lag(ts_sec) OVER w > $SessionGapSec
+       |              THEN 1 ELSE 0 END AS new_sess
+       |  FROM ev
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+       |),
+       |sessions AS (
+       |  SELECT user_id, ts_sec,
+       |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+       |                             ROWS UNBOUNDED PRECEDING) AS session_seq
+       |  FROM flagged
+       |)
+       |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       |       min(ts_sec) AS session_start, max(ts_sec) AS session_end,
+       |       CAST(count(*) AS BIGINT) AS n_events
+       |FROM sessions GROUP BY 1, 2""".stripMargin
+
+  def ops: Seq[Op] = Seq(
+    Op("q1_pricing", q1Pricing, Some(q1Sql)),
+    Op("q3_shipping", q3Shipping, Some(q3Sql)),
+    Op("q5_region", q5Region, Some(q5Sql)),
+    Op("sessionize", sessionize, Some(sessionizeSql))
+  )
 }

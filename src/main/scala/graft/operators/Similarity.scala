@@ -1,5 +1,174 @@
 package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
 import graft.Op
+import graft.model.Tables
+
+/** Approximate-nearest-neighbor search over the embedding column.
+  *
+  * `ann_cosine_topk` is the exact brute-force baseline (probe set broadcast
+  * against the corpus); `ann_lsh_bucketed` is the 100 TB path — random
+  * hyperplane signatures bucket the corpus so candidates share a bucket and
+  * only bucket-mates get the exact cosine re-rank.
+  *
+  * Determinism across engines: float32 coordinates are scaled to 1e7
+  * fixed-point bigints, so dots and norms are EXACT integer sums (immune to
+  * summation order); the final cosine is two correctly-rounded IEEE ops
+  * (sqrt, divide) — bit-identical in Spark and DuckDB.
+  */
 object Similarity {
-  def ops: Seq[Op] = Seq()
+
+  val Scale = 10000000L       // 1e7: |x|<~1, dim 64 -> dot <= 64e14, inside int64
+  val ProbeMod = 50           // probes: vec_id % 50 == 0
+  val TopK = 5
+
+  private val toFixed =
+    s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $Scale) AS BIGINT))"
+  private val toFixedSql =
+    s"[CAST(floor(CAST(x AS DOUBLE) * $Scale) AS BIGINT) for x in embedding]"
+
+  /** (vec_id, v fixed-point, nrm = |v|^2 exact). */
+  private def fixedVecs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(toFixed).as("v"))
+      .withColumn("nrm",
+        expr("aggregate(v, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+
+  private val fixedVecsCtes: String =
+    s"""iv AS (SELECT vec_id, $toFixedSql AS v FROM embeddings),
+       |nv AS (SELECT vec_id, v, CAST(list_sum([x * x for x in v]) AS BIGINT) AS nrm FROM iv)""".stripMargin
+
+  /** Brute-force cosine top-k per probe: broadcast the probe set, integer
+    * dot via zip_with/aggregate (codegen'd), window rank. One corpus scan,
+    * no shuffle except the final per-probe top-k.
+    */
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = fixedVecs(spark, dir)
+    val probes = vecs.filter(col("vec_id") % ProbeMod === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = vecs.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(v, qv, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .withColumn("cos", col("dot") / (sqrt(col("nrm")) * sqrt(col("qn"))))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), round(col("cos"), 6).as("cosine"))
+  }
+
+  private val cosineTopKSql: String =
+    s"""WITH $fixedVecsCtes,
+       |probes AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM nv WHERE vec_id % $ProbeMod = 0),
+       |pairs AS (
+       |  SELECT p.q_id, n.vec_id,
+       |         CAST(list_sum([n.v[i] * p.qv[i] for i in generate_series(1, len(n.v))]) AS BIGINT) AS dot,
+       |         n.nrm, p.qn
+       |  FROM nv n CROSS JOIN probes p WHERE n.vec_id <> p.q_id
+       |),
+       |scored AS (
+       |  SELECT q_id, vec_id, dot / (sqrt(nrm) * sqrt(qn)) AS cos
+       |  FROM pairs
+       |),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT q_id AS query_id, vec_id AS neighbor_id, CAST(rank AS INT) AS rank,
+       |       round(cos, 6) AS cosine
+       |FROM ranked WHERE rank <= $TopK""".stripMargin
+
+  // ----------------------------------------------------------- LSH bucketing
+
+  val NumPlanes = 8
+
+  /** ±1 random hyperplanes from a fixed LCG (seed 7), embedded identically
+    * in both engines.
+    */
+  val planes: Seq[(Int, Seq[Long])] = {
+    var x = 7L
+    def next(): Long = { x = (1103515245L * x + 12345L) % (1L << 31); x }
+    (0 until NumPlanes).map { j =>
+      j -> Seq.fill(64)(if (((next() >> 10) & 1L) == 1L) 1L else -1L)
+    }
+  }
+
+  /** Random-hyperplane LSH: bucket = sign pattern of 8 plane dots; probes
+    * join the corpus on bucket equality, exact cosine re-rank inside the
+    * bucket. At 100 TB the bucket join replaces the probe x corpus cross
+    * product with ~1/256 of it.
+    */
+  def lshBucketed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = fixedVecs(spark, dir)
+    val planesDf = planes.toDF("j", "rv")
+    val buckets = vecs.crossJoin(broadcast(planesDf))
+      .withColumn("pdot",
+        expr("aggregate(zip_with(v, rv, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .groupBy("vec_id")
+      .agg(sum(expr("CASE WHEN pdot >= 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE 0 END")).as("bucket"))
+    val withB = vecs.join(buckets, "vec_id")
+    val probes = withB.filter(col("vec_id") % ProbeMod === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("bucket").as("qb"))
+    val cands = withB.join(broadcast(probes),
+      col("bucket") === col("qb") && col("vec_id") =!= col("q_id"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(v, qv, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .withColumn("cos", col("dot") / (sqrt(col("nrm")) * sqrt(col("qn"))))
+    cands
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), round(col("cos"), 6).as("cosine"))
+  }
+
+  private val lshBucketedSql: String = {
+    val planeRows = planes
+      .map { case (j, rv) => s"($j, ${rv.mkString("[", ",", "]")})" }
+      .mkString(", ")
+    s"""WITH $fixedVecsCtes,
+       |planes(j, rv) AS (VALUES $planeRows),
+       |pd AS (
+       |  SELECT n.vec_id, p.j,
+       |         CAST(list_sum([n.v[i] * p.rv[i] for i in generate_series(1, len(n.v))]) AS BIGINT) AS pdot
+       |  FROM nv n CROSS JOIN planes p
+       |),
+       |buckets AS (
+       |  SELECT vec_id,
+       |         CAST(sum(CASE WHEN pdot >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM pd GROUP BY 1
+       |),
+       |withb AS (SELECT n.vec_id, n.v, n.nrm, b.bucket FROM nv n JOIN buckets b USING (vec_id)),
+       |probes AS (
+       |  SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket AS qb
+       |  FROM withb WHERE vec_id % $ProbeMod = 0
+       |),
+       |cands AS (
+       |  SELECT p.q_id, n.vec_id,
+       |         CAST(list_sum([n.v[i] * p.qv[i] for i in generate_series(1, len(n.v))]) AS BIGINT) AS dot,
+       |         n.nrm, p.qn
+       |  FROM withb n JOIN probes p ON n.bucket = p.qb AND n.vec_id <> p.q_id
+       |),
+       |ranked AS (
+       |  SELECT q_id, vec_id, dot / (sqrt(nrm) * sqrt(qn)) AS cos,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY dot / (sqrt(nrm) * sqrt(qn)) DESC, vec_id) AS rank
+       |  FROM cands
+       |)
+       |SELECT q_id AS query_id, vec_id AS neighbor_id, CAST(rank AS INT) AS rank,
+       |       round(cos, 6) AS cosine
+       |FROM ranked WHERE rank <= $TopK""".stripMargin
+  }
+
+  def ops: Seq[Op] = Seq(
+    Op("ann_cosine_topk", cosineTopK, Some(cosineTopKSql)),
+    Op("ann_lsh_bucketed", lshBucketed, Some(lshBucketedSql))
+  )
 }

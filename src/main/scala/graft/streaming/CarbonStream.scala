@@ -1,5 +1,90 @@
 package graft.streaming
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
 import graft.Op
+import graft.model.Tables
+
+/** Structured-Streaming ingest: the Spark-native replacement for cassabon's
+  * accumulate/flush goroutine loop (reference listener package feeding
+  * datastore/metricmanager.go:run via channels).
+  *
+  * Any line-shaped source (socket, file, Kafka) streams in, parses to
+  * (path, value, ts), and a windowed aggregation maintains the open rollup
+  * windows; the window close boundary becomes `stat_time`, exactly the
+  * batch semantics. [[rollupQuery]] runs the real streaming engine over the
+  * events fixture via the file source and lands in a memory sink — so the
+  * driver's DuckDB oracle (identical to the batch 60 s average rollup)
+  * verifies the STREAMING path end-to-end. Watermarked update-mode flushing
+  * is exercised in the ScalaTest spec via MemoryStream.
+  */
 object CarbonStream {
-  def ops: Seq[Op] = Seq()
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // TIMESTAMP(NANOS) read as epoch nanos
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** events stream -> carbon metric stream (same mapping as Tables.metrics). */
+  def toMetrics(events: DataFrame): DataFrame =
+    events.select(
+      concat(lit("servers."), col("event_type"), lit(".u"),
+        (col("user_id") % 8).cast("string")).as("path"),
+      col("value"),
+      expr("ts DIV 1000000000").as("ts"))
+
+  /** 60 s average rollup over a metric stream: the streaming accumulate.
+    * `update`/`append` callers add a watermark; complete-mode callers don't.
+    */
+  def windowedRollup(metrics: DataFrame): DataFrame =
+    metrics
+      .withColumn("tts", timestamp_seconds(col("ts")))
+      .groupBy(col("path"), window(col("tts"), "60 seconds").as("w"))
+      .agg(avg("value").as("raw_stat"))
+      .select(col("path"),
+        unix_timestamp(col("w.end")).as("stat_time"),
+        round(col("raw_stat"), 6).as("stat"))
+
+  /** Run the streaming rollup over the events fixture (file source, memory
+    * sink, complete mode), block until drained, return the result table.
+    */
+  def rollupQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val sink = "stream_rollup_" + UUID.randomUUID().toString.replace("-", "")
+    val q = windowedRollup(toMetrics(events))
+      .writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode("complete")
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+    }
+    spark.table(sink)
+  }
+
+  /** Oracle: identical to the batch 60 s average rollup — finite stream in
+    * complete mode must equal the batch aggregation.
+    */
+  private val rollupSql: String =
+    s"""WITH ${Tables.metricsSql}
+       |SELECT path, ts - ts % 60 + 60 AS stat_time, round(avg(value), 6) AS stat
+       |FROM metrics GROUP BY 1, 2""".stripMargin
+
+  def ops: Seq[Op] = Seq(
+    Op("stream_rollup", rollupQuery, Some(rollupSql))
+  )
 }

@@ -43,14 +43,15 @@ object CarbonStream {
   /** 60 s average rollup over a metric stream: the streaming accumulate.
     * `update`/`append` callers add a watermark; complete-mode callers don't.
     */
-  def windowedRollup(metrics: DataFrame): DataFrame =
-    metrics
-      .withColumn("tts", timestamp_seconds(col("ts")))
+  def windowedRollup(metrics: DataFrame, watermark: Option[String] = None): DataFrame = {
+    val t = metrics.withColumn("tts", timestamp_seconds(col("ts")))
+    watermark.fold(t)(w => t.withWatermark("tts", w))
       .groupBy(col("path"), window(col("tts"), "60 seconds").as("w"))
       .agg(avg("value").as("raw_stat"))
       .select(col("path"),
         unix_timestamp(col("w.end")).as("stat_time"),
         round(col("raw_stat"), 6).as("stat"))
+  }
 
   /** Run the streaming rollup over the events fixture (file source, memory
     * sink, complete mode), block until drained, return the result table.

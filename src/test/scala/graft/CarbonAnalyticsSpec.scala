@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.Tables
+import graft.operators.{Analytics, Carbon}
+
+class CarbonAnalyticsSpec extends AnyFunSuite with TestSpark {
+
+  test("carbon parse: corruption residues are rejected, the rest parse clean") {
+    val rows = Carbon.parse(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1)))
+    val total = Tables.events(spark, Sf).count()
+    assert(rows.length === total)
+    rows.foreach { case (id, valid) =>
+      val corrupted = id % 17 == 0 || id % 13 == 0 || id % 19 == 0
+      assert(valid === !corrupted, s"line $id")
+    }
+  }
+
+  test("receive stats: ok + fail == line count per minute and overall") {
+    val stats = Carbon.receiveStats(spark, Sf)
+      .agg(sum("received_ok").as("ok"), sum("received_fail").as("fail"))
+      .collect().head
+    val total = Tables.events(spark, Sf).count()
+    assert(stats.getLong(0) + stats.getLong(1) === total)
+    assert(stats.getLong(1) > 0, "fixture must contain malformed lines")
+  }
+
+  test("peer route: all points accounted for, every peer in range") {
+    val rows = Carbon.peerRoute(spark, Sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._3).sum === Tables.events(spark, Sf).count())
+    rows.foreach { case (peer, _, _) => assert(peer >= 0 && peer < Carbon.PeerCount) }
+  }
+
+  test("sessionize: event counts conserved; same-user sessions separated by > gap") {
+    val sessions = Analytics.sessionize(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(sessions.map(_._5).sum === Tables.events(spark, Sf).count())
+    sessions.groupBy(_._1).foreach { case (_, ss) =>
+      val ordered = ss.sortBy(_._2)
+      assert(ordered.map(_._2).toSeq === (1L to ordered.length))
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._3 - a._4 > Analytics.SessionGapSec,
+            s"sessions ${a._2} and ${b._2} of user ${a._1} not separated by gap")
+        case _ =>
+      }
+      ss.foreach(s => assert(s._4 >= s._3))
+    }
+  }
+
+  test("q1 aggregates are internally consistent (avg * count == sum)") {
+    val rows = Analytics.q1Pricing(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sumQty = r.getDouble(2)
+      val avgQty = r.getDouble(6)
+      val n = r.getLong(9)
+      assert(math.abs(avgQty - sumQty / n) < 1e-6)
+    }
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.CarbonStream
+
+/** Streaming accumulate/flush semantics via MemoryStream — the Spark-native
+  * mirror of cassabon's window-close flush (datastore/metricmanager.go:120-180).
+  */
+class StreamingSpec extends AnyFunSuite with TestSpark {
+
+  test("complete mode: finite stream equals the batch windowed aggregation") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(String, Double, Long)]
+    val q = CarbonStream.windowedRollup(in.toDF.toDF("path", "value", "ts"))
+      .writeStream.format("memory").queryName("cs_complete").outputMode("complete")
+      .start()
+    try {
+      in.addData(("p", 2.0, 10L), ("p", 4.0, 59L), ("p", 10.0, 60L), ("q", 7.0, 61L))
+      q.processAllAvailable()
+      val got = spark.table("cs_complete").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === Set(("p", 60L, 3.0), ("p", 120L, 10.0), ("q", 120L, 7.0)))
+    } finally q.stop()
+  }
+
+  test("append mode with watermark: a window flushes once the watermark passes its close") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(String, Double, Long)]
+    val q = CarbonStream
+      .windowedRollup(in.toDF.toDF("path", "value", "ts"), watermark = Some("30 seconds"))
+      .writeStream.format("memory").queryName("cs_append").outputMode("append")
+      .start()
+    try {
+      in.addData(("p", 2.0, 10L), ("p", 4.0, 20L))
+      q.processAllAvailable()
+      // watermark still inside window [0,60): nothing flushed yet
+      assert(spark.table("cs_append").count() === 0)
+      in.addData(("p", 9.0, 200L)) // advances watermark to 170 > 60
+      q.processAllAvailable()
+      val got = spark.table("cs_append").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === Set(("p", 60L, 3.0)), "window [0,60) must flush exactly once")
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-audit main: prints `explain("formatted")` for the named operators
+  * (or a default headline set) so shuffle/broadcast/pushdown shape can be
+  * reviewed. `runMain graft.Explain [sfDir] [op,op,...]`.
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = args.drop(1).headOption
+      .map(_.split(",").toSeq)
+      .getOrElse(Seq("rollup_multi", "q3_shipping", "q5_region", "ann_cosine_topk",
+        "dedup_minhash_lsh", "metric_fetch", "sessionize", "index_build"))
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val byName = Registry.ops.map(o => o.name -> o).toMap
+    names.foreach { n =>
+      println(s"\n=================== $n ===================")
+      byName(n).run(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

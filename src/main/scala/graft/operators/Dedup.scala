@@ -131,19 +131,23 @@ object Dedup {
     * hashes, banded 4x4, band signature = md5 of the ordered minhash run.
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val hashed = shingles(spark, dir)
       .withColumn("hv", hash60(col("shingle")) % MinhashPrime)
-    val permsDf = perms.toDF("i", "a", "b")
-    val mh = hashed.join(broadcast(permsDf))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(min((col("a") * col("hv") + col("b")) % MinhashPrime).as("mh"))
+    // all 16 permutation minima in ONE aggregation pass: no perm-table
+    // explode, no 16x row blowup, single shuffle on doc_id
+    val minCols = perms.map { case (i, a, b) =>
+      min((lit(a) * col("hv") + lit(b)) % MinhashPrime).as(s"m$i")
+    }
+    val mh = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    val bandStructs = (0 until NumPerms / BandRows).map { band =>
+      val run = (band * BandRows until (band + 1) * BandRows)
+        .map(i => s"CAST(m$i AS STRING)").mkString(", ")
+      s"named_struct('band', $band, 'sig', md5(cast(concat_ws('-', $run) AS binary)))"
+    }
     val sigs = mh
-      .withColumn("band", expr(s"i div $BandRows"))
-      .groupBy("doc_id", "band")
-      .agg(expr(
-        "md5(cast(concat_ws('-', transform(array_sort(collect_list(struct(i, mh))), x -> cast(x.mh AS STRING))) AS binary))")
-        .as("sig"))
+      .select(col("doc_id"),
+        explode(expr(bandStructs.mkString("array(", ", ", ")"))).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     sigs.as("a")
       .join(sigs.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -186,14 +190,16 @@ object Dedup {
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val hashed = shingles(spark, dir).withColumn("hv", hash60(col("shingle")))
-    val n = hashed.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val bits = hashed
-      .select(col("doc_id"),
-        explode(expr(s"filter(sequence(0, ${SimhashBits - 1}), j -> (shiftright(hv, j) & 1) = 1)")).as("j"))
-      .groupBy("doc_id", "j").agg(count(lit(1)).as("cnt"))
-    val sim = bits.join(n, "doc_id")
-      .groupBy("doc_id")
-      .agg(sum(expr("CASE WHEN 2 * cnt > n THEN shiftleft(CAST(1 AS BIGINT), j) ELSE 0 END")).as("sh"))
+    // all 60 bit-position counts in ONE aggregation pass (no 60x bit
+    // explode): per doc, c_j = how many shingle hashes have bit j set
+    val bitCols = (0 until SimhashBits).map(j =>
+      sum(expr(s"shiftright(hv, $j) & 1")).as(s"c$j"))
+    val agg = hashed.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), bitCols: _*)
+    val shExpr = (0 until SimhashBits)
+      .map(j => s"CASE WHEN 2 * c$j > n THEN ${1L << j} ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+    val sim = agg.select(col("doc_id"), expr(shExpr).as("sh"))
     val pieces = sim.select(col("doc_id"), col("sh"),
       explode(expr(s"transform(sequence(0, ${SimhashPieces - 1}), t -> named_struct('t', t, 'piece', shiftright(sh, t * 15) & 32767))")).as("pc"))
       .select(col("doc_id"), col("sh"), col("pc.t").as("t"), col("pc.piece").as("piece"))

@@ -88,7 +88,7 @@ object MetricQuery {
       .filter(col("stat_time") >= col("now") - DeleteFromAge &&
         col("stat_time") <= col("now") - DeleteToAge)
       .groupBy("path", "tbl").count()
-    broadcast(base).join(counts, Seq("path", "tbl"), "left")
+    base.join(counts, Seq("path", "tbl"), "left")
       .select(col("path"), col("tbl"),
         coalesce(col("count"), lit(0L)).as("would_delete"))
   }

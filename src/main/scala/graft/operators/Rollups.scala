@@ -66,14 +66,15 @@ object Rollups {
       .groupBy(
         col("win.tbl").as("tbl"),
         col("path"),
-        statTime(col("ts"), col("win.w")).as("stat_time"))
+        statTime(col("ts"), col("win.w")).as("stat_time"),
+        col("expr")) // functionally determined by path; grouping on it (vs
+                     // first()) keeps the aggregate hash-based
       .agg(
         avg("value").as("a_avg"),
         sum("value").as("a_sum"),
         max("value").as("a_max"),
         min("value").as("a_min"),
-        expr(s"max_by(value, ts * $LastKeyShift + event_id)").as("a_last"),
-        first("expr").as("expr")) // path determines expr, constant per group
+        expr(s"max_by(value, ts * $LastKeyShift + event_id)").as("a_last"))
       .withColumn("method", methodOf(col("expr")))
       .select(
         col("tbl"), col("path"), col("stat_time"),

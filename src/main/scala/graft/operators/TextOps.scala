@@ -144,20 +144,15 @@ object TextOps {
     * hashes, dash-joined ascending — a compact containment fingerprint
     * (Broder's bottom-k minwise sketch over a rolling gram stream).
     */
-  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val grams = Tables.documents(spark, dir)
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .select(col("doc_id"),
         explode(expr("transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")).as("gram"))
       .select(col("doc_id"), hash60(col("gram")).as("h"))
-      .distinct()
-    val w = Window.partitionBy("doc_id").orderBy("h")
-    grams.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= FingerprintK)
-      .groupBy("doc_id")
-      .agg(expr("concat_ws('-', transform(array_sort(collect_list(h)), x -> cast(x AS STRING)))")
+      .groupBy("doc_id") // collect_set dedups in the partial agg; one shuffle,
+      .agg(expr(         // no separate distinct + window sort pass
+        s"concat_ws('-', transform(slice(array_sort(collect_set(h)), 1, $FingerprintK), x -> cast(x AS STRING)))")
         .as("fingerprint"))
-  }
 
   private val fingerprintSql: String =
     s"""WITH grams AS (

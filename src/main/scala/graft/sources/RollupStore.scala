@@ -1,0 +1,63 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.RollupConfig
+
+/** The storage mapping for cassabon's Cassandra backend: one logical table
+  * per retention (`rollup_%09d`, reference datastore/metricmanager.go:155-171)
+  * becomes a partition of ONE parquet dataset, sub-partitioned by stat date:
+  *
+  *   /store/tbl=rollup_000007200/stat_date=2024-01-05/part-*.parquet
+  *
+  * Cassandra's `default_time_to_live` maps to a partition-prune filter:
+  * expired data is never read (and at scale is dropped by deleting whole
+  * date partitions — no tombstones, no compaction debt). Both `tbl` and
+  * `stat_date` are partition columns, so retention filters resolve at file
+  * listing, before any I/O.
+  */
+object RollupStore {
+
+  /** Persist a rollup write set (tbl, path, stat_time, stat), partitioned
+    * for prune-friendly reads. `maxRecordsPerFile` guards against giant
+    * files on 1000-executor writes; dynamic overwrite only replaces the
+    * partitions present in this batch (the streaming flush contract).
+    */
+  def write(rollups: DataFrame, path: String): Unit =
+    rollups
+      .withColumn("stat_date", to_date(timestamp_seconds(col("stat_time"))))
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("tbl", "stat_date")
+      .parquet(path)
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** TTL-enforced read: each table only yields rows newer than its
+    * retention, with the cutoff expressed on the PARTITION columns so the
+    * planner prunes expired directories at listing time
+    * (`.explain` shows them in PartitionFilters, not PushedFilters).
+    */
+  def readRetained(spark: SparkSession, path: String, nowSec: Long): DataFrame = {
+    val keep = RollupConfig.tables.map { t =>
+      val retention = RollupConfig.reference.flatMap(_.windows)
+        .find(_.table == t).get.retentionSec
+      val cutoff = java.time.LocalDate.ofInstant(
+        java.time.Instant.ofEpochSecond(nowSec - retention),
+        java.time.ZoneOffset.UTC)
+      col("tbl") === t && col("stat_date") >= lit(cutoff.toString).cast("date")
+    }.reduce(_ || _)
+    read(spark, path).filter(keep).filter(col("stat_time") > {
+      // exact row-level TTL on top of the coarse partition prune
+      val retentionOf = RollupConfig.tables.foldLeft(lit(0L)) { (acc, t) =>
+        when(col("tbl") === t,
+          RollupConfig.reference.flatMap(_.windows).find(_.table == t).get.retentionSec)
+          .otherwise(acc)
+      }
+      lit(nowSec) - retentionOf
+    })
+  }
+}

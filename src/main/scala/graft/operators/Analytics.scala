@@ -211,10 +211,74 @@ object Analytics {
        |       CAST(count(*) AS BIGINT) AS n_events
        |FROM sessions GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q14_promo
+
+  /** Promo revenue share per ship month (TPC-H Q14 shape): lineitem ⋈
+    * broadcast part; numerator/denominator both exact fixed-point sums,
+    * one double division at the end.
+    */
+  def q14Promo(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(expr("l_shipdate >= timestamp '1997-01-01' AND l_shipdate < timestamp '1998-01-01'"))
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"))
+      .agg(
+        sum(expr(s"CASE WHEN p_type = 'PROMO' THEN $centsL * (100 - $discPctL) ELSE CAST(0 AS BIGINT) END")).as("promo_fp"),
+        sum(expr(s"$centsL * (100 - $discPctL)")).as("total_fp"))
+      .select(col("ship_month"),
+        round(lit(100.0) * col("promo_fp") / col("total_fp"), 6).as("promo_share"),
+        (col("total_fp") / 10000.0).as("total_revenue"))
+
+  private val q14Sql: String =
+    s"""WITH g AS (
+       |  SELECT date_trunc('month', l_shipdate) AS ship_month,
+       |         CAST(sum(CASE WHEN p_type = 'PROMO' THEN $centsL * (100 - $discPctL) ELSE 0 END) AS BIGINT) AS promo_fp,
+       |         CAST(sum($centsL * (100 - $discPctL)) AS BIGINT) AS total_fp
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+       |  GROUP BY 1
+       |)
+       |SELECT ship_month, round(100.0 * promo_fp / total_fp, 6) AS promo_share,
+       |       total_fp / 10000.0 AS total_revenue
+       |FROM g""".stripMargin
+
+  // -------------------------------------------------------------- event_props
+
+  /** Semi-structured column handling: the events `props` JSON payload,
+    * extracted and aggregated per event type. Spark side uses a real JSON
+    * path (`get_json_object`); the oracle reads the same field via regex so
+    * it needs no DuckDB JSON extension.
+    */
+  def eventProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("k").as("k_sum"),
+        min("k").as("k_min"),
+        max("k").as("k_max"),
+        round(avg("k"), 6).as("k_avg"))
+
+  private val eventPropsSql: String =
+    """SELECT event_type,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(k) AS BIGINT) AS k_sum,
+      |       min(k) AS k_min, max(k) AS k_max,
+      |       round(avg(k), 6) AS k_avg
+      |FROM (
+      |  SELECT event_type,
+      |         CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+      |  FROM events
+      |)
+      |GROUP BY 1""".stripMargin
+
   def ops: Seq[Op] = Seq(
     Op("q1_pricing", q1Pricing, Some(q1Sql)),
     Op("q3_shipping", q3Shipping, Some(q3Sql)),
     Op("q5_region", q5Region, Some(q5Sql)),
-    Op("sessionize", sessionize, Some(sessionizeSql))
+    Op("q14_promo", q14Promo, Some(q14Sql)),
+    Op("sessionize", sessionize, Some(sessionizeSql)),
+    Op("event_props", eventProps, Some(eventPropsSql))
   )
 }

@@ -1,0 +1,96 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{RollupConfig, Tables}
+import graft.operators.{Index, MetricQuery, Rollups}
+
+/** The cassabon HTTP API surface (reference api/api.go:44-51) as library
+  * calls — a user of the daemon's `GET /paths`, `GET /metrics`,
+  * `DELETE /metrics` endpoints can call these against the Spark engine and
+  * get the same response shapes. The heavy lifting stays distributed; only
+  * the final (small) response payload is collected.
+  */
+object MetricsApi {
+
+  /** `GET /metrics?path=&from=&to=` response payload
+    * (datastore/metricquery.go:15-19 MetricResponse): normalized from, the
+    * step, and per-path value series on the step grid, `None` where no data.
+    *
+    * Faithful quirk: with multiple paths the reference computes table/step
+    * per path but the response carries a single `step`/`from` — whichever
+    * the LAST path produced (metricquery.go:100-124 loop variable). Mirrored
+    * here so responses agree.
+    */
+  case class MetricsResponse(from: Long, to: Long, step: Long,
+      series: Map[String, Seq[Option[Double]]])
+
+  def getMetrics(spark: SparkSession, dir: String,
+      paths: Seq[String], from: Long, to: Long): MetricsResponse = {
+    val rollups = Rollups.rollups(spark, dir)
+      .filter(col("path").isin(paths: _*))
+      .collect() // tiny: only the requested paths' rollup rows
+      .groupBy(r => (r.getString(0), r.getString(1))) // (tbl, path)
+      .map { case (k, rs) => k -> rs.map(r => r.getLong(2) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap }
+
+    var step = 0L
+    var normalFrom = 0L
+    val series = paths.map { path =>
+      val ageSec = math.max(to - from, 0L)
+      val (_, win) = MetricQuery.chooseWindow(path, ageSec)
+      step = win.windowSec
+      normalFrom = from + (step - from % step)
+      val byTime = rollups.getOrElse((win.table, path), Map.empty)
+      val slots = normalFrom.to(to, step)
+      path -> slots.map(t => byTime.getOrElse(t, None)).toSeq
+    }.toMap
+    MetricsResponse(normalFrom, to, step, series)
+  }
+
+  /** `GET /paths?query=glob` (api/api.go:99-123 → indexmanager queryGET):
+    * glob over the path index at the glob's depth, sorted.
+    */
+  case class PathEntry(path: String, depth: Int, leaf: Boolean)
+
+  def getPaths(spark: SparkSession, dir: String, glob: String): Seq[PathEntry] = {
+    val depth = glob.split("\\.").length
+    Index.build(spark, dir)
+      .filter(col("depth") === depth && col("node").rlike(Index.globToRegex(glob)))
+      .orderBy("node")
+      .collect()
+      .map(r => PathEntry(r.getString(0), r.getInt(1), r.getBoolean(2)))
+      .toSeq
+  }
+
+  /** `DELETE /metrics` (metricquery.go:25-84): per-path, per-table
+    * approximate counts; when not a dry run the store row set after the
+    * anti-filter is returned alongside (the caller persists it).
+    */
+  case class DeleteResponse(dryrun: Boolean,
+      byPathTable: Map[(String, String), Long], totalDeleted: Long)
+
+  def deleteMetrics(spark: SparkSession, dir: String, paths: Seq[String],
+      from: Long, to: Long, dryRun: Boolean): (DeleteResponse, Option[DataFrame]) = {
+    val counts = Rollups.rollups(spark, dir)
+      .filter(col("path").isin(paths: _*) &&
+        col("stat_time") >= from && col("stat_time") <= to)
+      .groupBy("path", "tbl").count()
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val full = (for (p <- paths; t <- RollupConfig.tables)
+      yield (p, t) -> counts.getOrElse((p, t), 0L)).toMap
+    val resp = DeleteResponse(dryRun, full, full.values.sum)
+    val remaining = if (dryRun) None else Some(
+      Rollups.rollups(spark, dir).filter(
+        !(col("path").isin(paths: _*) &&
+          col("stat_time") >= from && col("stat_time") <= to)))
+    (resp, remaining)
+  }
+
+  /** `GET /healthcheck` (api/api.go:~225): the engine's liveness probe —
+    * the session is usable and the store is readable.
+    */
+  def healthcheck(spark: SparkSession, dir: String): Boolean =
+    try { Tables.events(spark, dir).limit(1).count() >= 0 } catch { case _: Throwable => false }
+}

@@ -71,8 +71,46 @@ object Index {
        |WHERE depth = $globDepth AND regexp_matches(node, '${globToRegex(GlobQuery)}')
        |ORDER BY node""".stripMargin
 
+  /** `DELETE /paths?query=glob` (reference api/api.go:124-147; the backend
+    * delete is an open TODO in indexmanager.go — semantics defined here):
+    * drop the glob-matched leaf paths, then rebuild the prefix set from the
+    * survivors so orphaned prefixes disappear too. Returns the remaining
+    * index.
+    */
+  val DeleteGlob = "servers.error.*"
+
+  def delete(spark: SparkSession, dir: String): DataFrame =
+    Tables.metrics(spark, dir)
+      .select("path").distinct()
+      .filter(!col("path").rlike(globToRegex(DeleteGlob)))
+      .withColumn("p", split(col("path"), "\\."))
+      .select(col("p"), explode(expr("sequence(1, size(p))")).as("depth"))
+      .select(
+        concat_ws(".", expr("slice(p, 1, depth)")).as("node"),
+        col("depth"),
+        (col("depth") === size(col("p"))).as("leaf"))
+      .groupBy("node")
+      .agg(max("depth").as("depth"), max("leaf").as("leaf"))
+
+  private val deleteSql: String =
+    s"""WITH ${Tables.metricsSql},
+       |paths AS (
+       |  SELECT DISTINCT path FROM metrics
+       |  WHERE NOT regexp_matches(path, '${globToRegex(DeleteGlob)}')
+       |),
+       |sp AS (SELECT path, string_split(path, '.') AS p FROM paths),
+       |nodes AS (
+       |  SELECT array_to_string(p[1:CAST(d AS INT)], '.') AS node,
+       |         CAST(d AS INT) AS depth,
+       |         d = len(p) AS leaf
+       |  FROM sp, unnest(generate_series(1, len(p))) AS g(d)
+       |)
+       |SELECT node, max(depth) AS depth, max(leaf) AS leaf
+       |FROM nodes GROUP BY 1""".stripMargin
+
   def ops: Seq[Op] = Seq(
     Op("index_build", build, Some(buildSql)),
-    Op("index_glob", glob, Some(globSql))
+    Op("index_glob", glob, Some(globSql)),
+    Op("index_delete", delete, Some(deleteSql))
   )
 }

@@ -140,15 +140,20 @@ object TextOps {
 
   val FingerprintK = 8
 
-  /** Bottom-k sketch of char-5-gram hashes: the k smallest distinct 60-bit
-    * hashes, dash-joined ascending — a compact containment fingerprint
-    * (Broder's bottom-k minwise sketch over a rolling gram stream).
+  /** Bottom-k sketch of char-5-gram ROLLING POLYNOMIAL hashes: the k
+    * smallest distinct hashes, dash-joined ascending — Broder's bottom-k
+    * minwise containment fingerprint. The gram hash is
+    * sum(ascii(c_j) * 31^(4-j)) — pure integer arithmetic, an order of
+    * magnitude cheaper than a digest per gram and identical in both
+    * engines.
     */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        explode(expr("transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")).as("gram"))
-      .select(col("doc_id"), hash60(col("gram")).as("h"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, length(text) - 4), i ->
+          |  ascii(substring(text, i, 1)) * 923521 + ascii(substring(text, i + 1, 1)) * 29791 +
+          |  ascii(substring(text, i + 2, 1)) * 961 + ascii(substring(text, i + 3, 1)) * 31 +
+          |  ascii(substring(text, i + 4, 1)))""".stripMargin)).as("h"))
       .groupBy("doc_id") // collect_set dedups in the partial agg; one shuffle,
       .agg(expr(         // no separate distinct + window sort pass
         s"concat_ws('-', transform(slice(array_sort(collect_set(h)), 1, $FingerprintK), x -> cast(x AS STRING)))")
@@ -156,7 +161,12 @@ object TextOps {
 
   private val fingerprintSql: String =
     s"""WITH grams AS (
-       |  SELECT DISTINCT doc_id, ${hex2bigSql("md5(substr(text, CAST(i AS INT), 5))")} AS h
+       |  SELECT DISTINCT doc_id,
+       |         ascii(substr(text, CAST(i AS INT), 1)) * 923521
+       |         + ascii(substr(text, CAST(i + 1 AS INT), 1)) * 29791
+       |         + ascii(substr(text, CAST(i + 2 AS INT), 1)) * 961
+       |         + ascii(substr(text, CAST(i + 3 AS INT), 1)) * 31
+       |         + ascii(substr(text, CAST(i + 4 AS INT), 1)) AS h
        |  FROM documents, unnest(generate_series(1, length(text) - 4)) AS g(i)
        |),
        |ranked AS (
@@ -166,10 +176,82 @@ object TextOps {
        |SELECT doc_id, string_agg(CAST(h AS VARCHAR), '-' ORDER BY h) AS fingerprint
        |FROM ranked WHERE rn <= $FingerprintK GROUP BY doc_id""".stripMargin
 
+  // --------------------------------------------------------- sample_stratified
+
+  /** Deterministic stratified sampling — dataset mixing by per-stratum
+    * rates (the "2 epochs of wiki, 0.3 of crawl" knob of a training-data
+    * pipeline). The keep decision is a pure function of (doc_id), so the
+    * sample is reproducible under any partitioning or cluster size:
+    * hash60(doc_id) % 100 < rate[lang].
+    */
+  val SampleRates: Seq[(String, Int)] =
+    Seq("en" -> 80, "de" -> 50, "es" -> 50, "fr" -> 50, "zh" -> 20)
+
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val rate = SampleRates.tail.foldLeft(
+      when(col("lang") === SampleRates.head._1, SampleRates.head._2)) {
+      case (acc, (l, r)) => acc.when(col("lang") === l, r)
+    }.otherwise(0)
+    Tables.documents(spark, dir)
+      .withColumn("bucket", (hash60(col("doc_id").cast("string")) % 100).cast("int"))
+      .filter(col("bucket") < rate)
+      .select("doc_id", "lang", "source", "bucket")
+  }
+
+  private val sampleStratifiedSql: String = {
+    val rateCase = SampleRates.map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+    s"""WITH b AS (
+       |  SELECT doc_id, lang, source,
+       |         CAST(${hex2bigSql("md5(CAST(doc_id AS VARCHAR))")} % 100 AS INT) AS bucket
+       |  FROM documents
+       |)
+       |SELECT doc_id, lang, source, bucket FROM b
+       |WHERE bucket < CASE lang $rateCase ELSE 0 END""".stripMargin
+  }
+
+  // ------------------------------------------------------------ pack_sequences
+
+  /** Sequential context packing: documents (in doc_id order) fill fixed
+    * token-budget bins of 2048 — each doc is assigned the bin its first
+    * token lands in (running-sum fill). The canonical pre-training batch
+    * packer, expressed as one window cumsum (single shuffle at scale when
+    * ordered within partitions of a corpus shard).
+    */
+  val PackBudget = 2048L
+
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("running", sum("n_tok").over(w))
+      .select(col("doc_id"), col("n_tok"),
+        ((col("running") - col("n_tok")) / PackBudget).cast("long").as("bin"),
+        (col("running") - col("n_tok") - ((col("running") - col("n_tok")) / PackBudget).cast("long") * PackBudget).as("bin_offset"))
+  }
+
+  private val packSequencesSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents
+       |),
+       |r AS (
+       |  SELECT doc_id, n_tok,
+       |         sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok AS start_tok
+       |  FROM t
+       |)
+       |SELECT doc_id, n_tok,
+       |       CAST(start_tok // $PackBudget AS BIGINT) AS bin,
+       |       CAST(start_tok - (start_tok // $PackBudget) * $PackBudget AS BIGINT) AS bin_offset
+       |FROM r""".stripMargin
+
   def ops: Seq[Op] = Seq(
     Op("lang_id", langId, Some(langIdSql)),
     Op("text_quality", textQuality, Some(textQualitySql)),
     Op("token_count", tokenCount, Some(tokenCountSql)),
-    Op("doc_fingerprint", fingerprint, Some(fingerprintSql))
+    Op("doc_fingerprint", fingerprint, Some(fingerprintSql)),
+    Op("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
+    Op("pack_sequences", packSequences, Some(packSequencesSql))
   )
 }

@@ -149,11 +149,14 @@ object TextOps {
     */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      // char codes materialized ONCE per doc: per-char substring() on a long
+      // UTF8String is O(position), which makes the naive gram loop O(len^2)
+      .withColumn("cs", expr("transform(split(text, ''), c -> ascii(c))"))
       .select(col("doc_id"), explode(expr(
         """transform(sequence(1, length(text) - 4), i ->
-          |  ascii(substring(text, i, 1)) * 923521 + ascii(substring(text, i + 1, 1)) * 29791 +
-          |  ascii(substring(text, i + 2, 1)) * 961 + ascii(substring(text, i + 3, 1)) * 31 +
-          |  ascii(substring(text, i + 4, 1)))""".stripMargin)).as("h"))
+          |  element_at(cs, i) * 923521 + element_at(cs, i + 1) * 29791 +
+          |  element_at(cs, i + 2) * 961 + element_at(cs, i + 3) * 31 +
+          |  element_at(cs, i + 4))""".stripMargin)).as("h"))
       .groupBy("doc_id") // collect_set dedups in the partial agg; one shuffle,
       .agg(expr(         // no separate distinct + window sort pass
         s"concat_ws('-', transform(slice(array_sort(collect_set(h)), 1, $FingerprintK), x -> cast(x AS STRING)))")

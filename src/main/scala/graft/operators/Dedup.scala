@@ -77,9 +77,14 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val common = sh.as("a")
-      .join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+    // size-ratio prune at the join: J(A,B) >= t forces |A|/|B| in [t, 1/t],
+    // so pairs outside the band can be dropped BEFORE the pair-count
+    // aggregation without losing any qualifying pair (t = 0.8 -> 4:5).
+    val withN = sh.join(broadcast(sizes), "doc_id")
+    val common = withN.as("a")
+      .join(withN.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * 10 >= col("b.n") * 8 && col("b.n") * 10 >= col("a.n") * 8)
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("common"))
     common

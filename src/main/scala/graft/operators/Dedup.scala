@@ -195,15 +195,24 @@ object Dedup {
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val hashed = shingles(spark, dir).withColumn("hv", hash60(col("shingle")))
-    // all 60 bit-position counts in ONE aggregation pass (no 60x bit
-    // explode): per doc, c_j = how many shingle hashes have bit j set
-    val bitCols = (0 until SimhashBits).map(j =>
-      sum(expr(s"shiftright(hv, $j) & 1")).as(s"c$j"))
+    // all 60 bit-position counts in ONE aggregation pass, lane-packed:
+    // 4 counters of 15 bits per long (no cross-lane carry while every
+    // count < 32768 — i.e. docs under ~32k distinct shingles, far above
+    // the corpus ceiling), so the agg buffer is 15 longs instead of 60
+    val laneCols = (0 until SimhashBits / 4).map { g =>
+      val terms = (0 until 4).map { k =>
+        val j = g * 4 + k
+        s"shiftleft(shiftright(hv, $j) & 1, ${k * 15})"
+      }.mkString(" + ")
+      sum(expr(terms)).as(s"lane$g")
+    }
     val agg = hashed.groupBy("doc_id")
-      .agg(count(lit(1)).as("n"), bitCols: _*)
-    val shExpr = (0 until SimhashBits)
-      .map(j => s"CASE WHEN 2 * c$j > n THEN ${1L << j} ELSE CAST(0 AS BIGINT) END")
-      .mkString(" + ")
+      .agg(count(lit(1)).as("n"), laneCols: _*)
+    val shExpr = (0 until SimhashBits).map { j =>
+      val g = j / 4
+      val off = (j % 4) * 15
+      s"CASE WHEN 2 * (shiftright(lane$g, $off) & 32767) > n THEN ${1L << j} ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" + ")
     val sim = agg.select(col("doc_id"), expr(shExpr).as("sh"))
     val pieces = sim.select(col("doc_id"), col("sh"),
       explode(expr(s"transform(sequence(0, ${SimhashPieces - 1}), t -> named_struct('t', t, 'piece', shiftright(sh, t * 15) & 32767))")).as("pc"))

@@ -94,7 +94,52 @@ object Multimodal {
       "width", "height", "channels")
   }
 
+  /** Frame sampling for video blobs: a deterministic stub standing in for
+    * "decode container, sample N frames evenly" — duration and fps derive
+    * from the content, the sample grid is uniform in integer milliseconds.
+    * The real decoder replaces the duration/fps derivation only; the
+    * explode + grid shape (what a training pipeline joins against) is the
+    * operator.
+    */
+  val MaxFrames = 16
+
+  def frames(spark: SparkSession, dir: String): DataFrame =
+    meta(spark, dir)
+      .filter(col("media_kind") === "video")
+      .withColumn("duration_ms", (col("n_bytes") * 10 + 1000).cast("long"))
+      .withColumn("fps", (col("width") % 4 + 1).cast("long"))
+      .withColumn("n_frames",
+        least(expr("duration_ms * fps div 1000"), lit(MaxFrames.toLong)))
+      .select(col("doc_id"), col("duration_ms"), col("fps"),
+        explode(expr("sequence(0, n_frames - 1)")).as("frame_idx"),
+        col("n_frames"))
+      .select(col("doc_id"), col("duration_ms"), col("fps"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        (col("frame_idx") * expr("duration_ms div n_frames")).as("frame_ts_ms"))
+
+  private val framesSql: String =
+    s"""WITH blobs AS (
+       |  SELECT doc_id, text, encode(text) AS blob
+       |  FROM documents WHERE doc_id % 3 = 2
+       |),
+       |m AS (
+       |  SELECT doc_id,
+       |         CAST(octet_length(blob) * 10 + 1000 AS BIGINT) AS duration_ms,
+       |         CAST((${hex2bigSql("md5(text)")} % 1024 + 16) % 4 + 1 AS BIGINT) AS fps
+       |  FROM blobs
+       |),
+       |f AS (
+       |  SELECT doc_id, duration_ms, fps,
+       |         least(duration_ms * fps // 1000, $MaxFrames) AS n_frames
+       |  FROM m
+       |)
+       |SELECT doc_id, duration_ms, fps,
+       |       CAST(unnest(generate_series(0, n_frames - 1)) AS BIGINT) AS frame_idx,
+       |       CAST(unnest(generate_series(0, n_frames - 1)) * (duration_ms // n_frames) AS BIGINT) AS frame_ts_ms
+       |FROM f""".stripMargin
+
   def ops: Seq[Op] = Seq(
-    Op("multimodal_meta", meta, Some(metaSql))
+    Op("multimodal_meta", meta, Some(metaSql)),
+    Op("multimodal_frames", frames, Some(framesSql))
   )
 }

@@ -89,6 +89,70 @@ object Rollups {
     array(d.windows.map(w =>
       struct(lit(w.windowSec).as("w"), lit(w.table).as("tbl"))): _*)
 
+  // ------------------------------------------------- mergeable partial state
+
+  /** Mergeable rollup state: instead of the finalized `stat`, every
+    * (tbl, path, window) row carries the COMMUTATIVE state of all five
+    * methods (sum, count, max, min, last+lastkey). Two batches of the same
+    * stream — e.g. successive streaming flush cycles, or a backfill beside
+    * live ingest — can be [[merge]]d and then [[finalize]]d to exactly the
+    * result of a single pass. This is cassabon's accumulate-across-flushes
+    * contract (metricstore.go:25-43 applyMethod is associative per method)
+    * made explicit, and it's what makes window re-aggregation safe under
+    * arbitrary partitioning/retry at 100 TB.
+    */
+  def rollupsMergeable(spark: SparkSession, dir: String): DataFrame =
+    mergeableFrom(Tables.metrics(spark, dir))
+
+  def mergeableFrom(metrics: DataFrame): DataFrame = {
+    val m = metrics.withColumn("expr", exprKey(col("path")))
+    val winArms: Column = {
+      val ds = RollupConfig.reference
+      ds.tail.foldLeft(when(col("expr") === ds.head.key, winArray(ds.head))) {
+        (acc, d) => acc.when(col("expr") === d.key, winArray(d))
+      }
+    }
+    m.withColumn("win", explode(winArms))
+      .groupBy(
+        col("win.tbl").as("tbl"),
+        col("path"),
+        statTime(col("ts"), col("win.w")).as("stat_time"),
+        col("expr"))
+      .agg(
+        sum("value").as("s_sum"),
+        count(lit(1)).as("s_count"),
+        max("value").as("s_max"),
+        min("value").as("s_min"),
+        expr(s"max_by(value, ts * $LastKeyShift + event_id)").as("s_last"),
+        max(col("ts") * LastKeyShift + col("event_id")).as("s_lastkey"))
+  }
+
+  /** Combine two mergeable batches (same key space). */
+  def merge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("tbl", "path", "stat_time", "expr")
+      .agg(
+        sum("s_sum").as("s_sum"),
+        sum("s_count").as("s_count"),
+        max("s_max").as("s_max"),
+        min("s_min").as("s_min"),
+        expr("max_by(s_last, s_lastkey)").as("s_last"),
+        max("s_lastkey").as("s_lastkey"))
+
+  /** Mergeable state -> the finalized (tbl, path, stat_time, stat) rows —
+    * identical to [[rollups]] run in one pass.
+    */
+  def finalize(state: DataFrame): DataFrame =
+    state
+      .withColumn("method", methodOf(col("expr")))
+      .select(
+        col("tbl"), col("path"), col("stat_time"),
+        when(col("method") === "average", round(col("s_sum") / col("s_count"), 6))
+          .when(col("method") === "sum", round(col("s_sum"), 6))
+          .when(col("method") === "max", col("s_max"))
+          .when(col("method") === "min", col("s_min"))
+          .otherwise(col("s_last")).as("stat"))
+
   /** Single-method fixed-window rollup over the whole stream (the
     * method-isolation queries: one per RollupMethod, 60 s windows).
     */

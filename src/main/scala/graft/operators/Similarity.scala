@@ -167,8 +167,88 @@ object Similarity {
        |FROM ranked WHERE rank <= $TopK""".stripMargin
   }
 
+  // ------------------------------------------------------------ IVF variant
+
+  val CentroidMod = 125 // coarse quantizer: every 125th vector is a centroid
+  val NProbe = 2
+
+  /** IVF-flat ANN: a deterministic coarse quantizer (every 125th vector
+    * serves as a centroid — a k-means iteration would slot in here
+    * unchanged), inverted lists by nearest centroid, probes scan only
+    * their `NProbe` nearest lists, exact cosine re-rank inside. At 100 TB
+    * the inverted lists are the partition layout: a probe touches
+    * NProbe/centroids of the corpus.
+    */
+  def ivf(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = fixedVecs(spark, dir)
+    val cents = vecs.filter(col("vec_id") % CentroidMod === 1)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+
+    def nearestCentroids(side: DataFrame, idCol: String, keep: Int): DataFrame =
+      side.crossJoin(broadcast(cents))
+        .withColumn("cdot",
+          expr("aggregate(zip_with(v, cv, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+        .withColumn("ccos", col("cdot") / (sqrt(col("nrm")) * sqrt(col("cn"))))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy(idCol).orderBy(col("ccos").desc, col("c_id"))))
+        .filter(col("crn") <= keep)
+
+    val assigned = nearestCentroids(vecs, "vec_id", 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id"))
+    val probes = vecs.filter(col("vec_id") % ProbeMod === 0)
+    val probeLists = nearestCentroids(probes, "vec_id", NProbe)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"), col("c_id"))
+
+    val cands = assigned.join(broadcast(probeLists), Seq("c_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(v, qv, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .withColumn("cos", col("dot") / (sqrt(col("nrm")) * sqrt(col("qn"))))
+    cands
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), round(col("cos"), 6).as("cosine"))
+  }
+
+  private val ivfSql: String =
+    s"""WITH $fixedVecsCtes,
+       |cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM nv WHERE vec_id % $CentroidMod = 1),
+       |cdist AS (
+       |  SELECT n.vec_id, n.v, n.nrm, c.c_id,
+       |         CAST(list_sum([n.v[i] * c.cv[i] for i in generate_series(1, len(n.v))]) AS BIGINT)
+       |           / (sqrt(n.nrm) * sqrt(c.cn)) AS ccos
+       |  FROM nv n CROSS JOIN cents c
+       |),
+       |ranked_c AS (
+       |  SELECT vec_id, v, nrm, c_id,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS crn
+       |  FROM cdist
+       |),
+       |assigned AS (SELECT vec_id, v, nrm, c_id FROM ranked_c WHERE crn = 1),
+       |probe_lists AS (
+       |  SELECT vec_id AS q_id, v AS qv, nrm AS qn, c_id
+       |  FROM ranked_c WHERE vec_id % $ProbeMod = 0 AND crn <= $NProbe
+       |),
+       |cands AS (
+       |  SELECT p.q_id, a.vec_id,
+       |         CAST(list_sum([a.v[i] * p.qv[i] for i in generate_series(1, len(a.v))]) AS BIGINT) AS dot,
+       |         a.nrm, p.qn
+       |  FROM assigned a JOIN probe_lists p ON a.c_id = p.c_id AND a.vec_id <> p.q_id
+       |),
+       |ranked AS (
+       |  SELECT q_id, vec_id, dot / (sqrt(nrm) * sqrt(qn)) AS cos,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY dot / (sqrt(nrm) * sqrt(qn)) DESC, vec_id) AS rank
+       |  FROM cands
+       |)
+       |SELECT q_id AS query_id, vec_id AS neighbor_id, CAST(rank AS INT) AS rank,
+       |       round(cos, 6) AS cosine
+       |FROM ranked WHERE rank <= $TopK""".stripMargin
+
   def ops: Seq[Op] = Seq(
     Op("ann_cosine_topk", cosineTopK, Some(cosineTopKSql)),
-    Op("ann_lsh_bucketed", lshBucketed, Some(lshBucketedSql))
+    Op("ann_lsh_bucketed", lshBucketed, Some(lshBucketedSql)),
+    Op("ann_ivf", ivf, Some(ivfSql))
   )
 }

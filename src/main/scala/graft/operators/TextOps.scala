@@ -234,6 +234,25 @@ object TextOps {
         (col("running") - col("n_tok") - ((col("running") - col("n_tok")) / PackBudget).cast("long") * PackBudget).as("bin_offset"))
   }
 
+  /** The distributed form of [[packSequences]]: documents pack within
+    * doc_id shards of `shardSize`, each shard filling its own bin space
+    * (bin ids namespaced by shard). The global-window version is the
+    * oracle-checked spec; THIS is what runs at 100 TB — the window
+    * partitions by shard, so the cumsum never funnels through one task.
+    */
+  def packSequencesSharded(spark: SparkSession, dir: String, shardSize: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("shard", expr(s"doc_id div $shardSize"))
+      .withColumn("running", sum("n_tok").over(w))
+      .select(col("doc_id"), col("n_tok"), col("shard"),
+        ((col("running") - col("n_tok")) / PackBudget).cast("long").as("shard_bin"),
+        (col("running") - col("n_tok") - ((col("running") - col("n_tok")) / PackBudget).cast("long") * PackBudget).as("bin_offset"))
+  }
+
   private val packSequencesSql: String =
     s"""WITH t AS (
        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok

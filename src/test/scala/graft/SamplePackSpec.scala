@@ -48,4 +48,21 @@ class SamplePackSpec extends AnyFunSuite with TestSpark {
       running += n
     }
   }
+
+  test("sharded packing: each shard's packing equals the global algorithm run on that shard") {
+    val shardSize = 100L
+    val sharded = TextOps.packSequencesSharded(spark, Sf, shardSize).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(sharded.nonEmpty)
+    assert(sharded.map(_._3).distinct.length > 1, "fixture must span multiple shards")
+    sharded.groupBy(_._3).foreach { case (_, rows) =>
+      var running = 0L
+      rows.sortBy(_._1).foreach { case (_, n, _, bin, off) =>
+        assert(bin === running / TextOps.PackBudget)
+        assert(off === running % TextOps.PackBudget)
+        running += n
+      }
+    }
+  }
 }

@@ -164,6 +164,28 @@ object Analytics {
        |  AND o_orderdate < TIMESTAMP '${Q5Year.toInt + 1}-01-01'
        |GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q6_revenue
+
+  /** Forecast-revenue-change (TPC-H Q6 shape): pure scan-filter-aggregate,
+    * the lower bound for single-pass throughput — every predicate reaches
+    * the parquet scan, result is one row.
+    */
+  def q6Revenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(expr(
+        """l_shipdate >= timestamp '1996-01-01' AND l_shipdate < timestamp '1997-01-01'
+          |AND l_discount >= 0.03 AND l_discount <= 0.05 AND l_quantity < 24""".stripMargin))
+      .agg(sum(expr(s"$centsL * $discPctL")).as("rev_fp"),
+        count(lit(1)).as("n_items"))
+      .select((col("rev_fp") / 10000.0).as("revenue"), col("n_items"))
+
+  private val q6Sql: String =
+    s"""SELECT CAST(sum($centsL * $discPctL) AS BIGINT) / 10000.0 AS revenue,
+       |       CAST(count(*) AS BIGINT) AS n_items
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+       |  AND l_discount >= 0.03 AND l_discount <= 0.05 AND l_quantity < 24""".stripMargin
+
   // ---------------------------------------------------------------- sessionize
 
   val SessionGapSec = 1800L
@@ -278,6 +300,7 @@ object Analytics {
     Op("q3_shipping", q3Shipping, Some(q3Sql)),
     Op("q5_region", q5Region, Some(q5Sql)),
     Op("q14_promo", q14Promo, Some(q14Sql)),
+    Op("q6_revenue", q6Revenue, Some(q6Sql)),
     Op("sessionize", sessionize, Some(sessionizeSql)),
     Op("event_props", eventProps, Some(eventPropsSql))
   )

@@ -136,9 +136,47 @@ object Carbon {
        |       CAST(count(*) AS BIGINT) AS points
        |FROM hashed GROUP BY 1""".stripMargin
 
+  /** Latency-style percentiles per metric family — the p50/p95/p99 view a
+    * metrics engine serves beside rollups. Spark's exact `percentile` and
+    * DuckDB's `quantile_cont` share the linear-interpolation definition.
+    */
+  def valueQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        expr("round(percentile(value, 0.5), 6)").as("p50"),
+        expr("round(percentile(value, 0.95), 6)").as("p95"),
+        expr("round(percentile(value, 0.99), 6)").as("p99"),
+        count(lit(1)).as("n"))
+
+  private val valueQuantilesSql: String =
+    """SELECT event_type,
+      |       round(quantile_cont(value, 0.5), 6) AS p50,
+      |       round(quantile_cont(value, 0.95), 6) AS p95,
+      |       round(quantile_cont(value, 0.99), 6) AS p99,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** Heavy hitters: the highest-volume paths (statsd `path.count` made
+    * queryable). Deterministic limit via (points desc, path asc).
+    */
+  def topPaths(spark: SparkSession, dir: String): DataFrame =
+    Tables.metrics(spark, dir)
+      .groupBy("path").agg(count(lit(1)).as("points"))
+      .orderBy(col("points").desc, col("path"))
+      .limit(10)
+
+  private val topPathsSql: String =
+    s"""WITH ${Tables.metricsSql}
+       |SELECT path, CAST(count(*) AS BIGINT) AS points
+       |FROM metrics GROUP BY 1
+       |ORDER BY points DESC, path LIMIT 10""".stripMargin
+
   def ops: Seq[Op] = Seq(
     Op("carbon_parse", parse, Some(parseSql)),
     Op("carbon_receive_stats", receiveStats, Some(receiveStatsSql)),
-    Op("peer_route", peerRoute, Some(peerRouteSql))
+    Op("peer_route", peerRoute, Some(peerRouteSql)),
+    Op("value_quantiles", valueQuantiles, Some(valueQuantilesSql)),
+    Op("top_paths", topPaths, Some(topPathsSql))
   )
 }

@@ -285,7 +285,49 @@ object Rollups {
        |FROM ret r LEFT JOIN counts c ON r.tbl = c.tbl""".stripMargin
   }
 
+  /** Graphite's `derivative`/`perSecond` over a metric series: per-path
+    * rate of change between consecutive points (arrival order =
+    * (ts, event_id); same-second pairs yield null rather than a divide).
+    */
+  def seriesDerivative(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("path").orderBy("ts", "event_id")
+    Tables.metrics(spark, dir)
+      .withColumn("prev_v", lag("value", 1).over(w))
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .select(col("path"), col("ts"), col("event_id"),
+        round((col("value") - col("prev_v")) /
+          when(col("ts") =!= col("prev_ts"), col("ts") - col("prev_ts")), 6)
+          .as("rate"))
+  }
+
+  private val seriesDerivativeSql: String =
+    s"""WITH ${Tables.metricsSql}
+       |SELECT path, ts, event_id,
+       |       round((value - lag(value) OVER w)
+       |             / nullif(ts - lag(ts) OVER w, 0), 6) AS rate
+       |FROM metrics
+       |WINDOW w AS (PARTITION BY path ORDER BY ts, event_id)""".stripMargin
+
+  /** Graphite's `movingAverage(series, 5)`: trailing 5-point mean per path. */
+  def seriesMovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("path").orderBy("ts", "event_id").rowsBetween(-4, 0)
+    Tables.metrics(spark, dir)
+      .select(col("path"), col("ts"), col("event_id"),
+        round(avg("value").over(w), 6).as("moving_avg"))
+  }
+
+  private val seriesMovingAvgSql: String =
+    s"""WITH ${Tables.metricsSql}
+       |SELECT path, ts, event_id,
+       |       round(avg(value) OVER (PARTITION BY path ORDER BY ts, event_id
+       |                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS moving_avg
+       |FROM metrics""".stripMargin
+
   def ops: Seq[Op] = Seq(
+    Op("series_derivative", seriesDerivative, Some(seriesDerivativeSql)),
+    Op("series_moving_avg", seriesMovingAvg, Some(seriesMovingAvgSql)),
     Op("rollup_avg",  singleMethod(RollupMethod.Average), Some(singleMethodSql(RollupMethod.Average))),
     Op("rollup_sum",  singleMethod(RollupMethod.Sum),     Some(singleMethodSql(RollupMethod.Sum))),
     Op("rollup_max",  singleMethod(RollupMethod.Max),     Some(singleMethodSql(RollupMethod.Max))),

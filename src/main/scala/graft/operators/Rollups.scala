@@ -292,21 +292,26 @@ object Rollups {
   def seriesDerivative(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("path").orderBy("ts", "event_id")
+    // values are 2-decimal: deltas in exact integer cents, so the rate is
+    // ONE IEEE division — bit-identical across engines, no rounding (a
+    // round(x, 6) here hits half-boundary ulp flips ~1 in 10^6 rows)
     Tables.metrics(spark, dir)
-      .withColumn("prev_v", lag("value", 1).over(w))
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .withColumn("prev_c", lag("cents", 1).over(w))
       .withColumn("prev_ts", lag("ts", 1).over(w))
       .select(col("path"), col("ts"), col("event_id"),
-        round((col("value") - col("prev_v")) /
-          when(col("ts") =!= col("prev_ts"), col("ts") - col("prev_ts")), 6)
+        ((col("cents") - col("prev_c")) /
+          when(col("ts") =!= col("prev_ts"), (col("ts") - col("prev_ts")) * 100))
           .as("rate"))
   }
 
   private val seriesDerivativeSql: String =
-    s"""WITH ${Tables.metricsSql}
+    s"""WITH ${Tables.metricsSql},
+       |c AS (SELECT path, ts, event_id, CAST(round(value * 100) AS BIGINT) AS cents FROM metrics)
        |SELECT path, ts, event_id,
-       |       round((value - lag(value) OVER w)
-       |             / nullif(ts - lag(ts) OVER w, 0), 6) AS rate
-       |FROM metrics
+       |       (cents - lag(cents) OVER w)
+       |         / nullif((ts - lag(ts) OVER w) * 100, 0) AS rate
+       |FROM c
        |WINDOW w AS (PARTITION BY path ORDER BY ts, event_id)""".stripMargin
 
   /** Graphite's `movingAverage(series, 5)`: trailing 5-point mean per path. */

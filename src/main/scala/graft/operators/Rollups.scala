@@ -62,7 +62,8 @@ object Rollups {
         (acc, d) => acc.when(col("expr") === d.key, winArray(d))
       }
     }
-    m.withColumn("win", explode(winArms))
+    m.withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .withColumn("win", explode(winArms))
       .groupBy(
         col("win.tbl").as("tbl"),
         col("path"),
@@ -70,16 +71,16 @@ object Rollups {
         col("expr")) // functionally determined by path; grouping on it (vs
                      // first()) keeps the aggregate hash-based
       .agg(
-        avg("value").as("a_avg"),
-        sum("value").as("a_sum"),
+        sum("cents").as("a_cents"), // exact int: avg/sum become one division
+        count(lit(1)).as("a_n"),
         max("value").as("a_max"),
         min("value").as("a_min"),
         expr(s"max_by(value, ts * $LastKeyShift + event_id)").as("a_last"))
       .withColumn("method", methodOf(col("expr")))
       .select(
         col("tbl"), col("path"), col("stat_time"),
-        when(col("method") === "average", round(col("a_avg"), 6))
-          .when(col("method") === "sum", round(col("a_sum"), 6))
+        when(col("method") === "average", col("a_cents") / (lit(100.0) * col("a_n")))
+          .when(col("method") === "sum", col("a_cents") / 100.0)
           .when(col("method") === "max", col("a_max"))
           .when(col("method") === "min", col("a_min"))
           .otherwise(col("a_last")).as("stat"))
@@ -119,7 +120,7 @@ object Rollups {
         statTime(col("ts"), col("win.w")).as("stat_time"),
         col("expr"))
       .agg(
-        sum("value").as("s_sum"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("s_cents"),
         count(lit(1)).as("s_count"),
         max("value").as("s_max"),
         min("value").as("s_min"),
@@ -132,7 +133,7 @@ object Rollups {
     a.unionByName(b)
       .groupBy("tbl", "path", "stat_time", "expr")
       .agg(
-        sum("s_sum").as("s_sum"),
+        sum("s_cents").as("s_cents"),
         sum("s_count").as("s_count"),
         max("s_max").as("s_max"),
         min("s_min").as("s_min"),
@@ -147,8 +148,8 @@ object Rollups {
       .withColumn("method", methodOf(col("expr")))
       .select(
         col("tbl"), col("path"), col("stat_time"),
-        when(col("method") === "average", round(col("s_sum") / col("s_count"), 6))
-          .when(col("method") === "sum", round(col("s_sum"), 6))
+        when(col("method") === "average", col("s_cents") / (lit(100.0) * col("s_count")))
+          .when(col("method") === "sum", col("s_cents") / 100.0)
           .when(col("method") === "max", col("s_max"))
           .when(col("method") === "min", col("s_min"))
           .otherwise(col("s_last")).as("stat"))
@@ -157,11 +158,17 @@ object Rollups {
     * method-isolation queries: one per RollupMethod, 60 s windows).
     */
   def singleMethod(method: RollupMethod)(spark: SparkSession, dir: String): DataFrame = {
+    // values are 2-decimal: sums/averages in exact integer cents, finished
+    // by one IEEE division — deterministic under any partitioning/engine
+    // (round(float-sum, 6) risks half-boundary ulp flips across engines)
     val m = Tables.metrics(spark, dir)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
     val grouped = m.groupBy(col("path"), statTime(col("ts"), lit(60L)).as("stat_time"))
     method match {
-      case RollupMethod.Average => grouped.agg(round(avg("value"), 6).as("stat"))
-      case RollupMethod.Sum     => grouped.agg(round(sum("value"), 6).as("stat"))
+      case RollupMethod.Average =>
+        grouped.agg((sum("cents") / (lit(100.0) * count(lit(1)))).as("stat"))
+      case RollupMethod.Sum =>
+        grouped.agg((sum("cents") / 100.0).as("stat"))
       case RollupMethod.Max     => grouped.agg(max("value").as("stat"))
       case RollupMethod.Min     => grouped.agg(min("value").as("stat"))
       case RollupMethod.Last =>
@@ -228,7 +235,8 @@ object Rollups {
        |arms(expr, method, w, tbl) AS (VALUES $armRows),
        |agg AS (
        |  SELECT a.tbl, d.path, d.ts - d.ts % a.w + a.w AS stat_time, a.method,
-       |         avg(d.value) AS a_avg, sum(d.value) AS a_sum,
+       |         CAST(sum(CAST(round(d.value * 100) AS BIGINT)) AS BIGINT) AS a_cents,
+       |         CAST(count(*) AS BIGINT) AS a_n,
        |         max(d.value) AS a_max, min(d.value) AS a_min,
        |         arg_max(d.value, d.ts * $LastKeyShift + d.event_id) AS a_last
        |  FROM dispatched d JOIN arms a USING (expr)
@@ -236,8 +244,8 @@ object Rollups {
        |),
        |rollups AS (
        |  SELECT tbl, path, stat_time,
-       |         CASE method WHEN 'average' THEN round(a_avg, 6)
-       |                     WHEN 'sum' THEN round(a_sum, 6)
+       |         CASE method WHEN 'average' THEN a_cents / (100.0 * a_n)
+       |                     WHEN 'sum' THEN a_cents / 100.0
        |                     WHEN 'max' THEN a_max
        |                     WHEN 'min' THEN a_min
        |                     ELSE a_last END AS stat
@@ -247,15 +255,16 @@ object Rollups {
 
   private def singleMethodSql(method: RollupMethod): String = {
     val statSql = method match {
-      case RollupMethod.Average => "round(avg(value), 6)"
-      case RollupMethod.Sum     => "round(sum(value), 6)"
+      case RollupMethod.Average => "CAST(sum(cents) AS BIGINT) / (100.0 * count(*))"
+      case RollupMethod.Sum     => "CAST(sum(cents) AS BIGINT) / 100.0"
       case RollupMethod.Max     => "max(value)"
       case RollupMethod.Min     => "min(value)"
       case RollupMethod.Last    => s"arg_max(value, ts * $LastKeyShift + event_id)"
     }
-    s"""WITH ${Tables.metricsSql}
+    s"""WITH ${Tables.metricsSql},
+       |c AS (SELECT *, CAST(round(value * 100) AS BIGINT) AS cents FROM metrics)
        |SELECT path, ts - ts % 60 + 60 AS stat_time, $statSql AS stat
-       |FROM metrics GROUP BY 1, 2""".stripMargin
+       |FROM c GROUP BY 1, 2""".stripMargin
   }
 
   private val dispatchSql: String =

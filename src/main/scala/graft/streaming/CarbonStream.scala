@@ -44,13 +44,18 @@ object CarbonStream {
     * `update`/`append` callers add a watermark; complete-mode callers don't.
     */
   def windowedRollup(metrics: DataFrame, watermark: Option[String] = None): DataFrame = {
-    val t = metrics.withColumn("tts", timestamp_seconds(col("ts")))
+    // averages in exact integer cents (values are 2-decimal), one division:
+    // deterministic across engines/partitionings — same policy as the batch
+    // rollups (see operators/Rollups.scala)
+    val t = metrics
+      .withColumn("tts", timestamp_seconds(col("ts")))
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
     watermark.fold(t)(w => t.withWatermark("tts", w))
       .groupBy(col("path"), window(col("tts"), "60 seconds").as("w"))
-      .agg(avg("value").as("raw_stat"))
+      .agg(sum("cents").as("cs"), count(lit(1)).as("n"))
       .select(col("path"),
         unix_timestamp(col("w.end")).as("stat_time"),
-        round(col("raw_stat"), 6).as("stat"))
+        (col("cs") / (lit(100.0) * col("n"))).as("stat"))
   }
 
   /** Run the streaming rollup over the events fixture (file source, memory
@@ -81,9 +86,11 @@ object CarbonStream {
     * complete mode must equal the batch aggregation.
     */
   private val rollupSql: String =
-    s"""WITH ${Tables.metricsSql}
-       |SELECT path, ts - ts % 60 + 60 AS stat_time, round(avg(value), 6) AS stat
-       |FROM metrics GROUP BY 1, 2""".stripMargin
+    s"""WITH ${Tables.metricsSql},
+       |c AS (SELECT *, CAST(round(value * 100) AS BIGINT) AS cents FROM metrics)
+       |SELECT path, ts - ts % 60 + 60 AS stat_time,
+       |       CAST(sum(cents) AS BIGINT) / (100.0 * count(*)) AS stat
+       |FROM c GROUP BY 1, 2""".stripMargin
 
   def ops: Seq[Op] = Seq(
     Op("stream_rollup", rollupQuery, Some(rollupSql))

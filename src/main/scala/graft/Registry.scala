@@ -18,6 +18,7 @@ object Registry {
       graft.operators.Carbon.ops ++
       graft.operators.Index.ops ++
       graft.operators.MetricQuery.ops ++
+      graft.operators.OpsStats.ops ++
       graft.operators.Dedup.ops ++
       graft.operators.TextOps.ops ++
       graft.operators.Similarity.ops ++

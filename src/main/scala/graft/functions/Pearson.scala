@@ -46,16 +46,50 @@ object Pearson {
     out
   }
 
-  /** DuckDB rendering of hash8 (for oracle SQL): same table, same fold. */
+  /** DuckDB rendering of hash8 (for oracle SQL): same table, same fold.
+    *
+    * PRECONDITION: ASCII input — `ascii()` yields Unicode code points while
+    * [[hash8]] folds UTF-8 bytes, so the two agree only on single-byte
+    * characters (true for every carbon path this engine generates; carbon
+    * path names are ASCII by protocol). The empty string is special-cased
+    * to 0 to match hash8/the Go reference (the bare list_reduce would
+    * otherwise fold the seed row alone and yield T[0]).
+    */
   def hash8Sql(col: String): String = {
     val tl = T.mkString("[", ",", "]")
-    s"""list_reduce(
+    s"""CASE WHEN len($col) = 0 THEN 0 ELSE list_reduce(
        |  list_concat(
        |    [list_extract($tl, ascii(substr($col, 1, 1)) + 1)],
        |    [ascii(substr($col, i, 1)) for i in generate_series(2, len($col))]
        |  ),
        |  (h, c) -> list_extract($tl, xor(h, c) + 1)
-       |)""".stripMargin
+       |) END""".stripMargin
+  }
+
+  /** DuckDB rendering of [[hash64]] (same ASCII/empty-string handling):
+    * each of the 8 segment-seeded folds is an independent list_reduce —
+    * seed `T[(c0 + seg) % 256]`, same per-byte fold — packed big-endian by
+    * HUGEINT arithmetic (the full 64-bit pattern overflows a signed BIGINT
+    * halfway through the shifts) and wrapped back to Spark's signed Long
+    * via `((x + 2^63) % 2^64) - 2^63`.
+    */
+  def hash64Sql(col: String): String = {
+    val tl = T.mkString("[", ",", "]")
+    def seg(j: Int): String =
+      s"""list_reduce(
+         |  list_concat(
+         |    [list_extract($tl, (ascii(substr($col, 1, 1)) + $j) % 256 + 1)],
+         |    [ascii(substr($col, i, 1)) for i in generate_series(2, len($col))]
+         |  ),
+         |  (h, c) -> list_extract($tl, xor(h, c) + 1)
+         |)""".stripMargin
+    val packed = (0 until 8)
+      .map(j => s"CAST(${seg(j)} AS HUGEINT) * ${java.math.BigInteger.ONE.shiftLeft(8 * (7 - j))}")
+      .mkString("(", "\n + ", ")")
+    s"""CASE WHEN len($col) = 0 THEN 0 ELSE CAST(
+       |  ($packed + CAST(9223372036854775808 AS HUGEINT)) % CAST(18446744073709551616 AS HUGEINT)
+       |    - CAST(9223372036854775808 AS HUGEINT)
+       |AS BIGINT) END""".stripMargin
   }
 
   /** Register `pearson_hash8` / `pearson_hash64` as SQL functions on an

@@ -75,7 +75,20 @@ object RollupConfig {
   /** The tiebreak key for LAST rollups: batch has no arrival order, so the
     * engine defines it as (ts, event_id) lexicographic, packed into one
     * bigint so both Spark (`max_by`) and the DuckDB oracle (`arg_max`)
-    * order identically. 2^24 > event_id for every shipped scale factor.
+    * order identically. Shift = 2^31: epoch-second ts stays < 2^32 until
+    * 2106, so `ts * 2^31 + event_id` fits a signed 64-bit key for any
+    * event_id < 2^31 (~2.1e9 rows/batch).
     */
-  val LastKeyShift = 16777216L
+  val LastKeyShift = 2147483648L
+
+  /** Spark-side LAST key WITH the overflow guard: `assert_true` fails the
+    * job loudly the moment an event_id would bleed into the ts bits and
+    * silently corrupt the ordering (it returns NULL when the bound holds,
+    * so the coalesce is a no-op on the happy path and the whole expression
+    * stays inside whole-stage codegen). The DuckDB oracle uses the bare
+    * key — it is the checker, not the checked.
+    */
+  val lastKeyGuarded: String =
+    s"ts * $LastKeyShift + coalesce(assert_true(event_id < $LastKeyShift, " +
+      s"'event_id >= $LastKeyShift overflows the LAST tiebreak key'), event_id)"
 }

@@ -54,12 +54,18 @@ object Tables {
 
   /** DuckDB-side rendering of [[metrics]], kept adjacent so the two can never
     * drift. Referenced as a CTE by every core-surface oracle query.
+    *
+    * Seconds are derived in INTEGER nanoseconds (`epoch_ns // 1e9`), mirroring
+    * Spark's exact `ts DIV 1000000000`: the float `epoch()` route rounds a
+    * nanosecond fraction within one double ULP (~2.4e-7 at current epochs) of
+    * the next second UP before floor — a ~1e-7/row divergence that larger
+    * scale factors would eventually hit.
     */
   val metricsSql: String =
     """metrics AS (
       |  SELECT 'servers.' || event_type || '.u' || CAST(user_id % 8 AS VARCHAR) AS path,
       |         value,
-      |         CAST(floor(epoch(ts)) AS BIGINT) AS ts,
+      |         epoch_ns(ts) // 1000000000 AS ts,
       |         event_id
       |  FROM events
       |)""".stripMargin

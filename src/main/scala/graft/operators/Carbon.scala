@@ -23,6 +23,13 @@ object Carbon {
   /** `path value ts` lines with deterministic corruption:
     * id%17==0 → missing timestamp field; id%13==0 → bad value;
     * id%19==0 → bad timestamp (carbon_plaintext.go:219-243 rejects each).
+    *
+    * PRECONDITION on the `%.3f` renderings: fixture values are 2-decimal by
+    * construction, so the 3rd decimal is exact and no rounding happens —
+    * Spark's format_string (Java, HALF_UP) and DuckDB's printf (C,
+    * round-half-even) would disagree on values needing a round at the 4th
+    * decimal. Formatting from the exact cents representation would lift the
+    * precondition if the fixture ever gains full-precision values.
     */
   private def lines(spark: SparkSession, dir: String): DataFrame =
     Tables.metrics(spark, dir).select(
@@ -136,6 +143,36 @@ object Carbon {
        |       CAST(count(*) AS BIGINT) AS points
        |FROM hashed GROUP BY 1""".stripMargin
 
+  /** The 64-bit variant of the placement contract: `pearson_hash64(path)`
+    * (reference pearson/pearson.go:44-59 — 8 segment-seeded 8-bit hashes
+    * packed big-endian) spread over a wider shard ring. Cassabon keeps
+    * hash64 for keyspaces where 256 buckets alias too much; the query is
+    * the same balance check as [[peerRoute]] on the wider ring, exercising
+    * the codegen'd [[graft.functions.PearsonHash64]] end-to-end against a
+    * full DuckDB oracle. `pmod` (not `%`) because the packed hash is a
+    * SIGNED 64-bit value.
+    */
+  val ShardCount = 16
+
+  def peerRoute64(spark: SparkSession, dir: String): DataFrame = {
+    Pearson.register(spark)
+    Tables.metrics(spark, dir)
+      .withColumn("shard", expr(s"pmod(pearson_hash64(path), $ShardCount)"))
+      .groupBy("shard")
+      .agg(countDistinct("path").as("paths"), count(lit(1)).as("points"))
+  }
+
+  private val peerRoute64Sql: String =
+    s"""WITH ${Tables.metricsSql},
+       |hashed AS (
+       |  SELECT path, ((${Pearson.hash64Sql("path")}) % $ShardCount + $ShardCount) % $ShardCount AS shard
+       |  FROM metrics
+       |)
+       |SELECT CAST(shard AS BIGINT) AS shard,
+       |       CAST(count(DISTINCT path) AS BIGINT) AS paths,
+       |       CAST(count(*) AS BIGINT) AS points
+       |FROM hashed GROUP BY 1""".stripMargin
+
   /** Latency-style percentiles per metric family — the p50/p95/p99 view a
     * metrics engine serves beside rollups. Spark's exact `percentile` and
     * DuckDB's `quantile_cont` share the linear-interpolation definition.
@@ -176,6 +213,7 @@ object Carbon {
     Op("carbon_parse", parse, Some(parseSql)),
     Op("carbon_receive_stats", receiveStats, Some(receiveStatsSql)),
     Op("peer_route", peerRoute, Some(peerRouteSql)),
+    Op("peer_route64", peerRoute64, Some(peerRoute64Sql)),
     Op("value_quantiles", valueQuantiles, Some(valueQuantilesSql)),
     Op("top_paths", topPaths, Some(topPathsSql))
   )

@@ -16,9 +16,14 @@ import graft.model.Tables
   */
 object Index {
 
-  /** All prefix nodes: (node, depth, leaf). A node is a leaf iff some full
-    * path equals it (indexmanager.go:225-236: isLeaf=true for the full path,
-    * false for every shorter prefix; a node seen both ways stays a leaf).
+  /** All prefix nodes: (node, depth, tenant, leaf) — the reference's index
+    * document shape (indexmanager.go:219-224 IndexResponse). A node is a
+    * leaf iff some full path equals it (indexmanager.go:225-236:
+    * isLeaf=true for the full path, false for every shorter prefix; a node
+    * seen both ways stays a leaf). `tenant` is the multi-tenancy dimension;
+    * the reference populates it as "" on every PUT (indexmanager.go:241-245)
+    * — single-tenant — and this engine mirrors that, keeping the column so
+    * a multi-tenant deployment only swaps the literal for a real source.
     */
   def build(spark: SparkSession, dir: String): DataFrame =
     Tables.metrics(spark, dir)
@@ -31,6 +36,7 @@ object Index {
         (col("depth") === size(col("p"))).as("leaf"))
       .groupBy("node")
       .agg(max("depth").as("depth"), max("leaf").as("leaf"))
+      .withColumn("tenant", lit(""))
 
   private val buildCtes: String =
     s"""${Tables.metricsSql},
@@ -43,7 +49,7 @@ object Index {
        |  FROM sp, unnest(generate_series(1, len(p))) AS g(d)
        |),
        |index_nodes AS (
-       |  SELECT node, max(depth) AS depth, max(leaf) AS leaf
+       |  SELECT node, max(depth) AS depth, max(leaf) AS leaf, '' AS tenant
        |  FROM nodes GROUP BY 1
        |)""".stripMargin
 
@@ -91,6 +97,7 @@ object Index {
         (col("depth") === size(col("p"))).as("leaf"))
       .groupBy("node")
       .agg(max("depth").as("depth"), max("leaf").as("leaf"))
+      .withColumn("tenant", lit(""))
 
   private val deleteSql: String =
     s"""WITH ${Tables.metricsSql},
@@ -105,7 +112,7 @@ object Index {
        |         d = len(p) AS leaf
        |  FROM sp, unnest(generate_series(1, len(p))) AS g(d)
        |)
-       |SELECT node, max(depth) AS depth, max(leaf) AS leaf
+       |SELECT node, max(depth) AS depth, max(leaf) AS leaf, '' AS tenant
        |FROM nodes GROUP BY 1""".stripMargin
 
   def ops: Seq[Op] = Seq(

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Op
+import graft.model.Tables
+
+/** Write-side operational stats — the statsd emissions of a full
+  * accumulate → flush → write cycle, made queryable (the view a cassabon
+  * operator's dashboard is built from).
+  *
+  * Reference semantics:
+  *  - `metricmgr.db.insert` is incremented by the batch's statement count on
+  *    every successful batch write (datastore/metricmanager.go:221), so its
+  *    total equals the number of rows in the rollup write set.
+  *  - `metricmgr.db.retry` counts failed batch writes sent back to the queue
+  *    (metricmanager.go:213); with no injected failures the deterministic
+  *    total is 0 — the row exists so the counter is part of the contract.
+  *  - `path.count` is a gauge of distinct paths seen, reported at each flush
+  *    (datastore/metricstore.go:89).
+  *  - `metricmgr.db.batches` is this engine's visibility addition: how many
+  *    Cassandra batches the write set becomes. The reference's batchWriter
+  *    opens a batch per (expression, window, stat_time) flush group and
+  *    flushes every `cassandra.batchsize` statements
+  *    (datastore/batchwriter.go:43-52, datastore/metricstore.go:120-153;
+  *    config/cassabon.yaml.template:50 ships batchsize=2), so the count is
+  *    sum over groups of ceil(rows / batchsize).
+  *
+  * Scale posture: everything derives from the rollup write set (one row per
+  * (tbl, path, window) — already aggregated), with two global aggregations
+  * over it; the stats frame itself is 4 rows.
+  */
+object OpsStats {
+
+  val BatchSize = 2L // cassandra.batchsize, config/cassabon.yaml.template:50
+
+  def writeStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val writeSet = Rollups.rollups(spark, dir)
+      // batch groups are per (expression, window-table, stat_time): the
+      // flush loop Prepares one batchWriter per closed (expr, window) arm,
+      // and every row it appends shares that arm's stat_time
+      .withColumn("expr", Rollups.exprKey(col("path")))
+    val batchStats = writeSet
+      .groupBy("expr", "tbl", "stat_time")
+      .agg(count(lit(1)).as("rows"))
+      .agg(
+        sum("rows").as("inserted"),
+        sum(ceil(col("rows") / lit(BatchSize.toDouble)).cast("long")).as("batches"))
+    val pathCount = Tables.metrics(spark, dir)
+      .agg(countDistinct("path").as("path_count"))
+    batchStats.crossJoin(pathCount).select(explode(array(
+      struct(lit("metricmgr.db.insert").as("stat"), col("inserted").as("value")),
+      struct(lit("metricmgr.db.retry").as("stat"), lit(0L).as("value")),
+      struct(lit("metricmgr.db.batches").as("stat"), col("batches").as("value")),
+      struct(lit("path.count").as("stat"), col("path_count").as("value")))).as("s"))
+      .select(col("s.stat").as("stat"), col("s.value").as("value"))
+  }
+
+  /** Oracle: the same counters computed from the shared `rollups` CTE chain
+    * (the write set), unioned in the same long (stat, value) shape.
+    */
+  private val writeStatsSql: String =
+    s"""WITH ${Rollups.rollupsCtes},
+       |groups AS (
+       |  SELECT r.tbl, r.stat_time, d.expr, count(*) AS rows
+       |  FROM rollups r
+       |  JOIN (SELECT DISTINCT path, expr FROM dispatched) d USING (path)
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT 'metricmgr.db.insert' AS stat, CAST(sum(rows) AS BIGINT) AS value FROM groups
+       |UNION ALL
+       |SELECT 'metricmgr.db.retry', 0
+       |UNION ALL
+       |SELECT 'metricmgr.db.batches', CAST(sum(CAST(ceil(rows / ${BatchSize}.0) AS BIGINT)) AS BIGINT) FROM groups
+       |UNION ALL
+       |SELECT 'path.count', CAST(count(DISTINCT path) AS BIGINT) FROM metrics""".stripMargin
+
+  def ops: Seq[Op] = Seq(
+    Op("write_stats", writeStats, Some(writeStatsSql))
+  )
+}

@@ -22,7 +22,7 @@ import graft.model.{RollupConfig, RollupDef, RollupMethod, Tables}
   * coalesces the post-shuffle partitions.
   */
 object Rollups {
-  import RollupConfig.{Catchall, LastKeyShift}
+  import RollupConfig.{Catchall, LastKeyShift, lastKeyGuarded}
 
   /** First-match-wins regex dispatch (metricstore.go:11-22) as a codegen'd
     * `when` chain over the priority-ordered config.
@@ -75,7 +75,7 @@ object Rollups {
         count(lit(1)).as("a_n"),
         max("value").as("a_max"),
         min("value").as("a_min"),
-        expr(s"max_by(value, ts * $LastKeyShift + event_id)").as("a_last"))
+        expr(s"max_by(value, $lastKeyGuarded)").as("a_last"))
       .withColumn("method", methodOf(col("expr")))
       .select(
         col("tbl"), col("path"), col("stat_time"),
@@ -124,8 +124,8 @@ object Rollups {
         count(lit(1)).as("s_count"),
         max("value").as("s_max"),
         min("value").as("s_min"),
-        expr(s"max_by(value, ts * $LastKeyShift + event_id)").as("s_last"),
-        max(col("ts") * LastKeyShift + col("event_id")).as("s_lastkey"))
+        expr(s"max_by(value, $lastKeyGuarded)").as("s_last"),
+        max(expr(lastKeyGuarded)).as("s_lastkey"))
   }
 
   /** Combine two mergeable batches (same key space). */
@@ -172,7 +172,7 @@ object Rollups {
       case RollupMethod.Max     => grouped.agg(max("value").as("stat"))
       case RollupMethod.Min     => grouped.agg(min("value").as("stat"))
       case RollupMethod.Last =>
-        grouped.agg(expr(s"max_by(value, ts * $LastKeyShift + event_id)").as("stat"))
+        grouped.agg(expr(s"max_by(value, $lastKeyGuarded)").as("stat"))
     }
   }
 

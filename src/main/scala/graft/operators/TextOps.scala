@@ -146,38 +146,51 @@ object TextOps {
     * sum(ascii(c_j) * 31^(4-j)) — pure integer arithmetic, an order of
     * magnitude cheaper than a digest per gram and identical in both
     * engines.
+    *
+    * The whole sketch is ONE per-row expression — gram hashes, dedup, sort,
+    * bottom-k slice all happen inside the row — so the operator is
+    * map-only: zero shuffles, and no agg buffer holding every distinct gram
+    * of a 100 KB doc (the previous explode → groupBy → collect_set shape
+    * shuffled ~|chars| rows per doc).
+    *
+    * Docs shorter than one gram fingerprint to '' — guarded explicitly
+    * because Spark's `sequence(1, 0)` DESCENDS (it would index chars 0/-1
+    * and throw under ANSI), while DuckDB's `generate_series(1, 0)` is
+    * empty.
     */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    fingerprintFrom(Tables.documents(spark, dir))
+
+  def fingerprintFrom(docs: DataFrame): DataFrame =
+    docs
       // char codes materialized ONCE per doc: per-char substring() on a long
       // UTF8String is O(position), which makes the naive gram loop O(len^2)
       .withColumn("cs", expr("transform(split(text, ''), c -> ascii(c))"))
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, length(text) - 4), i ->
-          |  element_at(cs, i) * 923521 + element_at(cs, i + 1) * 29791 +
-          |  element_at(cs, i + 2) * 961 + element_at(cs, i + 3) * 31 +
-          |  element_at(cs, i + 4))""".stripMargin)).as("h"))
-      .groupBy("doc_id") // collect_set dedups in the partial agg; one shuffle,
-      .agg(expr(         // no separate distinct + window sort pass
-        s"concat_ws('-', transform(slice(array_sort(collect_set(h)), 1, $FingerprintK), x -> cast(x AS STRING)))")
-        .as("fingerprint"))
+      .select(col("doc_id"), expr(
+        s"""CASE WHEN length(text) >= 5 THEN
+           |  concat_ws('-', transform(
+           |    slice(array_sort(array_distinct(
+           |      transform(sequence(1, length(text) - 4), i ->
+           |        element_at(cs, i) * 923521 + element_at(cs, i + 1) * 29791 +
+           |        element_at(cs, i + 2) * 961 + element_at(cs, i + 3) * 31 +
+           |        element_at(cs, i + 4)))), 1, $FingerprintK),
+           |    x -> cast(x AS STRING)))
+           |ELSE '' END""".stripMargin).as("fingerprint"))
 
   private val fingerprintSql: String =
-    s"""WITH grams AS (
-       |  SELECT DISTINCT doc_id,
-       |         ascii(substr(text, CAST(i AS INT), 1)) * 923521
+    s"""SELECT doc_id,
+       |  CASE WHEN length(text) >= 5 THEN
+       |    array_to_string(
+       |      list_sort(list_distinct(
+       |        [ascii(substr(text, CAST(i AS INT), 1)) * 923521
        |         + ascii(substr(text, CAST(i + 1 AS INT), 1)) * 29791
        |         + ascii(substr(text, CAST(i + 2 AS INT), 1)) * 961
        |         + ascii(substr(text, CAST(i + 3 AS INT), 1)) * 31
-       |         + ascii(substr(text, CAST(i + 4 AS INT), 1)) AS h
-       |  FROM documents, unnest(generate_series(1, length(text) - 4)) AS g(i)
-       |),
-       |ranked AS (
-       |  SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
-       |  FROM grams
-       |)
-       |SELECT doc_id, string_agg(CAST(h AS VARCHAR), '-' ORDER BY h) AS fingerprint
-       |FROM ranked WHERE rn <= $FingerprintK GROUP BY doc_id""".stripMargin
+       |         + ascii(substr(text, CAST(i + 4 AS INT), 1))
+       |         for i in generate_series(1, length(text) - 4)]))[1:$FingerprintK],
+       |      '-')
+       |  ELSE '' END AS fingerprint
+       |FROM documents""".stripMargin
 
   // --------------------------------------------------------- sample_stratified
 
@@ -217,11 +230,19 @@ object TextOps {
   /** Sequential context packing: documents (in doc_id order) fill fixed
     * token-budget bins of 2048 — each doc is assigned the bin its first
     * token lands in (running-sum fill). The canonical pre-training batch
-    * packer, expressed as one window cumsum (single shuffle at scale when
-    * ordered within partitions of a corpus shard).
+    * packer.
+    *
+    * The ENGINE entry is [[packSequencesSharded]] (below): the cumsum
+    * window partitions by doc_id shard, so no single task ever sees the
+    * whole corpus. This global-window form exists only as the semantic
+    * spec — SamplePackSpec proves each shard of the sharded form equals
+    * this algorithm run on that shard's documents.
     */
   val PackBudget = 2048L
 
+  /** Spec-only reference form — `Window.orderBy` with no partitionBy
+    * funnels the entire corpus through ONE task; never run this at scale.
+    */
   def packSequences(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy("doc_id")
@@ -234,13 +255,17 @@ object TextOps {
         (col("running") - col("n_tok") - ((col("running") - col("n_tok")) / PackBudget).cast("long") * PackBudget).as("bin_offset"))
   }
 
-  /** The distributed form of [[packSequences]]: documents pack within
-    * doc_id shards of `shardSize`, each shard filling its own bin space
-    * (bin ids namespaced by shard). The global-window version is the
-    * oracle-checked spec; THIS is what runs at 100 TB — the window
-    * partitions by shard, so the cumsum never funnels through one task.
+  /** The oracle-checked, benched `pack_sequences` entry: documents pack
+    * within doc_id shards of [[PackShardSize]], each shard filling its own
+    * bin space (bin ids namespaced by shard — a trainer reading shard s,
+    * bin b gets a full deterministic batch without any cross-shard
+    * coordination). The window partitions by shard, so the cumsum never
+    * funnels through one task: at 100 TB this is one shuffle on a uniform
+    * key with bounded per-task state.
     */
-  def packSequencesSharded(spark: SparkSession, dir: String, shardSize: Long): DataFrame = {
+  val PackShardSize = 128L
+
+  def packSequencesSharded(spark: SparkSession, dir: String, shardSize: Long = PackShardSize): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -255,16 +280,17 @@ object TextOps {
 
   private val packSequencesSql: String =
     s"""WITH t AS (
-       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  SELECT doc_id, doc_id // $PackShardSize AS shard,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
        |  FROM documents
        |),
        |r AS (
-       |  SELECT doc_id, n_tok,
-       |         sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok AS start_tok
+       |  SELECT doc_id, n_tok, shard,
+       |         sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok AS start_tok
        |  FROM t
        |)
-       |SELECT doc_id, n_tok,
-       |       CAST(start_tok // $PackBudget AS BIGINT) AS bin,
+       |SELECT doc_id, n_tok, CAST(shard AS BIGINT) AS shard,
+       |       CAST(start_tok // $PackBudget AS BIGINT) AS shard_bin,
        |       CAST(start_tok - (start_tok // $PackBudget) * $PackBudget AS BIGINT) AS bin_offset
        |FROM r""".stripMargin
 
@@ -274,6 +300,6 @@ object TextOps {
     Op("token_count", tokenCount, Some(tokenCountSql)),
     Op("doc_fingerprint", fingerprint, Some(fingerprintSql)),
     Op("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
-    Op("pack_sequences", packSequences, Some(packSequencesSql))
+    Op("pack_sequences", packSequencesSharded(_, _), Some(packSequencesSql))
   )
 }

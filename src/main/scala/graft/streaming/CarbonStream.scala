@@ -92,7 +92,56 @@ object CarbonStream {
        |       CAST(sum(cents) AS BIGINT) / (100.0 * count(*)) AS stat
        |FROM c GROUP BY 1, 2""".stripMargin
 
+  /** The SCALE form of the streaming rollup: watermark + APPEND mode into a
+    * parquet file sink. Complete mode re-emits the entire result every
+    * trigger and a memory sink accumulates it on the driver — fine for a
+    * verification harness, unusable at 100 TB. Append emits each window
+    * ONCE, when the watermark passes its end, and the file sink scales with
+    * executors; state is evicted as windows close, so steady-state memory
+    * is bounded by the open-window count.
+    *
+    * Determinism: the watermark is EVENT-time (max seen tts minus the 0 s
+    * delay), so which windows flush is a pure function of the data — every
+    * window except those still open past the final watermark, i.e.
+    * `stat_time <= max(ts)` with stat_time = window end. That predicate is
+    * the oracle's WHERE clause; the never-emitted tail windows are exactly
+    * cassabon's still-accumulating buckets at shutdown without the
+    * terminating flush (metricstore.go:108-116 writes them only because
+    * `terminating` forces statTime=now).
+    */
+  def rollupAppendQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val out = java.nio.file.Files
+      .createTempDirectory("stream_rollup_append").toString
+    val q = windowedRollup(toMetrics(events), watermark = Some("0 seconds"))
+      .writeStream
+      .format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/chk")
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+    }
+    spark.read.parquet(s"$out/data")
+  }
+
+  private val rollupAppendSql: String =
+    s"""WITH ${Tables.metricsSql},
+       |c AS (SELECT *, CAST(round(value * 100) AS BIGINT) AS cents FROM metrics)
+       |SELECT path, ts - ts % 60 + 60 AS stat_time,
+       |       CAST(sum(cents) AS BIGINT) / (100.0 * count(*)) AS stat
+       |FROM c GROUP BY 1, 2
+       |HAVING stat_time <= (SELECT max(ts) FROM metrics)""".stripMargin
+
   def ops: Seq[Op] = Seq(
-    Op("stream_rollup", rollupQuery, Some(rollupSql))
+    Op("stream_rollup", rollupQuery, Some(rollupSql)),
+    Op("stream_rollup_append", rollupAppendQuery, Some(rollupAppendSql))
   )
 }

@@ -179,6 +179,77 @@ object Similarity {
        |FROM ranked WHERE rank <= $TopK""".stripMargin
   }
 
+  // ------------------------------------------- embedding-cosine near-dup dedup
+
+  val DupThreshold = 0.4  // cosine floor for "near-duplicate" in this corpus
+  val PlanesPerBand = 4   // 2 bands x 4 planes: banding trades precision for
+                          // recall exactly like MinHash-LSH banding
+
+  /** Embedding-cosine near-duplicate detection — the dedup application of
+    * LSH (cf. dedup_minhash_lsh for lexical shingles; this is its semantic
+    * twin over the embedding space). Candidate pairs share at least one
+    * BAND of hyperplane signs (a full 8-plane bucket match keeps only
+    * ~(1-θ/π)^8 of true pairs; 2 bands of 4 recover the recall the same
+    * way MinHash banding does), then the exact fixed-point cosine keeps
+    * pairs ≥ [[DupThreshold]]. At 100 TB the band join touches only
+    * sign-colliding pairs — never the full cross product — and the
+    * distinct-pair shuffle is bounded by candidate count, not corpus².
+    */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = fixedVecs(spark, dir)
+    val planesDf = planes.toDF("j", "rv")
+    val bands = vecs.crossJoin(broadcast(planesDf))
+      .withColumn("pdot", expr(dotExpr("v", "rv")))
+      .groupBy(col("vec_id"), expr(s"j div $PlanesPerBand").as("band"))
+      .agg(sum(expr(s"CASE WHEN pdot >= 0 THEN shiftleft(CAST(1 AS BIGINT), j % $PlanesPerBand) ELSE 0 END")).as("sig"))
+    val cands = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .distinct() // a pair colliding in both bands is one candidate
+    cands
+      .join(vecs.select(col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na")), "a_id")
+      .join(vecs.select(col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb")), "b_id")
+      .withColumn("cos", expr(dotExpr("va", "vb")) / (sqrt(col("na")) * sqrt(col("nb"))))
+      .filter(col("cos") >= DupThreshold)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cosine"))
+  }
+
+  private val embeddingNearDupSql: String = {
+    val planeRows = planes
+      .map { case (j, rv) => s"($j, ${rv.mkString("[", ",", "]")})" }
+      .mkString(", ")
+    s"""WITH $fixedVecsCtes,
+       |planes(j, rv) AS (VALUES $planeRows),
+       |pd AS (
+       |  SELECT n.vec_id, p.j,
+       |         CAST(list_sum([n.v[i] * p.rv[i] for i in generate_series(1, len(n.v))]) AS BIGINT) AS pdot
+       |  FROM nv n CROSS JOIN planes p
+       |),
+       |bands AS (
+       |  SELECT vec_id, j // $PlanesPerBand AS band,
+       |         CAST(sum(CASE WHEN pdot >= 0 THEN (1::BIGINT << (j % $PlanesPerBand)) ELSE 0 END) AS BIGINT) AS sig
+       |  FROM pd GROUP BY 1, 2
+       |),
+       |cands AS (
+       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+       |),
+       |scored AS (
+       |  SELECT c.a_id, c.b_id,
+       |         CAST(list_sum([x.v[i] * y.v[i] for i in generate_series(1, len(x.v))]) AS BIGINT)
+       |           / (sqrt(x.nrm) * sqrt(y.nrm)) AS cos
+       |  FROM cands c
+       |  JOIN nv x ON x.vec_id = c.a_id
+       |  JOIN nv y ON y.vec_id = c.b_id
+       |)
+       |SELECT a_id, b_id, round(cos, 6) AS cosine
+       |FROM scored WHERE cos >= $DupThreshold""".stripMargin
+  }
+
   // ------------------------------------------------------------ IVF variant
 
   val CentroidMod = 125 // coarse quantizer: every 125th vector is a centroid
@@ -261,6 +332,7 @@ object Similarity {
   def ops: Seq[Op] = Seq(
     Op("ann_cosine_topk", cosineTopK, Some(cosineTopKSql)),
     Op("ann_lsh_bucketed", lshBucketed, Some(lshBucketedSql)),
-    Op("ann_ivf", ivf, Some(ivfSql))
+    Op("ann_ivf", ivf, Some(ivfSql)),
+    Op("dedup_embedding_cosine", embeddingNearDup, Some(embeddingNearDupSql))
   )
 }

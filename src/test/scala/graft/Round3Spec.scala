@@ -81,6 +81,18 @@ class Round3Spec extends AnyFunSuite with TestSpark {
     assert(appended.nonEmpty)
   }
 
+  test("dedup_embedding_cosine: banded candidates, threshold respected, band-complete") {
+    import graft.operators.Similarity
+    val got = Similarity.embeddingNearDup(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty, "fixture must contain banded near-dup pairs at the threshold")
+    got.foreach { case (a, b, c) =>
+      assert(a < b)
+      assert(c >= Similarity.DupThreshold - 1e-9)
+    }
+    assert(got.map(p => (p._1, p._2)).distinct.length === got.length)
+  }
+
   test("LAST tiebreak key guard trips when event_id would overflow the packed key") {
     import spark.implicits._
     val bad = Seq(("p", 1.0, 10L, RollupConfig.LastKeyShift))

@@ -101,15 +101,18 @@ object Similarity {
   val NumPlanes = 8
 
   /** ±1 random hyperplanes from a fixed LCG (seed 7), embedded identically
-    * in both engines.
+    * in both engines. The stream is sequential, so `mkPlanes(n)` for a
+    * larger `n` extends the same plane set rather than replacing it.
     */
-  val planes: Seq[(Int, Seq[Long])] = {
+  private def mkPlanes(n: Int): Seq[(Int, Seq[Long])] = {
     var x = 7L
     def next(): Long = { x = (1103515245L * x + 12345L) % (1L << 31); x }
-    (0 until NumPlanes).map { j =>
+    (0 until n).map { j =>
       j -> Seq.fill(Dim)(if (((next() >> 10) & 1L) == 1L) 1L else -1L)
     }
   }
+
+  val planes: Seq[(Int, Seq[Long])] = mkPlanes(NumPlanes)
 
   /** Random-hyperplane LSH: bucket = sign pattern of 8 plane dots; probes
     * join the corpus on bucket equality, exact cosine re-rank inside the
@@ -181,73 +184,81 @@ object Similarity {
 
   // ------------------------------------------- embedding-cosine near-dup dedup
 
-  val DupThreshold = 0.4  // cosine floor for "near-duplicate" in this corpus
-  val PlanesPerBand = 4   // 2 bands x 4 planes: banding trades precision for
-                          // recall exactly like MinHash-LSH banding
+  val DupThreshold = 0.4      // cosine floor for "near-duplicate" in this corpus
+  val DupBands = 2            // banding trades precision for recall exactly
+  val DupPlanesPerBand = 8    // like MinHash-LSH banding; 8 bits = 256
+                              // buckets per band (width should grow ~log n)
+  private val dupPlanes: Seq[(Int, Seq[Long])] = mkPlanes(DupBands * DupPlanesPerBand)
+
+  /** `0 + v[1] - v[2] …`: a ±1-plane dot is a signed SUM, not a product —
+    * half the codegen of the generic dot and no multiply.
+    */
+  private def signedDot(rv: Seq[Long], elem: Int => String): String =
+    "0 " + rv.zipWithIndex
+      .map { case (s, i) => (if (s > 0L) "+ " else "- ") + elem(i + 1) }
+      .mkString(" ")
+
+  /** Bit-packed sign pattern of one band's planes, as a single expression. */
+  private def sigExpr(band: Int, elem: Int => String): String =
+    (0 until DupPlanesPerBand).map { k =>
+      val rv = dupPlanes(band * DupPlanesPerBand + k)._2
+      s"(CASE WHEN (${signedDot(rv, elem)}) >= 0 THEN ${1L << k} ELSE 0 END)"
+    }.mkString(" + ")
 
   /** Embedding-cosine near-duplicate detection — the dedup application of
     * LSH (cf. dedup_minhash_lsh for lexical shingles; this is its semantic
     * twin over the embedding space). Candidate pairs share at least one
-    * BAND of hyperplane signs (a full 8-plane bucket match keeps only
-    * ~(1-θ/π)^8 of true pairs; 2 bands of 4 recover the recall the same
-    * way MinHash banding does), then the exact fixed-point cosine keeps
-    * pairs ≥ [[DupThreshold]]. At 100 TB the band join touches only
-    * sign-colliding pairs — never the full cross product — and the
-    * distinct-pair shuffle is bounded by candidate count, not corpus².
+    * BAND of hyperplane signs (for true near-dups at cos ≈ 0.95 each
+    * 8-plane band matches with (1-θ/π)^8 ≈ 0.43, two bands ≈ 68% recall —
+    * banding recovers recall the same way MinHash banding does), then the
+    * exact fixed-point cosine keeps pairs ≥ [[DupThreshold]].
+    *
+    * Plan shape: both band signatures come out of ONE map-only projection
+    * over the corpus (sign of a ±1-plane dot is a signed sum — pure
+    * whole-stage codegen, no plane crossJoin, no groupBy); each band is a
+    * self-join on its 8-bit signature that carries `v`/`nrm` along, so
+    * candidates are scored in place with no join back to the corpus. At
+    * 100 TB each band join shuffles on the signature and touches only
+    * sign-colliding pairs (~1/256 of the cross product per band) — and the
+    * band width is the dial that keeps bucket sizes bounded as n grows.
     */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val vecs = fixedVecs(spark, dir)
-    val planesDf = planes.toDF("j", "rv")
-    val bands = vecs.crossJoin(broadcast(planesDf))
-      .withColumn("pdot", expr(dotExpr("v", "rv")))
-      .groupBy(col("vec_id"), expr(s"j div $PlanesPerBand").as("band"))
-      .agg(sum(expr(s"CASE WHEN pdot >= 0 THEN shiftleft(CAST(1 AS BIGINT), j % $PlanesPerBand) ELSE 0 END")).as("sig"))
-    val cands = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
-      .distinct() // a pair colliding in both bands is one candidate
-    cands
-      .join(vecs.select(col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na")), "a_id")
-      .join(vecs.select(col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb")), "b_id")
-      .withColumn("cos", expr(dotExpr("va", "vb")) / (sqrt(col("na")) * sqrt(col("nb"))))
+    val elem = (i: Int) => s"element_at(v, $i)"
+    val sigs = fixedVecs(spark, dir)
+      .withColumn("sig0", expr(sigExpr(0, elem)))
+      .withColumn("sig1", expr(sigExpr(1, elem)))
+    def bandPairs(sig: String): DataFrame =
+      sigs.as("a").join(sigs.as("b"),
+          col(s"a.$sig") === col(s"b.$sig") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+          (expr(dotExpr("a.v", "b.v")) / (sqrt(col("a.nrm")) * sqrt(col("b.nrm")))).as("cos"))
+    bandPairs("sig0").union(bandPairs("sig1"))
       .filter(col("cos") >= DupThreshold)
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cosine"))
+      .distinct() // a pair may collide in both bands; cos is exact so rows tie
   }
 
   private val embeddingNearDupSql: String = {
-    val planeRows = planes
-      .map { case (j, rv) => s"($j, ${rv.mkString("[", ",", "]")})" }
-      .mkString(", ")
+    val elem = (i: Int) => s"v[$i]"
+    def bandJoin(sig: String) =
+      s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |       CAST(list_sum([a.v[i] * b.v[i] for i in generate_series(1, len(a.v))]) AS BIGINT)
+         |         / (sqrt(a.nrm) * sqrt(b.nrm)) AS cos
+         |FROM sigs a JOIN sigs b ON a.$sig = b.$sig AND a.vec_id < b.vec_id""".stripMargin
     s"""WITH $fixedVecsCtes,
-       |planes(j, rv) AS (VALUES $planeRows),
-       |pd AS (
-       |  SELECT n.vec_id, p.j,
-       |         CAST(list_sum([n.v[i] * p.rv[i] for i in generate_series(1, len(n.v))]) AS BIGINT) AS pdot
-       |  FROM nv n CROSS JOIN planes p
+       |sigs AS (
+       |  SELECT vec_id, v, nrm,
+       |         ${sigExpr(0, elem)} AS sig0,
+       |         ${sigExpr(1, elem)} AS sig1
+       |  FROM nv
        |),
-       |bands AS (
-       |  SELECT vec_id, j // $PlanesPerBand AS band,
-       |         CAST(sum(CASE WHEN pdot >= 0 THEN (1::BIGINT << (j % $PlanesPerBand)) ELSE 0 END) AS BIGINT) AS sig
-       |  FROM pd GROUP BY 1, 2
-       |),
-       |cands AS (
-       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
-       |),
-       |scored AS (
-       |  SELECT c.a_id, c.b_id,
-       |         CAST(list_sum([x.v[i] * y.v[i] for i in generate_series(1, len(x.v))]) AS BIGINT)
-       |           / (sqrt(x.nrm) * sqrt(y.nrm)) AS cos
-       |  FROM cands c
-       |  JOIN nv x ON x.vec_id = c.a_id
-       |  JOIN nv y ON y.vec_id = c.b_id
+       |pairs AS (
+       |  ${bandJoin("sig0")}
+       |  UNION ALL
+       |  ${bandJoin("sig1")}
        |)
-       |SELECT a_id, b_id, round(cos, 6) AS cosine
-       |FROM scored WHERE cos >= $DupThreshold""".stripMargin
+       |SELECT DISTINCT a_id, b_id, round(cos, 6) AS cosine
+       |FROM pairs WHERE cos >= $DupThreshold""".stripMargin
   }
 
   // ------------------------------------------------------------ IVF variant

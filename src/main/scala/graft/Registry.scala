@@ -24,5 +24,6 @@ object Registry {
       graft.operators.Similarity.ops ++
       graft.operators.Multimodal.ops ++
       graft.operators.Analytics.ops ++
-      graft.streaming.CarbonStream.ops
+      graft.streaming.CarbonStream.ops ++
+      graft.streaming.DedupStream.ops
 }

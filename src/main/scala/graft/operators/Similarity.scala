@@ -340,10 +340,75 @@ object Similarity {
        |       round(cos, 6) AS cosine
        |FROM ranked WHERE rank <= $TopK""".stripMargin
 
+  // ------------------------------------------------------------ k-means step
+
+  /** One exact Lloyd iteration over the embedding space: assign every
+    * vector to its nearest centroid (the same deterministic coarse
+    * quantizer [[ivf]] probes — this operator IS the training step that
+    * would refine it), then emit each cluster's per-dimension mean. The
+    * centroid-curation loop behind semantic dedup / dataset clustering at
+    * 100 TB is just this step applied repeatedly.
+    *
+    * Plan shape: centroid assignment is a broadcast crossJoin + per-vector
+    * argmin (WindowGroupLimit); the recompute is ONE groupBy(c_id) whose
+    * 64 per-dimension sums ride the same partial aggregate (map-side
+    * combine shrinks the shuffle to |centroids| rows of 65 exact bigints —
+    * the dedup_minhash single-agg trick), then a `posexplode` to long
+    * (c_id, dim, mean) form. Means divide exact fixed-point sums once, so
+    * both engines agree bit-for-bit.
+    */
+  def kmeansStep(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = fixedVecs(spark, dir)
+    val cents = vecs.filter(col("vec_id") % CentroidMod === 1)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val assigned = vecs.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        expr(dotExpr("v", "cv")) / (sqrt(col("nrm")) * sqrt(col("cn"))))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("c_id"))))
+      .filter(col("crn") === 1)
+    val sums = assigned.groupBy("c_id")
+      .agg(count(lit(1)).as("n"),
+        (1 to Dim).map(i => sum(expr(s"element_at(v, $i)")).as(s"s$i")): _*)
+    sums
+      .select(col("c_id"), col("n"),
+        posexplode(array((1 to Dim).map(i => col(s"s$i")): _*)))
+      .select(col("c_id"),
+        (col("pos") + 1).cast("long").as("dim"),
+        round(col("col") / (col("n") * lit(Scale.toDouble)), 6).as("mean"),
+        col("n").as("n_members"))
+  }
+
+  private val kmeansStepSql: String =
+    s"""WITH $fixedVecsCtes,
+       |cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM nv WHERE vec_id % $CentroidMod = 1),
+       |cdist AS (
+       |  SELECT n.vec_id, n.v, c.c_id,
+       |         CAST(list_sum([n.v[i] * c.cv[i] for i in generate_series(1, len(n.v))]) AS BIGINT)
+       |           / (sqrt(n.nrm) * sqrt(c.cn)) AS ccos
+       |  FROM nv n CROSS JOIN cents c
+       |),
+       |assigned AS (
+       |  SELECT vec_id, v, c_id
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS crn
+       |        FROM cdist)
+       |  WHERE crn = 1
+       |),
+       |counts AS (SELECT c_id, CAST(count(*) AS BIGINT) AS n FROM assigned GROUP BY 1),
+       |dims AS (
+       |  SELECT a.c_id, g.i AS dim, CAST(sum(a.v[g.i]) AS BIGINT) AS s
+       |  FROM assigned a, generate_series(1, $Dim) AS g(i)
+       |  GROUP BY 1, 2
+       |)
+       |SELECT d.c_id, d.dim, round(d.s / (c.n * ${Scale.toDouble}), 6) AS mean,
+       |       c.n AS n_members
+       |FROM dims d JOIN counts c USING (c_id)""".stripMargin
+
   def ops: Seq[Op] = Seq(
     Op("ann_cosine_topk", cosineTopK, Some(cosineTopKSql)),
     Op("ann_lsh_bucketed", lshBucketed, Some(lshBucketedSql)),
     Op("ann_ivf", ivf, Some(ivfSql)),
-    Op("dedup_embedding_cosine", embeddingNearDup, Some(embeddingNearDupSql))
+    Op("dedup_embedding_cosine", embeddingNearDup, Some(embeddingNearDupSql)),
+    Op("kmeans_step", kmeansStep, Some(kmeansStepSql))
   )
 }

@@ -93,6 +93,18 @@ class Round3Spec extends AnyFunSuite with TestSpark {
     assert(got.map(p => (p._1, p._2)).distinct.length === got.length)
   }
 
+  test("kmeans_step: members conserved, one row per (centroid, dim), sane means") {
+    import graft.operators.Similarity
+    val out = Similarity.kmeansStep(spark, Sf).collect()
+    val perCentroid = out.map(r => (r.getLong(0), r.getAs[Long]("n_members"))).distinct
+    assert(perCentroid.map(_._2).sum === Tables.embeddings(spark, Sf).count(),
+      "every vector must be assigned to exactly one centroid")
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).distinct.length === out.length)
+    assert(out.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= Similarity.Dim))
+    assert(out.forall(r => math.abs(r.getDouble(2)) <= 1.5),
+      "a mean of unit-ish coordinates stays unit-ish")
+  }
+
   test("LAST tiebreak key guard trips when event_id would overflow the packed key") {
     import spark.implicits._
     val bad = Seq(("p", 1.0, 10L, RollupConfig.LastKeyShift))

@@ -114,21 +114,26 @@ object Similarity {
 
   val planes: Seq[(Int, Seq[Long])] = mkPlanes(NumPlanes)
 
+  /** Bit-packed sign pattern of all 8 planes as ONE expression — the bucket
+    * is a map-only projection. A ±1-plane dot is a signed SUM (see
+    * [[signedDot]]), so the whole 8-plane signature is plain codegen'd
+    * arithmetic: no plane crossJoin, no groupBy, no join back to the corpus.
+    */
+  private def bucketExpr(elem: Int => String): String =
+    planes.map { case (j, rv) =>
+      s"(CASE WHEN (${signedDot(rv, elem)}) >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+
   /** Random-hyperplane LSH: bucket = sign pattern of 8 plane dots; probes
     * join the corpus on bucket equality, exact cosine re-rank inside the
     * bucket. At 100 TB the bucket join replaces the probe x corpus cross
-    * product with ~1/256 of it.
+    * product with ~1/256 of it — and the bucket itself comes out of the
+    * same map-only scan that fixes the vectors, so the ONLY exchange
+    * before the probe join is the final per-probe top-k.
     */
   def lshBucketed(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val vecs = fixedVecs(spark, dir)
-    val planesDf = planes.toDF("j", "rv")
-    val buckets = vecs.crossJoin(broadcast(planesDf))
-      .withColumn("pdot",
-        expr(dotExpr("v", "rv")))
-      .groupBy("vec_id")
-      .agg(sum(expr("CASE WHEN pdot >= 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE 0 END")).as("bucket"))
-    val withB = vecs.join(buckets, "vec_id")
+    val withB = fixedVecs(spark, dir)
+      .withColumn("bucket", expr(bucketExpr(i => s"element_at(v, $i)")))
     val probes = withB.filter(col("vec_id") % ProbeMod === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
         col("bucket").as("qb"))
@@ -146,22 +151,10 @@ object Similarity {
   }
 
   private val lshBucketedSql: String = {
-    val planeRows = planes
-      .map { case (j, rv) => s"($j, ${rv.mkString("[", ",", "]")})" }
-      .mkString(", ")
     s"""WITH $fixedVecsCtes,
-       |planes(j, rv) AS (VALUES $planeRows),
-       |pd AS (
-       |  SELECT n.vec_id, p.j,
-       |         CAST(list_sum([n.v[i] * p.rv[i] for i in generate_series(1, len(n.v))]) AS BIGINT) AS pdot
-       |  FROM nv n CROSS JOIN planes p
+       |withb AS (
+       |  SELECT vec_id, v, nrm, ${bucketExpr(i => s"v[$i]")} AS bucket FROM nv
        |),
-       |buckets AS (
-       |  SELECT vec_id,
-       |         CAST(sum(CASE WHEN pdot >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
-       |  FROM pd GROUP BY 1
-       |),
-       |withb AS (SELECT n.vec_id, n.v, n.nrm, b.bucket FROM nv n JOIN buckets b USING (vec_id)),
        |probes AS (
        |  SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket AS qb
        |  FROM withb WHERE vec_id % $ProbeMod = 0
@@ -278,19 +271,24 @@ object Similarity {
     val cents = vecs.filter(col("vec_id") % CentroidMod === 1)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
 
-    def nearestCentroids(side: DataFrame, idCol: String, keep: Int): DataFrame =
-      side.crossJoin(broadcast(cents))
-        .withColumn("cdot",
-          expr(dotExpr("v", "cv")))
-        .withColumn("ccos", col("cdot") / (sqrt(col("nrm")) * sqrt(col("cn"))))
-        .withColumn("crn", row_number().over(
-          Window.partitionBy(idCol).orderBy(col("ccos").desc, col("c_id"))))
-        .filter(col("crn") <= keep)
+    // ONE centroid-distance branch serves both roles (the oracle's single
+    // ranked_c CTE): corpus assignment = crn 1, probe lists = the probe
+    // subset at crn <= NProbe. The probe side is a SUBSET of the corpus, so
+    // recomputing its centroid distances on a second branch only duplicated
+    // work — and, worse, compiled the unrolled 64-term dot into a second
+    // distinct codegen stage. With a shared subtree the duplicated plan
+    // fragments generate IDENTICAL source, so Spark's codegen cache compiles
+    // them once and the exchange under the window is reused.
+    val ranked = vecs.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        expr(dotExpr("v", "cv")) / (sqrt(col("nrm")) * sqrt(col("cn"))))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("c_id"))))
+      .filter(col("crn") <= NProbe)
 
-    val assigned = nearestCentroids(vecs, "vec_id", 1)
+    val assigned = ranked.filter(col("crn") === 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("c_id"))
-    val probes = vecs.filter(col("vec_id") % ProbeMod === 0)
-    val probeLists = nearestCentroids(probes, "vec_id", NProbe)
+    val probeLists = ranked.filter(col("vec_id") % ProbeMod === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"), col("c_id"))
 
     val cands = assigned.join(broadcast(probeLists), Seq("c_id"))

@@ -173,6 +173,55 @@ object Carbon {
        |       CAST(count(*) AS BIGINT) AS points
        |FROM hashed GROUP BY 1""".stripMargin
 
+  /** Ring-resize rebalance delta: when a `peers=` command changes the ring
+    * from N to N' hosts (carbon_plaintext.go:258-270 triggers the reload,
+    * peerlist.go:123-156 re-propagates the list), every path whose owner
+    * changes — `pearson_hash8(path) % N != pearson_hash8(path) % N'` — must
+    * flush and re-route. This operator answers the question an operator of
+    * a sharded deployment asks BEFORE resizing: how many paths (and points)
+    * does each current peer hand off?
+    *
+    * Plan shape: distinct paths with per-path point counts (one groupBy),
+    * then a map-only double-hash and one tiny groupBy(peer) — the hash is
+    * computed once and reused for both rings. Modulo rebalancing moves
+    * ~(1 - 1/N') of paths; a consistent-hash ring would move ~1/N' — the
+    * moved_frac column is exactly the measurement that motivates one.
+    */
+  val NewPeerCount = 6
+
+  def peerRebalance(spark: SparkSession, dir: String): DataFrame = {
+    Pearson.register(spark)
+    Tables.metrics(spark, dir)
+      .groupBy("path").agg(count(lit(1)).as("pts"))
+      .withColumn("h", expr("pearson_hash8(path)"))
+      .withColumn("peer", col("h") % PeerCount)
+      .withColumn("moved", (col("h") % NewPeerCount =!= col("peer")).cast("long"))
+      .groupBy("peer")
+      .agg(
+        count(lit(1)).as("paths"),
+        sum("moved").as("moved_paths"),
+        sum(col("moved") * col("pts")).as("moved_points"))
+      .withColumn("moved_frac", round(col("moved_paths") / col("paths"), 6))
+  }
+
+  private val peerRebalanceSql: String =
+    s"""WITH ${Tables.metricsSql},
+       |counts AS (SELECT path, count(*) AS pts FROM metrics GROUP BY 1),
+       |hashed AS (
+       |  SELECT path, pts, ${Pearson.hash8Sql("path")} AS h FROM counts
+       |),
+       |flagged AS (
+       |  SELECT CAST(h % $PeerCount AS INT) AS peer, pts,
+       |         CASE WHEN h % $NewPeerCount <> h % $PeerCount THEN 1 ELSE 0 END AS moved
+       |  FROM hashed
+       |)
+       |SELECT peer,
+       |       CAST(count(*) AS BIGINT) AS paths,
+       |       CAST(sum(moved) AS BIGINT) AS moved_paths,
+       |       CAST(sum(moved * pts) AS BIGINT) AS moved_points,
+       |       round(CAST(sum(moved) AS BIGINT) / count(*), 6) AS moved_frac
+       |FROM flagged GROUP BY 1""".stripMargin
+
   /** Latency-style percentiles per metric family — the p50/p95/p99 view a
     * metrics engine serves beside rollups. Spark's exact `percentile` and
     * DuckDB's `quantile_cont` share the linear-interpolation definition.
@@ -214,6 +263,7 @@ object Carbon {
     Op("carbon_receive_stats", receiveStats, Some(receiveStatsSql)),
     Op("peer_route", peerRoute, Some(peerRouteSql)),
     Op("peer_route64", peerRoute64, Some(peerRoute64Sql)),
+    Op("peer_rebalance", peerRebalance, Some(peerRebalanceSql)),
     Op("value_quantiles", valueQuantiles, Some(valueQuantilesSql)),
     Op("top_paths", topPaths, Some(topPathsSql))
   )

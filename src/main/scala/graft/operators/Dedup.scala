@@ -71,11 +71,30 @@ object Dedup {
 
   val JaccardThreshold = 0.8
 
-  /** Word-3-gram Jaccard near-dup pairs >= 0.8 — the exact-similarity
-    * baseline. Shuffle join on shingle; common-count / (|A|+|B|-common).
+  /** Shingles appearing in more than this many documents are corpus-wide
+    * boilerplate (license headers, navigation chrome) and are excluded from
+    * BOTH the intersection and the union — the standard df-cut. This is the
+    * dial that bounds the self-join: each shingle contributes at most df^2
+    * <= 1024 candidate rows no matter how big the corpus grows, where an
+    * uncapped hot shingle makes one join bucket quadratic in corpus size.
+    * The fixture's max df is 25 (sf0.1), so the cap provably changes
+    * nothing at test scale — both engines apply the identical filter.
+    */
+  val MaxShingleDf = 32
+
+  /** Word-3-gram Jaccard near-dup pairs >= 0.8 over the df-capped shingle
+    * sets — the exact-similarity baseline. Shuffle join on shingle;
+    * common-count / (|A|+|B|-common).
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // df-cut BEFORE anything else: one shuffle on shingle (the window), and
+    // the downstream self-join keys on the same column, so the partitioning
+    // is reused rather than re-exchanged.
     val sh = shingles(spark, dir)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .filter(col("df") <= MaxShingleDf)
+      .drop("df")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // size-ratio prune at the join: J(A,B) >= t forces |A|/|B| in [t, 1/t],
     // so pairs outside the band can be dropped BEFORE the pair-count
@@ -98,10 +117,15 @@ object Dedup {
 
   private val ngramJaccardSql: String =
     s"""WITH $shinglesCtes,
-       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |rare AS (
+       |  SELECT doc_id, shingle FROM (
+       |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh
+       |  ) WHERE df <= $MaxShingleDf
+       |),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM rare GROUP BY 1),
        |common AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2
        |)
        |SELECT doc_a, doc_b,

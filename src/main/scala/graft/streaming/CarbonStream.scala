@@ -24,6 +24,25 @@ import graft.model.Tables
   */
 object CarbonStream {
 
+  /** Stateful streaming queries get one state-store instance PER shuffle
+    * partition, and every micro-batch commits a delta file per instance —
+    * so partition count is a per-commit IO cost, not just parallelism. The
+    * batch default (32, matched to local[32]) wastes 4x the checkpoint IO
+    * these key cardinalities (~10k) need; on a real cluster this knob is
+    * sized to executor count x a small factor, exactly as here.
+    */
+  val StreamShufflePartitions = 8
+
+  /** Run `body` with the session's shuffle partitions temporarily lowered
+    * to [[StreamShufflePartitions]] (streaming plans bind the value at
+    * `start()`), restoring the batch setting afterwards.
+    */
+  def withStreamPartitions[T](spark: SparkSession)(body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions.toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType), // TIMESTAMP(NANOS) read as epoch nanos
@@ -68,16 +87,18 @@ object CarbonStream {
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
     val sink = "stream_rollup_" + UUID.randomUUID().toString.replace("-", "")
-    val q = windowedRollup(toMetrics(events))
-      .writeStream
-      .format("memory")
-      .queryName(sink)
-      .outputMode("complete")
-      .start()
-    try {
-      q.processAllAvailable()
-    } finally {
-      q.stop()
+    withStreamPartitions(spark) {
+      val q = windowedRollup(toMetrics(events))
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .start()
+      try {
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+      }
     }
     spark.table(sink)
   }
@@ -117,17 +138,19 @@ object CarbonStream {
       .parquet(dir)
     val out = java.nio.file.Files
       .createTempDirectory("stream_rollup_append").toString
-    val q = windowedRollup(toMetrics(events), watermark = Some("0 seconds"))
-      .writeStream
-      .format("parquet")
-      .option("path", s"$out/data")
-      .option("checkpointLocation", s"$out/chk")
-      .outputMode("append")
-      .start()
-    try {
-      q.processAllAvailable()
-    } finally {
-      q.stop()
+    withStreamPartitions(spark) {
+      val q = windowedRollup(toMetrics(events), watermark = Some("0 seconds"))
+        .writeStream
+        .format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/chk")
+        .outputMode("append")
+        .start()
+      try {
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+      }
     }
     spark.read.parquet(s"$out/data")
   }

@@ -54,16 +54,18 @@ object DedupStream {
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
     val sink = "stream_dedup_" + UUID.randomUUID().toString.replace("-", "")
-    val q = dedupAgg(docs)
-      .writeStream
-      .format("memory")
-      .queryName(sink)
-      .outputMode("complete")
-      .start()
-    try {
-      q.processAllAvailable()
-    } finally {
-      q.stop()
+    CarbonStream.withStreamPartitions(spark) {
+      val q = dedupAgg(docs)
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .start()
+      try {
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+      }
     }
     spark.table(sink)
   }
@@ -81,7 +83,122 @@ object DedupStream {
       |       CAST(count(*) AS BIGINT) AS n_copies
       |FROM all_docs GROUP BY 1""".stripMargin
 
+  // ------------------------------------------- watermark-bounded dedup
+
+  val Horizon = 97    // seconds of dedup-state retention (watermark delay)
+  val ReplayGap = 300 // event-time delay of the replayed duplicate copies
+  val TsOffset = 1000 // keeps every event time above the initial watermark (0),
+                      // which the late filter treats NON-strictly (ts <= wm is
+                      // late) — without it the doc at ts=0 is dropped before
+                      // any data has even set a watermark. A constant shift
+                      // leaves every keep/drop inequality invariant, so the
+                      // oracle needs no ts at all.
+
+  /** Write `df` as ONE parquet file at `target`, with a controlled
+    * modification time so the file stream source replays files in a fixed
+    * order (it lists unread files oldest-mtime-first).
+    */
+  private def writeOneFile(df: DataFrame, target: String, ageMs: Long): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_onefile")
+    df.coalesce(1).write.mode("overwrite").parquet(s"$tmp/out")
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$tmp/out"))
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .findFirst().get()
+    val dst = java.nio.file.Paths.get(target)
+    java.nio.file.Files.move(part, dst)
+    java.nio.file.Files.setLastModifiedTime(dst,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - ageMs))
+  }
+
+  /** The STATE-BOUNDED form — the only dedup that can run FOREVER:
+    * `dropDuplicatesWithinWatermark` keeps a key only until the watermark
+    * passes its expiry (event time + horizon), so state is ingest-rate x
+    * horizon, independent of total stream length; the complete-mode
+    * aggregation above grows with the distinct-document count instead.
+    *
+    * A three-micro-batch replay makes every keep/drop decision a pure
+    * function of the data (the stream_rollup_append determinism trick):
+    * batch 1 is the dup-free base corpus at event time ts = doc_id +
+    * [[TsOffset]]; batch 2
+    * is a single sentinel (a re-send of doc mx at ts = mx — always an
+    * in-horizon duplicate, so it never reaches the sink and never moves the
+    * watermark); batch 3 re-sends every 10th document (doc_id + 1000000) at
+    * ts = doc_id + [[ReplayGap]]. The sentinel batch is load-bearing:
+    * Spark applies the late-event filter with the PREVIOUS batch's
+    * watermark and evicts expired state at the END of a batch, so the
+    * batch right after the base corpus still runs with watermark 0 and a
+    * fully-populated state store — replays sent there are all swallowed as
+    * duplicates. One sentinel batch later the watermark is
+    * max(doc_id) - [[Horizon]] for both checks, and a replayed copy is
+    *   - dropped as LATE data when its own event time is behind the
+    *     watermark (doc_id + ReplayGap < mx - Horizon),
+    *   - dropped as an in-horizon DUPLICATE when the original's state has
+    *     not expired (doc_id + Horizon >= mx - Horizon),
+    *   - re-admitted otherwise: the original aged out of state, so the
+    *     copy is a new document — exactly the bounded-state contract.
+    * Horizon=97 / ReplayGap=300 keep both boundaries off the doc_id % 10
+    * lattice at every SF (max doc_id ends in 9), so no strict-vs-non-strict
+    * comparison edge is ever exercised; the oracle's WHERE clause encodes
+    * the same two rules.
+    */
+  def dedupWatermarkQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.model.Tables.documents(spark, dir)
+    val base = docs.select(col("doc_id"),
+      md5Hex(col("text")).as("text_hash"), (col("doc_id") + TsOffset).as("ts"))
+    val replay = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        md5Hex(col("text")).as("text_hash"),
+        (col("doc_id") + TsOffset + ReplayGap).as("ts"))
+    val mx = docs.agg(max("doc_id")).head().getLong(0)
+    val sentinel = docs.filter(col("doc_id") === mx)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        md5Hex(col("text")).as("text_hash"), (col("doc_id") + TsOffset).as("ts"))
+    val src = java.nio.file.Files.createTempDirectory("stream_dedup_wm_src").toString
+    writeOneFile(base, s"$src/batch0.parquet", ageMs = 120000)
+    writeOneFile(sentinel, s"$src/batch1.parquet", ageMs = 90000)
+    writeOneFile(replay, s"$src/batch2.parquet", ageMs = 60000)
+
+    val streamSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text_hash", StringType),
+      StructField("ts", LongType)))
+    val out = java.nio.file.Files.createTempDirectory("stream_dedup_wm_out").toString
+    CarbonStream.withStreamPartitions(spark) {
+      val q = spark.readStream
+        .schema(streamSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("tts", timestamp_seconds(col("ts")))
+        .withWatermark("tts", s"$Horizon seconds")
+        .dropDuplicatesWithinWatermark("text_hash")
+        .select("doc_id", "text_hash")
+        .writeStream
+        .format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/chk")
+        .outputMode("append")
+        .start()
+      try {
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+      }
+    }
+    spark.read.parquet(s"$out/data")
+  }
+
+  private val dedupWatermarkSql: String =
+    s"""WITH mx AS (SELECT max(doc_id) AS m FROM documents)
+       |SELECT doc_id, md5(text) AS text_hash FROM documents
+       |UNION ALL
+       |SELECT doc_id + 1000000 AS doc_id, md5(text) AS text_hash
+       |FROM documents, mx
+       |WHERE doc_id % 10 = 0
+       |  AND doc_id + $ReplayGap >= m - $Horizon
+       |  AND doc_id < m - 2 * $Horizon""".stripMargin
+
   def ops: Seq[Op] = Seq(
-    Op("stream_dedup_exact", dedupQuery, Some(dedupSql))
+    Op("stream_dedup_exact", dedupQuery, Some(dedupSql)),
+    Op("stream_dedup_watermark", dedupWatermarkQuery, Some(dedupWatermarkSql))
   )
 }

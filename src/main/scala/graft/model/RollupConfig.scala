@@ -54,14 +54,35 @@ object RollupConfig {
       Seq(w(600, 86400), w(3600, 2592000), w(86400, 31536000)))
   )
 
-  /** Priority-ordered definitions (first match wins; catchall last). */
-  val reference: Seq[RollupDef] = {
-    val (catchall, exprs) = raw.partition(_.isCatchall)
+  private def byPriority(defs: Seq[RollupDef]): Seq[RollupDef] = {
+    val (catchall, exprs) = defs.partition(_.isCatchall)
     exprs.sortWith { (a, b) =>
       if (a.key.length != b.key.length) a.key.length > b.key.length
       else a.key < b.key
     } ++ catchall
   }
+
+  /** Priority-ordered definitions (first match wins; catchall last). */
+  val reference: Seq[RollupDef] = byPriority(raw)
+
+  /** The post-reload config — what an operator ships on SIGHUP
+    * (reference config/config_parser.go LoadRollups re-parse; the daemon
+    * re-evaluates dispatch for every subsequent metric). Three realistic
+    * edits relative to [[reference]]: the error-path rule is retired (its
+    * paths fall through to the next match), a narrower signup rule is
+    * added (longer regex, so ByPriority re-sequences it ABOVE the old
+    * signup rule — the subtle reload hazard this operator exists to
+    * surface), and the purchase windows are coarsened.
+    */
+  val reloaded: Seq[RollupDef] = byPriority(Seq(
+    RollupDef("^servers\\.click\\..*",      RollupMethod.Sum,  Seq(w(60, 7200), w(3600, 604800), w(86400, 7776000))),
+    RollupDef("^servers\\.purchase\\..*",   RollupMethod.Sum,  Seq(w(3600, 2592000))),
+    RollupDef("^servers\\.signup\\.u[4-7]$", RollupMethod.Sum, Seq(w(300, 86400))),
+    RollupDef("^servers\\.signup\\..*",     RollupMethod.Last, Seq(w(3600, 2592000))),
+    RollupDef("^servers\\..*\\.u[0-3]$",    RollupMethod.Min,  Seq(w(3600, 604800))),
+    RollupDef(Catchall,                     RollupMethod.Average,
+      Seq(w(600, 86400), w(3600, 2592000), w(86400, 31536000)))
+  ))
 
   /** All distinct rollup tables, cassabon's `G.RollupTables`. */
   val tables: Seq[String] = reference.flatMap(_.windows.map(_.table)).distinct.sorted

@@ -185,9 +185,12 @@ object Dedup {
       .distinct()
   }
 
-  private val minhashLshSql: String = {
+  /** CTE chain ending in `pairs(doc_a, doc_b)` — the DuckDB mirror of
+    * [[minhashLsh]]; the cluster oracle builds on it.
+    */
+  private val minhashPairsCtes: String = {
     val permRows = perms.map { case (i, a, b) => s"($i, $a, $b)" }.mkString(", ")
-    s"""WITH $shinglesCtes,
+    s"""$shinglesCtes,
        |hashed AS (
        |  SELECT doc_id, ${hex2bigSql("md5(shingle)")} % $MinhashPrime AS hv FROM sh
        |),
@@ -200,11 +203,16 @@ object Dedup {
        |  SELECT doc_id, i // $BandRows AS band,
        |         md5(string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i)) AS sig
        |  FROM mh GROUP BY 1, 2
-       |)
-       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |FROM sigs a JOIN sigs b
-       |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin
+       |),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sigs a JOIN sigs b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |)""".stripMargin
   }
+
+  private val minhashLshSql: String =
+    s"WITH $minhashPairsCtes SELECT doc_a, doc_b FROM pairs"
 
   // ------------------------------------------------------------------- simhash
 
@@ -276,10 +284,85 @@ object Dedup {
        |  ON a.t = b.t AND a.piece = b.piece AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.sh, b.sh)) <= $HammingMax""".stripMargin
 
+  // ------------------------------------------------------ connected components
+
+  /** Near-dup CLUSTERS: connected components over the MinHash-LSH candidate
+    * pairs, then one dedup decision per document — `keep` iff it is its
+    * cluster's canonical (minimum) doc_id. This is the step a real dedup
+    * pipeline runs AFTER candidate generation: pairs alone can't be acted
+    * on, because transitive chains (A~B, B~C) must collapse to ONE kept
+    * document, not two independent pair-wise drops.
+    *
+    * Spark realization: iterative min-label propagation on the pair graph
+    * until fixpoint — label(v) := min(label(v), min over neighbors) — the
+    * standard distributed CC. Each iteration is one equality join + one
+    * groupBy ON THE CANDIDATE SUBGRAPH (pairs ≪ corpus; at 100 TB the
+    * loop never touches the document table), and the iteration count is
+    * the cluster diameter, which for near-dup graphs is small. Singletons
+    * join in only at the end, map-side against the converged label table.
+    * The iteration cap is a loud failure, not a silent truncation.
+    */
+  def cluster(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(spark, dir).cache()
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .cache()
+    var labels = edges.select(col("u").as("vid")).distinct()
+      .withColumn("lbl", col("vid")).cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 50) {
+      val prop = edges.join(labels, edges("u") === labels("vid"))
+        .select(edges("v").as("vid"), labels("lbl"))
+      val next = labels.select(col("vid"), col("lbl")).union(prop)
+        .groupBy("vid").agg(min("lbl").as("lbl")).cache()
+      val changed = next.join(labels.withColumnRenamed("lbl", "prev"), "vid")
+        .filter(col("lbl") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    require(converged, s"dedup_cluster: not converged after $iter iterations")
+    val mapped = Tables.documents(spark, dir).select("doc_id")
+      .join(broadcast(labels.withColumnRenamed("vid", "doc_id")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+    val sizes = mapped.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+    mapped.join(broadcast(sizes), "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("n_members"),
+        (col("doc_id") === col("cluster_id")).as("keep"))
+  }
+
+  /** Oracle: transitive closure over the same pairs via a recursive CTE —
+    * `reach(v, r)` = r is in v's component; cluster id = min reachable.
+    */
+  private val clusterSql: String =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM pairs
+       |),
+       |reach(v, r) AS (
+       |  SELECT u, u FROM edges
+       |  UNION
+       |  SELECT e.v, reach.r FROM edges e JOIN reach ON reach.v = e.u
+       |),
+       |comp AS (SELECT v, min(r) AS cluster_id FROM reach GROUP BY 1),
+       |m AS (
+       |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.v
+       |),
+       |sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members FROM m GROUP BY 1)
+       |SELECT m.doc_id, m.cluster_id, s.n_members,
+       |       m.doc_id = m.cluster_id AS keep
+       |FROM m JOIN sizes s USING (cluster_id)""".stripMargin
+
   def ops: Seq[Op] = Seq(
     Op("dedup_exact", exact, Some(exactSql)),
     Op("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     Op("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),
-    Op("dedup_simhash", simhash, Some(simhashSql))
+    Op("dedup_simhash", simhash, Some(simhashSql)),
+    Op("dedup_cluster", cluster, Some(clusterSql))
   )
 }

@@ -25,10 +25,10 @@ object Rollups {
   import RollupConfig.{Catchall, LastKeyShift, lastKeyGuarded}
 
   /** First-match-wins regex dispatch (metricstore.go:11-22) as a codegen'd
-    * `when` chain over the priority-ordered config.
+    * `when` chain over a priority-ordered config.
     */
-  def exprKey(path: Column): Column = {
-    val exprs = RollupConfig.reference.filterNot(_.isCatchall)
+  def exprKeyFor(config: Seq[RollupDef])(path: Column): Column = {
+    val exprs = config.filterNot(_.isCatchall)
     exprs.tail
       .foldLeft(when(path.rlike(exprs.head.key), exprs.head.key)) { (acc, d) =>
         acc.when(path.rlike(d.key), d.key)
@@ -36,12 +36,16 @@ object Rollups {
       .otherwise(Catchall)
   }
 
-  private def methodOf(exprCol: Column): Column =
-    RollupConfig.reference.tail
-      .foldLeft(when(exprCol === RollupConfig.reference.head.key,
-        RollupConfig.reference.head.method.name)) { (acc, d) =>
-        acc.when(exprCol === d.key, d.method.name)
+  def exprKey(path: Column): Column = exprKeyFor(RollupConfig.reference)(path)
+
+  private def methodFor(config: Seq[RollupDef])(exprCol: Column): Column =
+    config.tail
+      .foldLeft(when(exprCol === config.head.key, config.head.method.name)) {
+        (acc, d) => acc.when(exprCol === d.key, d.method.name)
       }
+
+  private def methodOf(exprCol: Column): Column =
+    methodFor(RollupConfig.reference)(exprCol)
 
   /** window close boundary: the point at `ts` belongs to the window that
     * closes at the next `w` boundary (datastore/util.go:nextTimeBoundary).
@@ -183,6 +187,45 @@ object Rollups {
       .withColumn("expr", exprKey(col("path")))
       .withColumn("method", methodOf(col("expr")))
 
+  /** Canonical `window:retention` list of a def — comparing these strings
+    * across configs is how a window-only edit (same regex, same method)
+    * still shows up in the reload delta.
+    */
+  private def winStr(d: RollupDef): String =
+    d.windows.map(w => s"${w.windowSec}:${w.retentionSec}").mkString(",")
+
+  private def winsFor(config: Seq[RollupDef])(exprCol: Column): Column =
+    config.tail
+      .foldLeft(when(exprCol === config.head.key, winStr(config.head))) {
+        (acc, d) => acc.when(exprCol === d.key, winStr(d))
+      }
+
+  /** Config-reload dispatch delta (the SIGHUP path: config/config_parser.go
+    * LoadRollups re-parse — the daemon re-evaluates every subsequent
+    * metric against the new priority list). For each (old rule → new rule)
+    * transition: how many paths move, and whether their method or window
+    * set changes — the impact table an operator reads BEFORE shipping a
+    * config edit, because ByPriority re-sequencing makes the blast radius
+    * non-obvious (a longer regex added anywhere lands ABOVE shorter ones).
+    *
+    * Plan shape: one distinct over paths (same single shuffle as
+    * rollup_dispatch), then both dispatch chains evaluate map-side and a
+    * final tiny groupBy on the transition key. At 100 TB dispatch delta is
+    * over the path CATALOG, not the point stream.
+    */
+  def redispatch(spark: SparkSession, dir: String): DataFrame =
+    Tables.metrics(spark, dir)
+      .select("path").distinct()
+      .withColumn("old_expr", exprKeyFor(RollupConfig.reference)(col("path")))
+      .withColumn("new_expr", exprKeyFor(RollupConfig.reloaded)(col("path")))
+      .withColumn("old_method", methodFor(RollupConfig.reference)(col("old_expr")))
+      .withColumn("new_method", methodFor(RollupConfig.reloaded)(col("new_expr")))
+      .withColumn("windows_changed",
+        winsFor(RollupConfig.reference)(col("old_expr")) =!=
+          winsFor(RollupConfig.reloaded)(col("new_expr")))
+      .groupBy("old_expr", "new_expr", "old_method", "new_method", "windows_changed")
+      .agg(count(lit(1)).as("paths"))
+
   /** TTL expiry (metricmanager.go:166-171 `default_time_to_live`): per
     * rollup table, how many rows survive `stat_time > now - retention`,
     * with `now` = the newest point in the stream (batch stand-in for
@@ -206,16 +249,28 @@ object Rollups {
 
   // ---------------------------------------------------------------- oracle sql
 
-  private def dispatchCaseSql(pathExpr: String): String = {
-    val whens = RollupConfig.reference.filterNot(_.isCatchall)
+  private def dispatchCaseSqlFor(config: Seq[RollupDef])(pathExpr: String): String = {
+    val whens = config.filterNot(_.isCatchall)
       .map(d => s"WHEN regexp_matches($pathExpr, '${d.key}') THEN '${d.key}'")
       .mkString(" ")
     s"CASE $whens ELSE '$Catchall' END"
   }
 
-  private def methodCaseSql(exprCol: String): String = {
-    val whens = RollupConfig.reference
+  private def dispatchCaseSql(pathExpr: String): String =
+    dispatchCaseSqlFor(RollupConfig.reference)(pathExpr)
+
+  private def methodCaseSqlFor(config: Seq[RollupDef])(exprCol: String): String = {
+    val whens = config
       .map(d => s"WHEN '${d.key}' THEN '${d.method.name}'").mkString(" ")
+    s"CASE $exprCol $whens END"
+  }
+
+  private def methodCaseSql(exprCol: String): String =
+    methodCaseSqlFor(RollupConfig.reference)(exprCol)
+
+  private def winCaseSqlFor(config: Seq[RollupDef])(exprCol: String): String = {
+    val whens = config
+      .map(d => s"WHEN '${d.key}' THEN '${winStr(d)}'").mkString(" ")
     s"CASE $exprCol $whens END"
   }
 
@@ -273,6 +328,27 @@ object Rollups {
        |SELECT path, ${dispatchCaseSql("path")} AS expr,
        |       ${methodCaseSql(dispatchCaseSql("path"))} AS method
        |FROM paths""".stripMargin
+
+  private val redispatchSql: String =
+    s"""WITH ${Tables.metricsSql},
+       |paths AS (SELECT DISTINCT path FROM metrics),
+       |d AS (
+       |  SELECT path,
+       |         ${dispatchCaseSqlFor(RollupConfig.reference)("path")} AS old_expr,
+       |         ${dispatchCaseSqlFor(RollupConfig.reloaded)("path")} AS new_expr
+       |  FROM paths
+       |),
+       |e AS (
+       |  SELECT old_expr, new_expr,
+       |         ${methodCaseSqlFor(RollupConfig.reference)("old_expr")} AS old_method,
+       |         ${methodCaseSqlFor(RollupConfig.reloaded)("new_expr")} AS new_method,
+       |         ${winCaseSqlFor(RollupConfig.reference)("old_expr")} <>
+       |           ${winCaseSqlFor(RollupConfig.reloaded)("new_expr")} AS windows_changed
+       |  FROM d
+       |)
+       |SELECT old_expr, new_expr, old_method, new_method, windows_changed,
+       |       CAST(count(*) AS BIGINT) AS paths
+       |FROM e GROUP BY 1, 2, 3, 4, 5""".stripMargin
 
   private val multiSql: String =
     s"WITH $rollupsCtes SELECT * FROM rollups"
@@ -348,6 +424,7 @@ object Rollups {
     Op("rollup_min",  singleMethod(RollupMethod.Min),     Some(singleMethodSql(RollupMethod.Min))),
     Op("rollup_last", singleMethod(RollupMethod.Last),    Some(singleMethodSql(RollupMethod.Last))),
     Op("rollup_dispatch", dispatch, Some(dispatchSql)),
+    Op("rollup_redispatch", redispatch, Some(redispatchSql)),
     Op("rollup_multi", rollups, Some(multiSql)),
     Op("retention_ttl", retentionTtl, Some(ttlSql))
   )

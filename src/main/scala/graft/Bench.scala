@@ -38,7 +38,13 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] ${op.name} failed: ${e.getMessage}")
       }
-      op.name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // inter-query isolation: one op must not re-price the ones after it.
+      // clearCache drops Dataset-level cache entries; the RDD sweep frees
+      // localCheckpoint blocks, which live OUTSIDE the CacheManager.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      op.name -> dt
     }
 
     val qs = results

@@ -301,34 +301,57 @@ object Dedup {
     * the cluster diameter, which for near-dup graphs is small. Singletons
     * join in only at the end, map-side against the converged label table.
     * The iteration cap is a loud failure, not a silent truncation.
+    *
+    * Scale/hygiene posture:
+    *  - every iteration `localCheckpoint`s the label frame, so the logical
+    *    plan stays ONE join+groupBy deep no matter the diameter (no
+    *    per-round reanalysis/codegen growth, no lineage-recompute risk);
+    *    on a real cluster this slots into `checkpoint()` on durable
+    *    storage unchanged;
+    *  - the converged labels are parked in a spill directory and read
+    *    back, so the RETURNED plan holds zero block-manager state — every
+    *    checkpoint block this op pinned is swept before returning
+    *    (`Dataset.unpersist` cannot free checkpoint blocks — they persist
+    *    at the RDD level, outside the CacheManager — hence the RDD-id
+    *    delta sweep);
+    *  - no broadcasts: labels join the corpus hint-free (AQE picks
+    *    broadcast while |near-dup vertices| is small, sort-merge when it
+    *    isn't), and `n_members` is a window count over `cluster_id` —
+    *    one shuffle of the corpus, never a per-document frame on the
+    *    driver.
     */
   def cluster(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLsh(spark, dir).cache()
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val pairs = minhashLsh(spark, dir).localCheckpoint() // eager: ONE corpus pass
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .cache()
+      .localCheckpoint()
     var labels = edges.select(col("u").as("vid")).distinct()
-      .withColumn("lbl", col("vid")).cache()
+      .withColumn("lbl", col("vid")).localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < 50) {
       val prop = edges.join(labels, edges("u") === labels("vid"))
         .select(edges("v").as("vid"), labels("lbl"))
       val next = labels.select(col("vid"), col("lbl")).union(prop)
-        .groupBy("vid").agg(min("lbl").as("lbl")).cache()
+        .groupBy("vid").agg(min("lbl").as("lbl")).localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("lbl", "prev"), "vid")
         .filter(col("lbl") =!= col("prev")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
     require(converged, s"dedup_cluster: not converged after $iter iterations")
+    val spill = java.nio.file.Files.createTempDirectory("graft_cc_labels").toString
+    labels.withColumnRenamed("vid", "doc_id").write.mode("overwrite").parquet(spill)
+    spark.sparkContext.getPersistentRDDs
+      .foreach { case (id, rdd) => if (!pinnedBefore.contains(id)) rdd.unpersist(false) }
     val mapped = Tables.documents(spark, dir).select("doc_id")
-      .join(broadcast(labels.withColumnRenamed("vid", "doc_id")), Seq("doc_id"), "left")
+      .join(spark.read.parquet(spill), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
-    val sizes = mapped.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
-    mapped.join(broadcast(sizes), "cluster_id")
+    mapped
+      .withColumn("n_members",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
       .select(col("doc_id"), col("cluster_id"), col("n_members"),
         (col("doc_id") === col("cluster_id")).as("keep"))
   }

@@ -259,6 +259,26 @@ object Similarity {
   val CentroidMod = 125 // coarse quantizer: every 125th vector is a centroid
   val NProbe = 2
 
+  /** Per-vector nearest-centroid assignment (argmax cosine, c_id asc
+    * tiebreak) as a `max_by` PARTIAL AGGREGATION instead of a window rank:
+    * after the broadcast crossJoin each vector's k scored rows are
+    * co-resident by construction, so map-side combine collapses them to
+    * ONE buffer before the exchange — the shuffle carries n rows (not
+    * n×k) and there is no sort anywhere. The tiebreak rides inside the
+    * ordering key `struct(ccos, -c_id)`, which is unique, so `max_by` is
+    * deterministic and agrees bit-for-bit with the oracle's
+    * `row_number() ... ORDER BY ccos DESC, c_id` at rank 1.
+    */
+  private def assignNearest(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        expr(dotExpr("v", "cv")) / (sqrt(col("nrm")) * sqrt(col("cn"))))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("v"), col("nrm"), col("c_id")),
+        struct(col("ccos"), -col("c_id"))).as("b"))
+      .select(col("vec_id"), col("b.v").as("v"), col("b.nrm").as("nrm"),
+        col("b.c_id").as("c_id"))
+
   /** IVF-flat ANN: a deterministic coarse quantizer (every 125th vector
     * serves as a centroid — a k-means iteration would slot in here
     * unchanged), inverted lists by nearest centroid, probes scan only
@@ -271,24 +291,19 @@ object Similarity {
     val cents = vecs.filter(col("vec_id") % CentroidMod === 1)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
 
-    // ONE centroid-distance branch serves both roles (the oracle's single
-    // ranked_c CTE): corpus assignment = crn 1, probe lists = the probe
-    // subset at crn <= NProbe. The probe side is a SUBSET of the corpus, so
-    // recomputing its centroid distances on a second branch only duplicated
-    // work — and, worse, compiled the unrolled 64-term dot into a second
-    // distinct codegen stage. With a shared subtree the duplicated plan
-    // fragments generate IDENTICAL source, so Spark's codegen cache compiles
-    // them once and the exchange under the window is reused.
-    val ranked = vecs.crossJoin(broadcast(cents))
+    // Corpus assignment is the sort-free max_by aggregation (see
+    // [[assignNearest]]); the probe top-NProbe lists still use a window
+    // rank, but only over the 1/ProbeMod probe SUBSET × k — negligible
+    // beside the corpus, and filtering before the crossJoin keeps the
+    // big branch free of any n×k exchange or sort.
+    val assigned = assignNearest(vecs, cents)
+    val probeLists = vecs.filter(col("vec_id") % ProbeMod === 0)
+      .crossJoin(broadcast(cents))
       .withColumn("ccos",
         expr(dotExpr("v", "cv")) / (sqrt(col("nrm")) * sqrt(col("cn"))))
       .withColumn("crn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("c_id"))))
       .filter(col("crn") <= NProbe)
-
-    val assigned = ranked.filter(col("crn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("c_id"))
-    val probeLists = ranked.filter(col("vec_id") % ProbeMod === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"), col("c_id"))
 
     val cands = assigned.join(broadcast(probeLists), Seq("c_id"))
@@ -347,8 +362,9 @@ object Similarity {
     * centroid-curation loop behind semantic dedup / dataset clustering at
     * 100 TB is just this step applied repeatedly.
     *
-    * Plan shape: centroid assignment is a broadcast crossJoin + per-vector
-    * argmin (WindowGroupLimit); the recompute is ONE groupBy(c_id) whose
+    * Plan shape: centroid assignment is the broadcast crossJoin +
+    * sort-free max_by aggregation of [[assignNearest]]; the recompute is
+    * ONE groupBy(c_id) whose
     * 64 per-dimension sums ride the same partial aggregate (map-side
     * combine shrinks the shuffle to |centroids| rows of 65 exact bigints —
     * the dedup_minhash single-agg trick), then a `posexplode` to long
@@ -359,12 +375,7 @@ object Similarity {
     val vecs = fixedVecs(spark, dir)
     val cents = vecs.filter(col("vec_id") % CentroidMod === 1)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val assigned = vecs.crossJoin(broadcast(cents))
-      .withColumn("ccos",
-        expr(dotExpr("v", "cv")) / (sqrt(col("nrm")) * sqrt(col("cn"))))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("c_id"))))
-      .filter(col("crn") === 1)
+    val assigned = assignNearest(vecs, cents)
     val sums = assigned.groupBy("c_id")
       .agg(count(lit(1)).as("n"),
         (1 to Dim).map(i => sum(expr(s"element_at(v, $i)")).as(s"s$i")): _*)

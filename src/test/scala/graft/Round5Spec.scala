@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity}
+
+/** Round-5 additions: dedup_cluster block-manager hygiene, the sort-free
+  * max_by centroid assignment, and the SURVEY §2 <-> Registry coverage pin.
+  */
+class Round5Spec extends AnyFunSuite with TestSpark {
+
+  test("dedup_cluster pins no block-manager state after materialization") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = Dedup.cluster(spark, Sf)
+    val n = out.count()
+    assert(n > 0)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"dedup_cluster leaked persistent RDDs: $leaked — localCheckpoint " +
+        "blocks must be swept before the operator returns")
+  }
+
+  test("dedup_cluster result is re-materializable (plan self-contained after sweep)") {
+    // The returned plan must not depend on swept checkpoint blocks: running
+    // the SAME DataFrame twice must work and agree.
+    val out = Dedup.cluster(spark, Sf)
+    val first = out.collect().map(_.toString).sorted
+    val second = out.collect().map(_.toString).sorted
+    assert(first.sameElements(second))
+  }
+
+  test("dedup_cluster clusters are transitively closed with window-counted sizes") {
+    val rows = Dedup.cluster(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_._1).min == cid, s"cluster $cid canonical must be min doc_id")
+      assert(members.forall(_._3 == members.length.toLong), s"n_members wrong in $cid")
+      assert(members.count(_._4) == 1, s"exactly one kept doc in $cid")
+      assert(members.find(_._4).get._1 == cid, s"kept doc must be the canonical of $cid")
+    }
+  }
+
+  test("max_by centroid assignment equals the window-rank argmin") {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = graft.model.Tables.embeddings(spark, Sf)
+      .select(col("vec_id"),
+        expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${Similarity.Scale}) AS BIGINT))").as("v"))
+      .withColumn("nrm", expr(
+        (1 to Similarity.Dim).map(i => s"element_at(v, $i) * element_at(v, $i)").mkString(" + ")))
+    val cents = vecs.filter(col("vec_id") % Similarity.CentroidMod === 1)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val dot = (1 to Similarity.Dim)
+      .map(i => s"element_at(v, $i) * element_at(cv, $i)").mkString(" + ")
+    val windowed = vecs.crossJoin(broadcast(cents))
+      .withColumn("ccos", expr(dot) / (sqrt(col("nrm")) * sqrt(col("cn"))))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("c_id"))))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("c_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaKmeans = Similarity.kmeansStep(spark, Sf) // exercises assignNearest
+    assert(viaKmeans.count() > 0)
+    val viaMaxBy = vecs.crossJoin(broadcast(cents))
+      .withColumn("ccos", expr(dot) / (sqrt(col("nrm")) * sqrt(col("cn"))))
+      .groupBy("vec_id")
+      .agg(max_by(col("c_id"), struct(col("ccos"), -col("c_id"))).as("c_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaMaxBy === windowed,
+      "max_by(struct(ccos, -c_id)) must reproduce ORDER BY ccos DESC, c_id rank 1")
+  }
+
+  test("SURVEY §2 operator inventory is 1:1 with Registry.ops") {
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val s2 = survey.split("## §2")(1).split("## §3")(0)
+    val registryKeys = Registry.ops.map(_.name).toSet
+    assert(registryKeys.size == Registry.ops.size, "duplicate registry keys")
+    // every registry key must appear as a backticked token in §2
+    val ticked = "`([a-z0-9_]+)`".r.findAllMatchIn(s2).map(_.group(1)).toSet
+    val missing = registryKeys -- ticked
+    assert(missing.isEmpty,
+      s"registry keys missing from SURVEY §2: $missing — add a row before shipping")
+    // and the stated headline count must equal the registry size
+    val stated = "ALL (\\d+) QUERY KEYS".r.findFirstMatchIn(s2).map(_.group(1).toInt)
+    assert(stated.contains(Registry.ops.size),
+      s"SURVEY §2 headline count $stated != registry size ${Registry.ops.size}")
+  }
+}

@@ -25,5 +25,6 @@ object Registry {
       graft.operators.Multimodal.ops ++
       graft.operators.Analytics.ops ++
       graft.streaming.CarbonStream.ops ++
-      graft.streaming.DedupStream.ops
+      graft.streaming.DedupStream.ops ++
+      graft.streaming.SessionStream.ops
 }

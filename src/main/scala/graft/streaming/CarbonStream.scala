@@ -33,14 +33,44 @@ object CarbonStream {
     */
   val StreamShufflePartitions = 8
 
+  /** The default HDFS-backed state store keeps every state version ON-HEAP
+    * per executor — fine for the ~10k-key fixtures, but at a 100 TB
+    * ingest the keyed-state working set is what bounds how long a
+    * stateful query can run. RocksDB keeps state off-heap/on-disk with
+    * changelog checkpointing, so state size is bounded by executor DISK,
+    * not heap — the run-forever posture. Opt in per session with
+    * `spark.graft.stateStore.rocksdb=true` (or env
+    * `SPARK_GRAFT_ROCKSDB=1`); the flag is read at `start()` time by
+    * [[withStreamPartitions]], so batch plans and existing benchmarks are
+    * untouched.
+    */
+  val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  val RocksDbFlag = "spark.graft.stateStore.rocksdb"
+  private val ProviderConf = "spark.sql.streaming.stateStore.providerClass"
+
+  private def rocksDbEnabled(spark: SparkSession): Boolean =
+    spark.conf.getOption(RocksDbFlag)
+      .orElse(sys.env.get("SPARK_GRAFT_ROCKSDB"))
+      .exists(v => v == "true" || v == "1")
+
   /** Run `body` with the session's shuffle partitions temporarily lowered
-    * to [[StreamShufflePartitions]] (streaming plans bind the value at
-    * `start()`), restoring the batch setting afterwards.
+    * to [[StreamShufflePartitions]] and, when [[RocksDbFlag]] is set, the
+    * RocksDB state-store provider selected (streaming plans bind both
+    * values at `start()`), restoring the batch settings afterwards.
     */
   def withStreamPartitions[T](spark: SparkSession)(body: => T): T = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevProvider = spark.conf.getOption(ProviderConf)
     spark.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions.toString)
-    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    if (rocksDbEnabled(spark)) spark.conf.set(ProviderConf, RocksDbProvider)
+    try body finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      prevProvider match {
+        case Some(p) => spark.conf.set(ProviderConf, p)
+        case None => spark.conf.unset(ProviderConf)
+      }
+    }
   }
 
   val eventsSchema: StructType = StructType(Seq(

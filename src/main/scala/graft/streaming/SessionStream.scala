@@ -1,7 +1,12 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoders}
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.Op
 
 /** Stateful streaming sessionization: the `flatMapGroupsWithState` twin of
   * the batch `sessionize` operator (gap-based, 30 min default). Each user's
@@ -11,6 +16,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * This is the engine's template for custom streaming state beyond windowed
   * aggregation (cassabon's accumulate loop generalized to arbitrary
   * per-key state machines).
+  *
+  * Scale posture: state is ONE OpenSession struct per active user —
+  * independent of stream length. A production deployment adds
+  * `EventTimeTimeout` so idle users' sessions close and evict on watermark
+  * advance (the same bounded-state contract as stream_dedup_watermark);
+  * the registry entry replays a finite fixture, where the still-open
+  * sessions simply never emit.
   */
 object SessionStream {
 
@@ -46,4 +58,80 @@ object SessionStream {
           closed.result().iterator
         })
   }
+
+  /** Driver-oracled replay: the events fixture streamed through the real
+    * `flatMapGroupsWithState` engine in ONE micro-batch (one parquet file,
+    * no maxFilesPerTrigger), memory sink, append mode. Within the batch
+    * each user's full event set reaches one state-function call, which
+    * sorts by (ts, event_id) — so the emitted rows are a pure function of
+    * the data: EVERY batch session except each user's last one, which is
+    * still open in state when the fixture ends (cassabon's
+    * still-accumulating buckets at shutdown, exactly like the
+    * stream_rollup_append tail windows). That set difference IS the
+    * oracle's WHERE clause.
+    */
+  def sessionizeQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    implicit val se = Encoders.product[SessEvent]
+    val events = spark.readStream
+      .schema(CarbonStream.eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("user_id"), expr("ts DIV 1000000000").as("ts_sec"), col("event_id"))
+      .as[SessEvent]
+    val sink = "stream_sessionize_" + UUID.randomUUID().toString.replace("-", "")
+    CarbonStream.withStreamPartitions(spark) {
+      val q = sessionize(events, graft.operators.Analytics.SessionGapSec)
+        .toDF()
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .start()
+      try {
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+      }
+    }
+    spark.table(sink)
+  }
+
+  /** Oracle: the batch sessionization minus each user's final (open)
+    * session — the streaming engine can only CLOSE a session when a
+    * later event exceeds the gap, so the last session per user never
+    * emits on a finite stream.
+    */
+  private val sessionizeStreamSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, event_id
+       |  FROM events
+       |),
+       |flagged AS (
+       |  SELECT user_id, ts_sec, event_id,
+       |         CASE WHEN lag(ts_sec) OVER w IS NULL
+       |                   OR ts_sec - lag(ts_sec) OVER w > ${graft.operators.Analytics.SessionGapSec}
+       |              THEN 1 ELSE 0 END AS new_sess
+       |  FROM ev
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+       |),
+       |sessions AS (
+       |  SELECT user_id, ts_sec,
+       |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+       |                             ROWS UNBOUNDED PRECEDING) AS session_seq
+       |  FROM flagged
+       |),
+       |agg AS (
+       |  SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       |         min(ts_sec) AS session_start, max(ts_sec) AS session_end,
+       |         CAST(count(*) AS BIGINT) AS n_events
+       |  FROM sessions GROUP BY 1, 2
+       |)
+       |SELECT user_id, session_seq, session_start, session_end, n_events
+       |FROM (SELECT a.*, max(session_seq) OVER (PARTITION BY user_id) AS mx FROM agg a)
+       |WHERE session_seq < mx""".stripMargin
+
+  def ops: Seq[Op] = Seq(
+    Op("stream_sessionize", sessionizeQuery, Some(sessionizeStreamSql))
+  )
 }

@@ -142,5 +142,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("pearson_hash64"),
       new ExpressionInfo("graft.functions.PearsonHash64", "pearson_hash64"),
       (args: Seq[Expression]) => PearsonHash64(args.head)))
+    e.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo("graft.functions.VecDot", "vec_dot"),
+      (args: Seq[Expression]) => VecDot(args(0), args(1))))
   }
 }

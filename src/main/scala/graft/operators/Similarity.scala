@@ -26,15 +26,17 @@ object Similarity {
   val TopK = 5
   val Dim = 64                // embedding dimension (embeddings.parquet contract)
 
-  /** Exact integer dot product as an UNROLLED 64-term sum. Spark's
-    * higher-order functions (`aggregate`/`zip_with`) evaluate their lambda
-    * interpreted with per-element boxing — outside whole-stage codegen —
-    * which made the dot product ~25x slower than this flat expression and
-    * put the brute-force baseline at 29% of the whole bench. The unrolled
-    * form is plain arithmetic over `element_at`, fully codegen'd.
+  /** Exact integer dot product via the native `vec_dot` expression
+    * (graft.functions.VecMath): codegen'd as one static call whose loop
+    * lives in pre-compiled bytecode. Supersedes the r3 64-term unrolled
+    * `element_at` sum — as fast to run (JIT unrolls the loop), but the
+    * generated source per stage drops from ~1 KLoC to one line, so janino
+    * compile time no longer dominates the ANN suite at bench scale.
+    * (Higher-order functions remain off the table: `aggregate`/`zip_with`
+    * lambdas evaluate interpreted with per-element boxing, measured ~25x
+    * slower in r3.)
     */
-  private def dotExpr(a: String, b: String): String =
-    (1 to Dim).map(i => s"element_at($a, $i) * element_at($b, $i)").mkString(" + ")
+  private def dotExpr(a: String, b: String): String = s"vec_dot($a, $b)"
 
   private val toFixed =
     s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $Scale) AS BIGINT))"
@@ -42,10 +44,12 @@ object Similarity {
     s"[CAST(floor(CAST(x AS DOUBLE) * $Scale) AS BIGINT) for x in embedding]"
 
   /** (vec_id, v fixed-point, nrm = |v|^2 exact). */
-  private def fixedVecs(spark: SparkSession, dir: String): DataFrame =
+  private def fixedVecs(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VecMath.register(spark)
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), expr(toFixed).as("v"))
       .withColumn("nrm", expr(dotExpr("v", "v")))
+  }
 
   private val fixedVecsCtes: String =
     s"""iv AS (SELECT vec_id, $toFixedSql AS v FROM embeddings),

@@ -71,6 +71,27 @@ class Round5Spec extends AnyFunSuite with TestSpark {
       "max_by(struct(ccos, -c_id)) must reproduce ORDER BY ccos DESC, c_id rank 1")
   }
 
+  test("vec_dot native expression equals the unrolled element_at dot") {
+    graft.functions.VecMath.register(spark)
+    val vecs = graft.model.Tables.embeddings(spark, Sf)
+      .select(col("vec_id"),
+        expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${Similarity.Scale}) AS BIGINT))").as("v"))
+    val unrolled = (1 to Similarity.Dim)
+      .map(i => s"element_at(v, $i) * element_at(v, $i)").mkString(" + ")
+    val mismatches = vecs
+      .withColumn("a", expr("vec_dot(v, v)"))
+      .withColumn("b", expr(unrolled))
+      .filter(col("a") =!= col("b")).count()
+    assert(mismatches == 0)
+    // and it must not break whole-stage codegen: the projection holding
+    // vec_dot must carry the `*(n)` codegen marker (the `transform` HOF
+    // stage below it never codegens — that seam predates vec_dot)
+    val plan = vecs.withColumn("a", expr("vec_dot(v, v)"))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("vec_dot") && l.trim.startsWith("*(")),
+      plan)
+  }
+
   test("RocksDB state store flag: stateful streaming dedup runs on RocksDB and matches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx = spark.sqlContext

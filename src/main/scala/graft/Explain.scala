@@ -11,8 +11,10 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = args.drop(1).headOption
       .map(_.split(",").toSeq)
-      .getOrElse(Seq("rollup_multi", "q3_shipping", "q5_region", "ann_cosine_topk",
-        "dedup_minhash_lsh", "metric_fetch", "sessionize", "index_build"))
+      .getOrElse(Seq("rollup_multi", "rollup_redispatch", "q3_shipping", "q5_region",
+        "ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf", "kmeans_step",
+        "dedup_minhash_lsh", "dedup_embedding_cosine", "dedup_cluster",
+        "peer_rebalance", "metric_fetch", "sessionize", "index_build"))
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

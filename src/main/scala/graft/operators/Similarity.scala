@@ -266,9 +266,12 @@ object Similarity {
   /** Per-vector nearest-centroid assignment (argmax cosine, c_id asc
     * tiebreak) as a `max_by` PARTIAL AGGREGATION instead of a window rank:
     * after the broadcast crossJoin each vector's k scored rows are
-    * co-resident by construction, so map-side combine collapses them to
-    * ONE buffer before the exchange — the shuffle carries n rows (not
-    * n×k) and there is no sort anywhere. The tiebreak rides inside the
+    * co-resident by construction, so the partial aggregate collapses them
+    * to ONE buffer map-side — the exchange carries n rows, not n×k (the
+    * r4 window shuffled and ranked the full n×k). The struct ordering key
+    * makes this a SortAggregate (struct buffers aren't hash-aggregable),
+    * but its partial sort is by the group key alone on map-local rows;
+    * the n×k data never crosses the wire. The tiebreak rides inside the
     * ordering key `struct(ccos, -c_id)`, which is unique, so `max_by` is
     * deterministic and agrees bit-for-bit with the oracle's
     * `row_number() ... ORDER BY ccos DESC, c_id` at rank 1.

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.api.MetricsApi
 import graft.model.Tables
-import graft.operators.{Dedup, Rollups, TextOps}
+import graft.operators.{Dedup, Rollups, Similarity, TextOps}
 import graft.sources.RollupStore
 import graft.streaming.CarbonStream
 
@@ -52,6 +52,15 @@ object Demo {
     val sampled = TextOps.sampleStratified(spark, dir).count()
     val bins = TextOps.packSequences(spark, dir).agg(max("bin")).collect().head.getLong(0) + 1
     println(s"[demo] pipeline: $nearDups near-dup pairs, $sampled docs sampled, $bins context bins")
+
+    // 5. pair candidates alone can't be acted on: collapse transitive
+    //    chains to one kept doc per cluster, then check the ANN quality
+    //    dial the sketches depend on
+    val dropped = Dedup.cluster(spark, dir).filter(!col("keep")).count()
+    println(s"[demo] dedup_cluster: $dropped docs dropped as transitive near-dups")
+    val rec = Similarity.recall(spark, dir).collect()
+      .map(r => s"${r.getString(0)}=${r.getDouble(3)}").sorted.mkString(", ")
+    println(s"[demo] ann recall@5 vs brute force: $rec")
 
     spark.stop()
   }

@@ -146,5 +146,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo("graft.functions.VecDot", "vec_dot"),
       (args: Seq[Expression]) => VecDot(args(0), args(1))))
+    e.injectFunction((
+      FunctionIdentifier("vec_signbits"),
+      new ExpressionInfo("graft.functions.VecSignBits", "vec_signbits"),
+      (args: Seq[Expression]) => VecSignBits.fromArgs(args)))
   }
 }

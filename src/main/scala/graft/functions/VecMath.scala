@@ -36,13 +36,79 @@ object VecMath {
     s
   }
 
-  /** Register `vec_dot` as a SQL function on an existing session (the
-    * programmatic twin of [[GraftExtensions]], same pattern as
-    * [[Pearson.register]]).
+  /** Bit-packed hyperplane sign pattern: bit k of the result is set iff
+    * the signed sum `Σ_i (±v_i)` for plane k is >= 0, where plane k's
+    * signs are encoded in `masks(k)` (bit i set = +1 for coordinate i,
+    * clear = -1; [[Similarity.Dim]] = 64 coordinates fit one Long
+    * exactly). Replaces the unrolled per-plane CASE/signed-sum strings —
+    * a 2-band × 8-plane signature was ~1 KLoC of generated source; this
+    * is one static call, loops JIT-compiled, same exact integer result.
     */
-  def register(spark: SparkSession): Unit =
+  def signBits(v: ArrayData, masks: Array[Long]): Long = {
+    var out = 0L
+    var k = 0
+    while (k < masks.length) {
+      val m = masks(k)
+      var s = 0L
+      var i = 0
+      while (i < 64) {
+        val x = v.getLong(i)
+        s += (if (((m >> i) & 1L) == 1L) x else -x)
+        i += 1
+      }
+      if (s >= 0L) out |= (1L << k)
+      k += 1
+    }
+    out
+  }
+
+  /** ±1 plane rows -> sign-mask encoding for [[signBits]]. */
+  def planeMasks(planes: Seq[Seq[Long]]): Array[Long] =
+    planes.map(_.zipWithIndex.foldLeft(0L) {
+      case (m, (s, i)) => if (s > 0L) m | (1L << i) else m
+    }).toArray
+
+  /** Register `vec_dot` / `vec_signbits` as SQL functions on an existing
+    * session (the programmatic twin of [[GraftExtensions]], same pattern
+    * as [[Pearson.register]]). `vec_signbits(v, array(m0, m1, ...))`
+    * requires a foldable mask array — it is evaluated once at plan-build
+    * time and baked into the expression as config, not a child.
+    */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", args => VecDot(args(0), args(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_signbits", args => VecSignBits.fromArgs(args), "built-in")
+  }
+}
+
+/** `vec_signbits(v, masks)`: bit-packed hyperplane signs, one static call.
+  * `masks` is plan-build-time config (a folded array literal), not a child.
+  */
+case class VecSignBits(child: Expression, masks: Array[Long])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    VecMath.signBits(v.asInstanceOf[ArrayData], masks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("signMasks", masks, "long[]")
+    defineCodeGen(ctx, ev, v => s"graft.functions.VecMath.signBits($v, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): VecSignBits =
+    copy(child = newChild)
+  override def prettyName: String = "vec_signbits"
+}
+
+object VecSignBits {
+  def fromArgs(args: Seq[Expression]): VecSignBits = {
+    require(args.length == 2 && args(1).foldable,
+      "vec_signbits(v, masks) needs a foldable mask array")
+    val masks = args(1).eval() match {
+      case a: ArrayData => a.toLongArray()
+      case other => throw new IllegalArgumentException(s"bad masks: $other")
+    }
+    VecSignBits(args(0), masks)
+  }
 }
 
 /** `vec_dot(a, b)`: codegen emits a single static call (see [[VecMath]]). */

@@ -134,15 +134,26 @@ object Similarity {
 
   val planes: Seq[(Int, Seq[Long])] = mkPlanes(NumPlanes)
 
-  /** Bit-packed sign pattern of all 8 planes as ONE expression — the bucket
+  /** Bit-packed sign pattern of all planes as ONE expression — the bucket
     * is a map-only projection. A ±1-plane dot is a signed SUM (see
-    * [[signedDot]]), so the whole 8-plane signature is plain codegen'd
-    * arithmetic: no plane crossJoin, no groupBy, no join back to the corpus.
+    * [[signedDot]]), so the whole signature is plain codegen'd
+    * arithmetic: no plane crossJoin, no groupBy, no join back to the
+    * corpus. This string form renders the DuckDB oracle; the Spark side
+    * uses the native `vec_signbits` call ([[sigCall]]) with identical
+    * semantics and ~1 KLoC less generated source per stage.
     */
   private def bucketExpr(elem: Int => String): String =
     planes.map { case (j, rv) =>
       s"(CASE WHEN (${signedDot(rv, elem)}) >= 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
+
+  /** Spark-side signature: native `vec_signbits(v, masks)` over the given
+    * ±1 plane rows (graft.functions.VecMath) — masks fold at plan build.
+    */
+  private def sigCall(planeRows: Seq[Seq[Long]]): String = {
+    val masks = graft.functions.VecMath.planeMasks(planeRows)
+    s"vec_signbits(v, array(${masks.map(m => s"${m}L").mkString(",")}))"
+  }
 
   /** Random-hyperplane LSH: bucket = sign pattern of [[NumPlanes]] plane
     * dots; probes join the corpus on bucket equality over the distance-1
@@ -155,7 +166,7 @@ object Similarity {
     */
   def lshBucketed(spark: SparkSession, dir: String): DataFrame = {
     val withB = fixedVecs(spark, dir)
-      .withColumn("bucket", expr(bucketExpr(i => s"element_at(v, $i)")))
+      .withColumn("bucket", expr(sigCall(planes.map(_._2))))
     val probes = withB.filter(col("vec_id") % ProbeMod === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
         col("bucket").as("qb0"))
@@ -242,10 +253,11 @@ object Similarity {
     * band width is the dial that keeps bucket sizes bounded as n grows.
     */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val elem = (i: Int) => s"element_at(v, $i)"
+    def bandRows(band: Int): Seq[Seq[Long]] =
+      (0 until DupPlanesPerBand).map(k => dupPlanes(band * DupPlanesPerBand + k)._2)
     val sigs = fixedVecs(spark, dir)
-      .withColumn("sig0", expr(sigExpr(0, elem)))
-      .withColumn("sig1", expr(sigExpr(1, elem)))
+      .withColumn("sig0", expr(sigCall(bandRows(0))))
+      .withColumn("sig1", expr(sigCall(bandRows(1))))
     def bandPairs(sig: String): DataFrame =
       sigs.as("a").join(sigs.as("b"),
           col(s"a.$sig") === col(s"b.$sig") && col("a.vec_id") < col("b.vec_id"))

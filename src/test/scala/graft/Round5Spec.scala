@@ -92,6 +92,29 @@ class Round5Spec extends AnyFunSuite with TestSpark {
       plan)
   }
 
+  test("vec_signbits equals the unrolled CASE signed-sum signature") {
+    graft.functions.VecMath.register(spark)
+    // an arbitrary 10-plane set exercised against the closed-form string
+    var x = 99L
+    def next(): Long = { x = (1103515245L * x + 12345L) % (1L << 31); x }
+    val planeRows: Seq[Seq[Long]] =
+      Seq.fill(10)(Seq.fill(Similarity.Dim)(if ((next() & 1L) == 1L) 1L else -1L))
+    def signedDot(rv: Seq[Long]) =
+      "0 " + rv.zipWithIndex.map { case (s, i) =>
+        (if (s > 0L) "+ " else "- ") + s"element_at(v, ${i + 1})" }.mkString(" ")
+    val unrolled = planeRows.zipWithIndex.map { case (rv, j) =>
+      s"(CASE WHEN (${signedDot(rv)}) >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    val masks = graft.functions.VecMath.planeMasks(planeRows)
+    val call = s"vec_signbits(v, array(${masks.map(m => s"${m}L").mkString(",")}))"
+    val vecs = graft.model.Tables.embeddings(spark, Sf)
+      .select(expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${Similarity.Scale}) AS BIGINT))").as("v"))
+    val mismatches = vecs
+      .withColumn("a", expr(call)).withColumn("b", expr(unrolled))
+      .filter(col("a") =!= col("b")).count()
+    assert(mismatches == 0)
+  }
+
   test("RocksDB state store flag: stateful streaming dedup runs on RocksDB and matches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx = spark.sqlContext

@@ -92,6 +92,19 @@ class Round5Spec extends AnyFunSuite with TestSpark {
       plan)
   }
 
+  test("NO batch operator pins block-manager state after materialization") {
+    // the generalized r4 lesson: one leaked cache silently re-prices every
+    // bench line after it. Any future op that caches/checkpoints without
+    // sweeping fails here, not in a driver bench autopsy.
+    val batchOps = Registry.ops.filterNot(_.name.startsWith("stream_"))
+    batchOps.foreach { op =>
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      op.run(spark, Sf).write.format("noop").mode("overwrite").save()
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+      assert(leaked.isEmpty, s"${op.name} leaked persistent RDDs: $leaked")
+    }
+  }
+
   test("vec_signbits equals the unrolled CASE signed-sum signature") {
     graft.functions.VecMath.register(spark)
     // an arbitrary 10-plane set exercised against the closed-form string

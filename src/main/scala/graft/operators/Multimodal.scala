@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Op
@@ -138,8 +138,81 @@ object Multimodal {
        |       CAST(unnest(generate_series(0, n_frames - 1)) * (duration_ms // n_frames) AS BIGINT) AS frame_ts_ms
        |FROM f""".stripMargin
 
+  // ------------------------------------------------------------------ resize
+
+  /** Aspect-fit resize planning into the training canvas: the geometry a
+    * pipeline actually joins and filters on — output dims, upscale flag —
+    * in EXACT integer math (long side pinned to [[ResizeBox]], short side
+    * floor-scaled), so both engines agree without any float rounding. The
+    * pixel kernel itself is the same pluggable seam as decode
+    * ([[metaMapPartitions]]); a real resizer changes no column contract.
+    */
+  val ResizeBox = 224
+
+  def resize(spark: SparkSession, dir: String): DataFrame =
+    meta(spark, dir)
+      .select(col("doc_id"), col("media_kind"), col("width"), col("height"),
+        when(col("width") >= col("height"), lit(ResizeBox))
+          .otherwise(expr(s"width * $ResizeBox div height")).cast("int").as("out_w"),
+        when(col("width") >= col("height"), expr(s"height * $ResizeBox div width"))
+          .otherwise(lit(ResizeBox)).cast("int").as("out_h"),
+        (greatest(col("width"), col("height")) < ResizeBox).as("upscaled"))
+
+  private val resizeSql: String =
+    s"""SELECT doc_id, media_kind, width, height,
+       |       CAST(CASE WHEN width >= height THEN $ResizeBox
+       |                 ELSE width * $ResizeBox // height END AS INT) AS out_w,
+       |       CAST(CASE WHEN width >= height THEN height * $ResizeBox // width
+       |                 ELSE $ResizeBox END AS INT) AS out_h,
+       |       greatest(width, height) < $ResizeBox AS upscaled
+       |FROM ($metaSql)""".stripMargin
+
+  // ---------------------------------------------------------------- features
+
+  /** Feature extraction: a fixed-length per-blob feature vector in
+    * FIXED-POINT integer lanes (16 bits each, the repo's no-float-sums
+    * policy) — here derived deterministically from the content digest,
+    * because the container ships no codecs; a real extractor (CLIP
+    * embedding, mel-spectrogram stats, ...) replaces the digest derivation
+    * at the [[metaMapPartitions]] seam and keeps the schema. Wide form
+    * (f0..f7) so a downstream `array(f0, ..)` feeds the ANN family
+    * directly.
+    */
+  val FeatureDims = 8
+
+  /** 4-hex-digit chunk of a hex column -> 0..65535, both engines. */
+  private def hexChunk(h: Column, start: Int): Column =
+    conv(substring(h, start, 4), 16, 10).cast("long")
+
+  private def hexChunkSql(h: String, start: Int): String =
+    "CAST(" + (0 until 4).map { k =>
+      s"(strpos('0123456789abcdef', substr($h, ${start + k}, 1)) - 1) * ${BigInt(16).pow(3 - k)}"
+    }.mkString(" + ") + " AS BIGINT)"
+
+  def features(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = blobs(spark, dir).withColumn("content_hash", md5(col("blob")))
+    hashed.select(
+      col("doc_id") +: col("media_kind") +:
+        (0 until FeatureDims).map(k =>
+          hexChunk(col("content_hash"), k * 4 + 1).as(s"f$k")): _*)
+  }
+
+  private val featuresSql: String =
+    s"""WITH blobs AS (
+       |  SELECT doc_id, md5(text) AS content_hash,
+       |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+       |              WHEN doc_id % 3 = 1 THEN 'audio'
+       |              ELSE 'video' END AS media_kind
+       |  FROM documents
+       |)
+       |SELECT doc_id, media_kind,
+       |       ${(0 until FeatureDims).map(k => s"${hexChunkSql("content_hash", k * 4 + 1)} AS f$k").mkString(",\n       ")}
+       |FROM blobs""".stripMargin
+
   def ops: Seq[Op] = Seq(
     Op("multimodal_meta", meta, Some(metaSql)),
-    Op("multimodal_frames", frames, Some(framesSql))
+    Op("multimodal_frames", frames, Some(framesSql)),
+    Op("multimodal_resize", resize, Some(resizeSql)),
+    Op("multimodal_features", features, Some(featuresSql))
   )
 }

@@ -142,17 +142,27 @@ object DedupStream {
     * the same two rules.
     */
   def dedupWatermarkQuery(spark: SparkSession, dir: String): DataFrame = {
-    val docs = graft.model.Tables.documents(spark, dir)
-    val base = docs.select(col("doc_id"),
-      md5Hex(col("text")).as("text_hash"), (col("doc_id") + TsOffset).as("ts"))
-    val replay = docs.filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + 1000000L).as("doc_id"),
-        md5Hex(col("text")).as("text_hash"),
+    // Collapse the base corpus to ONE row per distinct text (min doc_id)
+    // BEFORE streaming it: inside a single micro-batch, first-wins picks
+    // whichever copy its partition happens to process first — a
+    // nondeterministic doc_id the oracle cannot model (sf0.1 carries 8
+    // naturally-duplicated texts; the smaller fixtures are dup-free, which
+    // hid this). Every keep/drop/re-admit decision the operator exists to
+    // demonstrate is exercised by the PLANTED sentinel/replay batches,
+    // whose keys are unique per batch — so pre-collapsing the base loses
+    // nothing and makes the emitted rows a pure function of the data.
+    val deduped = graft.model.Tables.documents(spark, dir)
+      .groupBy(md5Hex(col("text")).as("text_hash"))
+      .agg(min("doc_id").as("doc_id"))
+    val base = deduped.select(col("doc_id"), col("text_hash"),
+      (col("doc_id") + TsOffset).as("ts"))
+    val replay = deduped.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text_hash"),
         (col("doc_id") + TsOffset + ReplayGap).as("ts"))
-    val mx = docs.agg(max("doc_id")).head().getLong(0)
-    val sentinel = docs.filter(col("doc_id") === mx)
+    val mx = deduped.agg(max("doc_id")).head().getLong(0)
+    val sentinel = deduped.filter(col("doc_id") === mx)
       .select((col("doc_id") + 2000000L).as("doc_id"),
-        md5Hex(col("text")).as("text_hash"), (col("doc_id") + TsOffset).as("ts"))
+        col("text_hash"), (col("doc_id") + TsOffset).as("ts"))
     val src = java.nio.file.Files.createTempDirectory("stream_dedup_wm_src").toString
     writeOneFile(base, s"$src/batch0.parquet", ageMs = 120000)
     writeOneFile(sentinel, s"$src/batch1.parquet", ageMs = 90000)
@@ -188,11 +198,15 @@ object DedupStream {
   }
 
   private val dedupWatermarkSql: String =
-    s"""WITH mx AS (SELECT max(doc_id) AS m FROM documents)
-       |SELECT doc_id, md5(text) AS text_hash FROM documents
+    s"""WITH b AS (
+       |  SELECT md5(text) AS text_hash, min(doc_id) AS doc_id
+       |  FROM documents GROUP BY 1
+       |),
+       |mx AS (SELECT max(doc_id) AS m FROM b)
+       |SELECT doc_id, text_hash FROM b
        |UNION ALL
-       |SELECT doc_id + 1000000 AS doc_id, md5(text) AS text_hash
-       |FROM documents, mx
+       |SELECT doc_id + 1000000 AS doc_id, text_hash
+       |FROM b, mx
        |WHERE doc_id % 10 = 0
        |  AND doc_id + $ReplayGap >= m - $Horizon
        |  AND doc_id < m - 2 * $Horizon""".stripMargin

@@ -83,15 +83,21 @@ object Dedup {
   val MaxShingleDf = 32
 
   /** Word-3-gram Jaccard near-dup pairs >= 0.8 over the df-capped shingle
-    * sets — the exact-similarity baseline. Shuffle join on shingle;
-    * common-count / (|A|+|B|-common).
+    * sets — the exact-similarity baseline. Shuffle join on the PORTABLE
+    * 60-bit shingle hash, never the shingle text: fixed 8-byte keys make
+    * the big shuffle/sort cheap, and at 100 TB variable-length text keys
+    * in the hottest join are exactly what this file's header forbids. A
+    * 60-bit collision (≈0 at any realistic shingle count) merges the same
+    * two shingles in BOTH engines — the oracle hashes identically — so
+    * the compare cannot drift. common-count / (|A|+|B|-common).
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // df-cut BEFORE anything else: one shuffle on shingle (the window), and
-    // the downstream self-join keys on the same column, so the partitioning
-    // is reused rather than re-exchanged.
+    // df-cut BEFORE anything else: one shuffle on the shingle hash (the
+    // window), and the downstream self-join keys on the same column, so
+    // the partitioning is reused rather than re-exchanged.
     val sh = shingles(spark, dir)
+      .select(col("doc_id"), hash60(col("shingle")).as("shingle"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
       .filter(col("df") <= MaxShingleDf)
       .drop("df")
@@ -117,9 +123,10 @@ object Dedup {
 
   private val ngramJaccardSql: String =
     s"""WITH $shinglesCtes,
+       |hashed AS (SELECT doc_id, ${Portable.hex2bigSql("md5(shingle)")} AS shingle FROM sh),
        |rare AS (
        |  SELECT doc_id, shingle FROM (
-       |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh
+       |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM hashed
        |  ) WHERE df <= $MaxShingleDf
        |),
        |sizes AS (SELECT doc_id, count(*) AS n FROM rare GROUP BY 1),

@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Exact integer dot product over fixed-point embedding vectors — the hot
   * inner kernel of the whole ANN/dedup family (Similarity.scala).
@@ -27,9 +28,18 @@ object VecMath {
 
   /** Exact integer dot; both arrays must be non-null LongType of equal
     * length (the fixed-point embedding contract, Similarity.Scale).
+    *
+    * The length check is load-bearing, not defensive noise: `vec_dot` is
+    * registered session-wide, and on `UnsafeArrayData` an out-of-bounds
+    * `getLong` does NOT throw — it reads adjacent row memory, i.e. a
+    * mismatched call would return silently wrong numbers. The branch is
+    * one compare per ROW (not per element), invisible next to the loop.
     */
   def dot(a: ArrayData, b: ArrayData): Long = {
     val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"vec_dot: length mismatch (${n} vs ${b.numElements()})")
     var s = 0L
     var i = 0
     while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
@@ -45,6 +55,10 @@ object VecMath {
     * is one static call, loops JIT-compiled, same exact integer result.
     */
   def signBits(v: ArrayData, masks: Array[Long]): Long = {
+    if (v.numElements() < 64)
+      throw new IllegalArgumentException(
+        s"vec_signbits: needs a 64-element vector, got ${v.numElements()}" +
+          " (short input would read out-of-bounds unsafe memory)")
     var out = 0L
     var k = 0
     while (k < masks.length) {
@@ -84,14 +98,28 @@ object VecMath {
 
 /** `vec_signbits(v, masks)`: bit-packed hyperplane signs, one static call.
   * `masks` is plan-build-time config (a folded array literal), not a child.
+  *
+  * `masks` is a `Seq[Long]`, NOT `Array[Long]`: case-class equality over an
+  * array is referential, which would make two semantically identical
+  * expressions never `semanticEquals` — silently defeating Catalyst
+  * canonicalization (common-subexpression elimination, exchange/plan
+  * reuse), the very machinery the compile-time-reduction rationale leans
+  * on. The primitive `long[]` the kernel needs is materialized once per
+  * expression instance.
   */
-case class VecSignBits(child: Expression, masks: Array[Long])
+case class VecSignBits(child: Expression, masks: Seq[Long])
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  @transient private lazy val maskArr: Array[Long] = masks.toArray
   override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vec_signbits needs array<bigint> input, got ${other.catalogString}")
+  }
   override protected def nullSafeEval(v: Any): Any =
-    VecMath.signBits(v.asInstanceOf[ArrayData], masks)
+    VecMath.signBits(v.asInstanceOf[ArrayData], maskArr)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("signMasks", masks, "long[]")
+    val ref = ctx.addReferenceObj("signMasks", maskArr, "long[]")
     defineCodeGen(ctx, ev, v => s"graft.functions.VecMath.signBits($v, $ref)")
   }
   override protected def withNewChildInternal(newChild: Expression): VecSignBits =
@@ -104,7 +132,7 @@ object VecSignBits {
     require(args.length == 2 && args(1).foldable,
       "vec_signbits(v, masks) needs a foldable mask array")
     val masks = args(1).eval() match {
-      case a: ArrayData => a.toLongArray()
+      case a: ArrayData => a.toLongArray().toIndexedSeq
       case other => throw new IllegalArgumentException(s"bad masks: $other")
     }
     VecSignBits(args(0), masks)
@@ -114,6 +142,13 @@ object VecSignBits {
 /** `vec_dot(a, b)`: codegen emits a single static call (see [[VecMath]]). */
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"vec_dot needs two array<bigint> args, got ${l.catalogString}, ${r.catalogString}")
+    }
   override protected def nullSafeEval(a: Any, b: Any): Any =
     VecMath.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

@@ -211,7 +211,7 @@ object Analytics {
 
   private val sessionizeSql: String =
     s"""WITH ev AS (
-       |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, event_id
+       |  SELECT user_id, epoch_ns(ts) // 1000000000 AS ts_sec, event_id
        |  FROM events
        |),
        |flagged AS (

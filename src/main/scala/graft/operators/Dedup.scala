@@ -315,9 +315,12 @@ object Dedup {
     *    per-round reanalysis/codegen growth, no lineage-recompute risk);
     *    on a real cluster this slots into `checkpoint()` on durable
     *    storage unchanged;
-    *  - the converged labels are parked in a spill directory and read
-    *    back, so the RETURNED plan holds zero block-manager state — every
-    *    checkpoint block this op pinned is swept before returning
+    *  - the converged labels are parked in a SHARED-STORAGE spill
+    *    directory ([[graft.model.Spill]]: `spark.graft.spillDir`, default
+    *    under the warehouse dir — never a driver-local temp path, which
+    *    executors on other nodes could not write to) and read back, so the
+    *    RETURNED plan holds zero block-manager state — every checkpoint
+    *    block this op pinned is swept before returning
     *    (`Dataset.unpersist` cannot free checkpoint blocks — they persist
     *    at the RDD level, outside the CacheManager — hence the RDD-id
     *    delta sweep);
@@ -349,7 +352,7 @@ object Dedup {
       iter += 1
     }
     require(converged, s"dedup_cluster: not converged after $iter iterations")
-    val spill = java.nio.file.Files.createTempDirectory("graft_cc_labels").toString
+    val spill = graft.model.Spill.path(spark, "cc_labels", dir)
     labels.withColumnRenamed("vid", "doc_id").write.mode("overwrite").parquet(spill)
     spark.sparkContext.getPersistentRDDs
       .foreach { case (id, rdd) => if (!pinnedBefore.contains(id)) rdd.unpersist(false) }

@@ -73,6 +73,19 @@ object CarbonStream {
     }
   }
 
+  /** Resolve a drained memory-sink table and DROP its temp view: Dataset
+    * analysis is eager, so the returned frame stays bound to the sink's
+    * rows, while the catalog entry (and with it the only long-lived
+    * reference keeping every emitted row on the driver once the caller
+    * drops the frame) goes away — repeated verify/bench runs would
+    * otherwise accumulate one UUID-named view + row copy per invocation.
+    */
+  def drainMemorySink(spark: SparkSession, sink: String): DataFrame = {
+    val out = spark.table(sink)
+    spark.catalog.dropTempView(sink)
+    out
+  }
+
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType), // TIMESTAMP(NANOS) read as epoch nanos
@@ -130,7 +143,7 @@ object CarbonStream {
         q.stop()
       }
     }
-    spark.table(sink)
+    drainMemorySink(spark, sink)
   }
 
   /** Oracle: identical to the batch 60 s average rollup — finite stream in
@@ -166,6 +179,11 @@ object CarbonStream {
       .schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
+    // Harness-local BY DESIGN: this temp dir is the verification replay's
+    // file-sink target for a single-process run, not operator state — a
+    // real deployment points the file sink + checkpointLocation at shared
+    // storage. (Contrast dedup_cluster's label spill, which IS operator
+    // state and therefore goes through graft.model.Spill.)
     val out = java.nio.file.Files
       .createTempDirectory("stream_rollup_append").toString
     withStreamPartitions(spark) {

@@ -67,7 +67,7 @@ object DedupStream {
         q.stop()
       }
     }
-    spark.table(sink)
+    CarbonStream.drainMemorySink(spark, sink)
   }
 
   /** Oracle: identical to the batch exact dedup — finite stream in
@@ -99,6 +99,12 @@ object DedupStream {
     * order (it lists unread files oldest-mtime-first).
     */
   private def writeOneFile(df: DataFrame, target: String, ageMs: Long): Unit = {
+    // Harness-local BY DESIGN (here and in dedupWatermarkQuery below):
+    // these temp dirs stage the deterministic micro-batch replay fixture
+    // and its file-sink output for a single-process verification run —
+    // they are test plumbing, not operator state. A real deployment's
+    // source/sink/checkpoint all live on shared storage; operator state
+    // that must survive distribution goes through graft.model.Spill.
     val tmp = java.nio.file.Files.createTempDirectory("graft_onefile")
     df.coalesce(1).write.mode("overwrite").parquet(s"$tmp/out")
     val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$tmp/out"))
@@ -151,9 +157,14 @@ object DedupStream {
     // demonstrate is exercised by the PLANTED sentinel/replay batches,
     // whose keys are unique per batch — so pre-collapsing the base loses
     // nothing and makes the emitted rows a pure function of the data.
+    // persist: the md5-over-full-text aggregation is the expensive part of
+    // this operator, and the fixture build otherwise recomputes it four
+    // times (base file, replay file, sentinel file, max collect); freed
+    // (blocking) before the stream runs, so the op returns leak-free.
     val deduped = graft.model.Tables.documents(spark, dir)
       .groupBy(md5Hex(col("text")).as("text_hash"))
       .agg(min("doc_id").as("doc_id"))
+      .persist()
     val base = deduped.select(col("doc_id"), col("text_hash"),
       (col("doc_id") + TsOffset).as("ts"))
     val replay = deduped.filter(col("doc_id") % 10 === 0)
@@ -167,6 +178,7 @@ object DedupStream {
     writeOneFile(base, s"$src/batch0.parquet", ageMs = 120000)
     writeOneFile(sentinel, s"$src/batch1.parquet", ageMs = 90000)
     writeOneFile(replay, s"$src/batch2.parquet", ageMs = 60000)
+    deduped.unpersist(blocking = true)
 
     val streamSchema = StructType(Seq(
       StructField("doc_id", LongType),

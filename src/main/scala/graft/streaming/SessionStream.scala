@@ -71,30 +71,41 @@ object SessionStream {
     * oracle's WHERE clause.
     */
   def sessionizeQuery(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     implicit val se = Encoders.product[SessEvent]
-    val events = spark.readStream
-      .schema(CarbonStream.eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .select(col("user_id"), expr("ts DIV 1000000000").as("ts_sec"), col("event_id"))
-      .as[SessEvent]
     val sink = "stream_sessionize_" + UUID.randomUUID().toString.replace("-", "")
-    CarbonStream.withStreamPartitions(spark) {
-      val q = sessionize(events, graft.operators.Analytics.SessionGapSec)
-        .toDF()
-        .writeStream
-        .format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .start()
-      try {
-        q.processAllAvailable()
-      } finally {
-        q.stop()
+    // The nanosAsLong conf is only needed while the stream executes (the
+    // parquet reader consults it per batch); restore the caller's setting
+    // once drained rather than leaking a session-wide mutation.
+    val prevNanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try {
+      val events = spark.readStream
+        .schema(CarbonStream.eventsSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .select(col("user_id"), expr("ts DIV 1000000000").as("ts_sec"), col("event_id"))
+        .as[SessEvent]
+      CarbonStream.withStreamPartitions(spark) {
+        val q = sessionize(events, graft.operators.Analytics.SessionGapSec)
+          .toDF()
+          .writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode("append")
+          .start()
+        try {
+          q.processAllAvailable()
+        } finally {
+          q.stop()
+        }
+      }
+    } finally {
+      prevNanos match {
+        case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+        case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
       }
     }
-    spark.table(sink)
+    CarbonStream.drainMemorySink(spark, sink)
   }
 
   /** Oracle: the batch sessionization minus each user's final (open)
@@ -104,7 +115,7 @@ object SessionStream {
     */
   private val sessionizeStreamSql: String =
     s"""WITH ev AS (
-       |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, event_id
+       |  SELECT user_id, epoch_ns(ts) // 1000000000 AS ts_sec, event_id
        |  FROM events
        |),
        |flagged AS (

@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-6 hardening gates. */
+class Round6Spec extends AnyFunSuite with TestSpark {
+
+  /** The r5 verdict's one `weak` finding, made structural: a BATCH operator
+    * must never park state on a driver-local temp path — on a multi-node
+    * cluster executors commit task files to their OWN disks and a read-back
+    * silently loses rows. Durable intermediates go through
+    * `graft.model.Spill` (shared warehouse/spillDir storage). Streaming
+    * replay fixtures are exempt: they are single-process test-harness
+    * plumbing, commented as such at each site.
+    */
+  test("no batch operator spills to a driver-local temp directory") {
+    val batchDirs = Seq("src/main/scala/graft/operators",
+      "src/main/scala/graft/functions", "src/main/scala/graft/model")
+    val offenders = batchDirs.flatMap { d =>
+      Files.list(Paths.get(d)).iterator().asScala
+        .filter(_.toString.endsWith(".scala"))
+        .filter(p => new String(Files.readAllBytes(p), "UTF-8")
+          .contains("createTempDirectory"))
+        .map(_.toString)
+    }
+    assert(offenders.isEmpty,
+      s"driver-local temp spill in batch operator code: $offenders")
+  }
+
+  test("dedup_cluster spill path honors spark.graft.spillDir and lands under it") {
+    val spillRoot = Files.createTempDirectory("round6_spill").toString
+    spark.conf.set(graft.model.Spill.SpillDirConf, spillRoot)
+    try {
+      val out = graft.operators.Dedup.cluster(spark, Sf)
+      assert(out.count() > 0)
+      val children = Files.list(Paths.get(spillRoot)).iterator().asScala.toSeq
+      assert(children.exists(_.getFileName.toString.startsWith("cc_labels_")),
+        s"expected a cc_labels_* spill under $spillRoot, found $children")
+    } finally {
+      spark.conf.unset(graft.model.Spill.SpillDirConf)
+    }
+  }
+
+  test("vec_dot and vec_signbits fail loudly on malformed input (no unsafe reads)") {
+    graft.functions.VecMath.register(spark)
+    import spark.implicits._
+    // length-mismatched dot: must throw, not return garbage from
+    // out-of-bounds unsafe memory
+    val mismatch = intercept[Exception] {
+      Seq((Seq(1L, 2L), Seq(1L, 2L, 3L))).toDF("a", "b")
+        .selectExpr("vec_dot(a, b)").collect()
+    }
+    assert(mismatch.getMessage.contains("length mismatch")
+      || mismatch.getCause != null &&
+         mismatch.getCause.getMessage.contains("length mismatch"))
+    // short vector into the 64-wide signature kernel: same contract
+    val short = intercept[Exception] {
+      Seq(Tuple1(Seq(1L, 2L, 3L))).toDF("v")
+        .selectExpr("vec_signbits(v, array(3L))").collect()
+    }
+    assert(short.getMessage.contains("64-element")
+      || short.getCause != null &&
+         short.getCause.getMessage.contains("64-element"))
+    // type misuse is rejected at analysis, not at runtime
+    val typed = intercept[Exception] {
+      Seq(Tuple1(Seq(1.0, 2.0))).toDF("v")
+        .selectExpr("vec_dot(v, v)").collect()
+    }
+    assert(typed.getMessage.contains("array<bigint>"))
+  }
+
+  test("VecSignBits canonicalizes: equal masks compare semanticEquals") {
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val child = BoundReference(0, ArrayType(LongType), nullable = false)
+    val a = graft.functions.VecSignBits(child, Seq(1L, 2L, 3L))
+    val b = graft.functions.VecSignBits(child, Seq(1L, 2L, 3L))
+    assert(a == b, "structural equality broken — Catalyst CSE/exchange reuse defeated")
+    assert(a.semanticEquals(b))
+    assert(a.hashCode == b.hashCode)
+  }
+
+  test("streaming memory-sink queries drop their temp views after draining") {
+    val before = spark.catalog.listTables().count()
+    val rollup = graft.streaming.CarbonStream.rollupQuery(spark, Sf)
+    assert(rollup.count() > 0, "drained frame must stay readable after view drop")
+    val sess = graft.streaming.SessionStream.sessionizeQuery(spark, Sf)
+    assert(sess.count() >= 0)
+    val after = spark.catalog.listTables().count()
+    assert(after == before,
+      s"memory-sink temp views leaked: $before tables before, $after after")
+  }
+
+  test("sessionize oracles derive seconds via the integer epoch_ns route") {
+    // Tables.scala documents the float epoch() route as divergent near
+    // second boundaries; every ts-derived oracle must use epoch_ns // 1e9.
+    Registry.ops.flatMap(_.oracle).filter(_.contains("FROM events")).foreach { sql =>
+      assert(!sql.contains("floor(epoch("),
+        "oracle uses the float epoch() route (Tables.scala:58-62)")
+    }
+  }
+}

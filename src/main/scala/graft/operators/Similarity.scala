@@ -102,109 +102,183 @@ object Similarity {
 
   // ----------------------------------------------------------- LSH bucketing
 
-  val NumPlanes = 6
-
-  /** Multi-probe masks: each probe checks its own bucket plus every bucket
-    * at Hamming distance 1 in the signature (one plane's sign flipped) —
-    * the classic multi-probe LSH trade: NumPlanes+1 bucket lookups buy the
-    * recall of a much coarser table without shrinking the plane count (the
-    * near-boundary neighbors a single flipped sign loses are exactly the
-    * ones probing the adjacent bucket recovers). Measured on the sf0.01
-    * fixture against [[cosineTopK]] (see `ann_recall`): single-probe at 8
-    * planes recalls 0.00 of the exact top-5 scanning 0.5% of the corpus
-    * per probe; 6 planes + distance-1 probing recalls 0.32 scanning ~11% —
-    * the comparable-scan operating point to IVF's nprobe=2 (0.72 at
-    * ~12.5%; a data-dependent quantizer beats data-oblivious hyperplanes
-    * on this near-random corpus). At 100 TB both dials grow together:
-    * planes ~log n keeps buckets bounded, the probe ring keeps recall.
+  /** Multi-TABLE multi-probe LSH configuration. One hyperplane table is a
+    * recall lottery ticket — the r5 single-table form topped out at 0.32
+    * recall@5 (~11% scanned). Independent tables redraw the ticket: recall
+    * compounds as 1-(1-r)^L while the scanned fraction only adds
+    * (≈ L × ring/2^planes, minus overlap) — the standard L-table LSH
+    * construction. MORE planes per table with a DEEPER probe ring is the
+    * efficient direction: a distance-2 ring covers 106 of 2^14 buckets
+    * (0.65%) per table, so 16 tables probe a MEASURED 12.9% of the corpus
+    * for 0.74 recall@5 (sf0.01 sweep via `graft.LshTune`; the per-round
+    * `ann_recall` key re-measures it) — past IVF's 0.72 @ ~12.5% frontier
+    * on data-OBLIVIOUS hashes alone, where the r5 point sat at 0.32/11%.
+    * At 100 TB the dials move together: planes ~log n keeps buckets
+    * bounded, tables × ring keeps recall, and each table stays an
+    * independent broadcast-probe equality join.
     */
-  val ProbeMasks: Seq[Long] = 0L +: (0 until NumPlanes).map(j => 1L << j)
+  val NumTables = 16
+  val PlanesPerTable = 14
+  val ProbeDist = 2
 
-  /** ±1 random hyperplanes from a fixed LCG (seed 7), embedded identically
-    * in both engines. The stream is sequential, so `mkPlanes(n)` for a
-    * larger `n` extends the same plane set rather than replacing it.
+  /** All XOR masks within Hamming distance `d` of a `p`-bit signature —
+    * the multi-probe ring, enumerated identically in both engines.
+    */
+  def probeRing(p: Int, d: Int): Seq[Long] =
+    (0L until (1L << p)).filter(m => java.lang.Long.bitCount(m) <= d)
+
+  val ProbeMasks: Seq[Long] = probeRing(PlanesPerTable, ProbeDist)
+
+  /** ±1 random hyperplanes from a fixed splitmix64 stream (seed 7). Only
+    * the RESULTING plane constants are embedded in the two engines (the
+    * oracle SQL renders them as literals), so the generator just has to be
+    * deterministic and statistically clean. The r5 LCG was NOT: its bit-10
+    * stream has period 2^11, so past 32 planes (2048 draws) "independent"
+    * tables silently repeated earlier plane rows — measured as 6-, 8- and
+    * 10-table configs returning byte-identical candidate sets
+    * (`graft.LshTune`). splitmix64's full-width mixing has no such lattice.
+    * The stream is sequential, so `mkPlanes(n)` for a larger `n` extends
+    * the same plane set rather than replacing it.
     */
   private def mkPlanes(n: Int): Seq[(Int, Seq[Long])] = {
     var x = 7L
-    def next(): Long = { x = (1103515245L * x + 12345L) % (1L << 31); x }
+    def next(): Long = {
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
     (0 until n).map { j =>
-      j -> Seq.fill(Dim)(if (((next() >> 10) & 1L) == 1L) 1L else -1L)
+      j -> Seq.fill(Dim)(if ((next() >>> 63) == 1L) 1L else -1L)
     }
   }
 
-  val planes: Seq[(Int, Seq[Long])] = mkPlanes(NumPlanes)
-
-  /** Bit-packed sign pattern of all planes as ONE expression — the bucket
-    * is a map-only projection. A ±1-plane dot is a signed SUM (see
-    * [[signedDot]]), so the whole signature is plain codegen'd
-    * arithmetic: no plane crossJoin, no groupBy, no join back to the
-    * corpus. This string form renders the DuckDB oracle; the Spark side
-    * uses the native `vec_signbits` call ([[sigCall]]) with identical
-    * semantics and ~1 KLoC less generated source per stage.
+  /** Plane rows for `tables` independent tables of `planes` planes each,
+    * drawn from the single sequential LCG stream (so any prefix config is
+    * a sub-family of a larger one).
     */
-  private def bucketExpr(elem: Int => String): String =
-    planes.map { case (j, rv) =>
-      s"(CASE WHEN (${signedDot(rv, elem)}) >= 0 THEN ${1L << j} ELSE 0 END)"
-    }.mkString(" + ")
+  private[graft] def tablePlanesFor(tables: Int, planes: Int): Seq[Seq[Seq[Long]]] =
+    mkPlanes(tables * planes).map(_._2).grouped(planes).toSeq
+
+  val tablePlanes: Seq[Seq[Seq[Long]]] = tablePlanesFor(NumTables, PlanesPerTable)
 
   /** Spark-side signature: native `vec_signbits(v, masks)` over the given
-    * ±1 plane rows (graft.functions.VecMath) — masks fold at plan build.
+    * ±1 plane rows (graft.functions.VecMath) — the signature is a map-only
+    * bit-packed projection (a ±1-plane dot is a signed SUM), one static
+    * call inside whole-stage codegen: no plane crossJoin, no groupBy, no
+    * join back to the corpus.
     */
   private def sigCall(planeRows: Seq[Seq[Long]]): String = {
     val masks = graft.functions.VecMath.planeMasks(planeRows)
     s"vec_signbits(v, array(${masks.map(m => s"${m}L").mkString(",")}))"
   }
 
-  /** Random-hyperplane LSH: bucket = sign pattern of [[NumPlanes]] plane
-    * dots; probes join the corpus on bucket equality over the distance-1
-    * probe ring ([[ProbeMasks]]), exact cosine re-rank inside. The bucket
-    * comes out of the same map-only scan that fixes the vectors, the
-    * probe ring is a tiny explode on the (broadcast) probe side — a
-    * corpus vector matches at most ONE probed signature per probe, so no
-    * dedup is needed — and the ONLY exchange in the plan remains the
-    * final per-probe top-k.
+  /** Scored candidate pairs `(q_id, vec_id, cos)` for a given table/probe
+    * configuration — the shared core of [[lshBucketed]] and the
+    * `graft.LshTune` dial-measurement harness.
+    *
+    * Plan shape: ALL table signatures come out of one map-only corpus
+    * projection (one `vec_signbits` call per table); each table joins the
+    * corpus against its broadcast probe ring on bucket equality — within a
+    * table a corpus vector matches at most ONE probed signature per probe,
+    * so per-table candidates are duplicate-free; the cross-table union
+    * dedups with one `distinct` (duplicate rows are bit-identical — the
+    * cosine is a pure function of the pair — so the collapse is
+    * deterministic in both engines). At 100 TB each table join shuffles
+    * nothing (probe side broadcast) and the distinct + final top-k
+    * exchanges carry only candidate rows, ~scan-fraction × probes of the
+    * corpus.
     */
-  def lshBucketed(spark: SparkSession, dir: String): DataFrame = {
-    val withB = fixedVecs(spark, dir)
-      .withColumn("bucket", expr(sigCall(planes.map(_._2))))
-    val probes = withB.filter(col("vec_id") % ProbeMod === 0)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
-        col("bucket").as("qb0"))
-      .withColumn("m", explode(array(ProbeMasks.map(lit): _*)))
-      .select(col("q_id"), col("qv"), col("qn"),
-        col("qb0").bitwiseXOR(col("m")).as("qb"))
-    val cands = withB.join(broadcast(probes),
-      col("bucket") === col("qb") && col("vec_id") =!= col("q_id"))
-      .withColumn("dot",
-        expr(dotExpr("v", "qv")))
-      .withColumn("cos", col("dot") / (sqrt(col("nrm")) * sqrt(col("qn"))))
+  private[graft] def lshCandidates(spark: SparkSession, dir: String,
+      tables: Seq[Seq[Seq[Long]]], dist: Int): DataFrame = {
+    val ring = probeRing(tables.head.size, dist)
+    val withB = tables.zipWithIndex.foldLeft(fixedVecs(spark, dir)) {
+      case (df, (tp, t)) => df.withColumn(s"b$t", expr(sigCall(tp)))
+    }
+    val probesBase = withB.filter(col("vec_id") % ProbeMod === 0)
+    tables.indices.map { t =>
+      val probes = probesBase
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+          col(s"b$t").as("qb0"))
+        .withColumn("m", explode(array(ring.map(lit): _*)))
+        .select(col("q_id"), col("qv"), col("qn"),
+          col("qb0").bitwiseXOR(col("m")).as("qb"))
+      withB.join(broadcast(probes),
+        col(s"b$t") === col("qb") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          (expr(dotExpr("v", "qv")) / (sqrt(col("nrm")) * sqrt(col("qn")))).as("cos"))
+    }.reduce(_ union _).distinct()
+  }
+
+  /** Per-probe top-k over scored candidates — shared final stage. */
+  private[graft] def topKFromCands(cands: DataFrame): DataFrame =
     cands
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))))
       .filter(col("rank") <= TopK)
       .select(col("q_id").as("query_id"), col("vec_id").as("neighbor_id"),
         col("rank"), round(col("cos"), 6).as("cosine"))
-  }
 
+  /** Multi-table random-hyperplane LSH ANN (see [[NumTables]] docs): L
+    * independent signature tables, distance-[[ProbeDist]] probe rings,
+    * exact cosine re-rank over the deduped candidate union.
+    */
+  def lshBucketed(spark: SparkSession, dir: String): DataFrame =
+    topKFromCands(lshCandidates(spark, dir, tablePlanes, ProbeDist))
+
+  /** The oracle computes the SAME signatures relationally — a 224-row
+    * `planes(t, k, mask)` VALUES table joined against the unnested
+    * coordinates — rather than 224 unrolled ±v sum expressions: the
+    * text-unrolled form was 136 KB of SQL whose expression trees took
+    * DuckDB's planner ~75 s to chew at sf0.01; the relational form plans
+    * in milliseconds and vectorizes the identical arithmetic. (`(mask >>
+    * (i-1)) & 1` extracts coordinate signs — bit extraction is fill-bit
+    * agnostic, so arithmetic-vs-logical shift on a negative mask is moot.)
+    */
   private val lshBucketedSql: String = {
+    val planeRows = tablePlanes.zipWithIndex.flatMap { case (tp, t) =>
+      graft.functions.VecMath.planeMasks(tp).zipWithIndex.map {
+        case (mask, k) => s"($t, $k, ${mask}::BIGINT)"
+      }
+    }
     s"""WITH $fixedVecsCtes,
-       |withb AS (
-       |  SELECT vec_id, v, nrm, ${bucketExpr(i => s"v[$i]")} AS bucket FROM nv
+       |planes(t, k, mask) AS (VALUES ${planeRows.mkString(", ")}),
+       |vu AS (
+       |  SELECT vec_id, g.i AS i, v[g.i] AS x
+       |  FROM nv, generate_series(1, $Dim) AS g(i)
+       |),
+       |psum AS (
+       |  SELECT vu.vec_id, p.t, p.k,
+       |         sum(CASE WHEN (p.mask >> (vu.i - 1)) & 1 = 1 THEN vu.x ELSE -vu.x END) AS s
+       |  FROM vu CROSS JOIN planes p
+       |  GROUP BY 1, 2, 3
+       |),
+       |sigs AS (
+       |  SELECT vec_id, t,
+       |         CAST(sum(CASE WHEN s >= 0 THEN 1::BIGINT << k ELSE 0 END) AS BIGINT) AS b
+       |  FROM psum GROUP BY 1, 2
        |),
        |probes AS (
-       |  SELECT vec_id AS q_id, v AS qv, nrm AS qn, xor(bucket, m.m) AS qb
-       |  FROM withb, (SELECT unnest([${ProbeMasks.mkString(",")}]) AS m) m
-       |  WHERE vec_id % $ProbeMod = 0
+       |  SELECT s.vec_id AS q_id, s.t, xor(s.b, m.m) AS qb
+       |  FROM sigs s, (SELECT unnest([${ProbeMasks.mkString(",")}]) AS m) m
+       |  WHERE s.vec_id % $ProbeMod = 0
+       |),
+       |cand_ids AS (
+       |  SELECT DISTINCT p.q_id, c.vec_id
+       |  FROM sigs c JOIN probes p ON c.t = p.t AND c.b = p.qb AND c.vec_id <> p.q_id
        |),
        |cands AS (
-       |  SELECT p.q_id, n.vec_id,
-       |         CAST(list_sum([n.v[i] * p.qv[i] for i in generate_series(1, len(n.v))]) AS BIGINT) AS dot,
-       |         n.nrm, p.qn
-       |  FROM withb n JOIN probes p ON n.bucket = p.qb AND n.vec_id <> p.q_id
+       |  SELECT ci.q_id, ci.vec_id,
+       |         CAST(list_sum([n.v[i] * q.v[i] for i in generate_series(1, len(n.v))]) AS BIGINT)
+       |           / (sqrt(n.nrm) * sqrt(q.nrm)) AS cos
+       |  FROM cand_ids ci
+       |  JOIN nv n ON n.vec_id = ci.vec_id
+       |  JOIN nv q ON q.vec_id = ci.q_id
        |),
        |ranked AS (
-       |  SELECT q_id, vec_id, dot / (sqrt(nrm) * sqrt(qn)) AS cos,
-       |         row_number() OVER (PARTITION BY q_id ORDER BY dot / (sqrt(nrm) * sqrt(qn)) DESC, vec_id) AS rank
+       |  SELECT q_id, vec_id, cos,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
        |  FROM cands
        |)
        |SELECT q_id AS query_id, vec_id AS neighbor_id, CAST(rank AS INT) AS rank,

@@ -44,7 +44,7 @@ object Similarity {
     s"[CAST(floor(CAST(x AS DOUBLE) * $Scale) AS BIGINT) for x in embedding]"
 
   /** (vec_id, v fixed-point, nrm = |v|^2 exact). */
-  private def fixedVecs(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def fixedVecs(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VecMath.register(spark)
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), expr(toFixed).as("v"))
@@ -394,20 +394,36 @@ object Similarity {
       .select(col("vec_id"), col("b.v").as("v"), col("b.nrm").as("nrm"),
         col("b.c_id").as("c_id"))
 
-  /** IVF-flat ANN: a deterministic coarse quantizer (every 125th vector
-    * serves as a centroid — a k-means iteration would slot in here
-    * unchanged), inverted lists by nearest centroid, probes scan only
-    * their `NProbe` nearest lists, exact cosine re-rank inside. At 100 TB
-    * the inverted lists are the partition layout: a probe touches
-    * NProbe/centroids of the corpus.
+  /** Seed quantizer: every [[CentroidMod]]-th vector serves as a centroid
+    * — deterministic, data-independent, the starting point
+    * [[trainedCents]] refines.
+    */
+  private[graft] def seedCents(vecs: DataFrame): DataFrame =
+    vecs.filter(col("vec_id") % CentroidMod === 1)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+
+  /** IVF-flat ANN: a deterministic coarse quantizer (seed centroids by
+    * default; [[ivfTrained]] slots the k-means-refined set in unchanged),
+    * inverted lists by nearest centroid, probes scan only their `NProbe`
+    * nearest lists, exact cosine re-rank inside. At 100 TB the inverted
+    * lists are the partition layout: a probe touches NProbe/centroids of
+    * the corpus.
     */
   def ivf(spark: SparkSession, dir: String): DataFrame = {
     val vecs = fixedVecs(spark, dir)
-    val cents = vecs.filter(col("vec_id") % CentroidMod === 1)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    ivfFrom(vecs, seedCents(vecs))
+  }
 
+  /** IVF over an explicit `(c_id, cv, cn)` centroid frame. */
+  private[graft] def ivfFrom(vecs: DataFrame, cents: DataFrame): DataFrame =
+    topKFromCands(ivfCands(vecs, cents, NProbe))
+
+  /** Scored IVF candidates `(q_id, vec_id, cos)` for a given quantizer and
+    * probe width — shared by [[ivfFrom]] and `graft.IvfTune`.
+    */
+  private[graft] def ivfCands(vecs: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
     // Corpus assignment is the sort-free max_by aggregation (see
-    // [[assignNearest]]); the probe top-NProbe lists still use a window
+    // [[assignNearest]]); the probe top-nprobe lists still use a window
     // rank, but only over the 1/ProbeMod probe SUBSET × k — negligible
     // beside the corpus, and filtering before the crossJoin keeps the
     // big branch free of any n×k exchange or sort.
@@ -418,25 +434,19 @@ object Similarity {
         expr(dotExpr("v", "cv")) / (sqrt(col("nrm")) * sqrt(col("cn"))))
       .withColumn("crn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("c_id"))))
-      .filter(col("crn") <= NProbe)
+      .filter(col("crn") <= nprobe)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"), col("c_id"))
 
-    val cands = assigned.join(broadcast(probeLists), Seq("c_id"))
+    assigned.join(broadcast(probeLists), Seq("c_id"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("dot",
-        expr(dotExpr("v", "qv")))
-      .withColumn("cos", col("dot") / (sqrt(col("nrm")) * sqrt(col("qn"))))
-    cands
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rank") <= TopK)
-      .select(col("q_id").as("query_id"), col("vec_id").as("neighbor_id"),
-        col("rank"), round(col("cos"), 6).as("cosine"))
+      .select(col("q_id"), col("vec_id"),
+        (expr(dotExpr("v", "qv")) / (sqrt(col("nrm")) * sqrt(col("qn")))).as("cos"))
   }
 
-  private val ivfSql: String =
+  /** IVF oracle over an arbitrary `cents(c_id, cv, cn)` CTE chain. */
+  private def ivfSqlFrom(centsCtes: String): String =
     s"""WITH $fixedVecsCtes,
-       |cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM nv WHERE vec_id % $CentroidMod = 1),
+       |$centsCtes,
        |cdist AS (
        |  SELECT n.vec_id, n.v, n.nrm, c.c_id,
        |         CAST(list_sum([n.v[i] * c.cv[i] for i in generate_series(1, len(n.v))]) AS BIGINT)
@@ -467,6 +477,11 @@ object Similarity {
        |SELECT q_id AS query_id, vec_id AS neighbor_id, CAST(rank AS INT) AS rank,
        |       round(cos, 6) AS cosine
        |FROM ranked WHERE rank <= $TopK""".stripMargin
+
+  private val seedCentsCte: String =
+    s"cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM nv WHERE vec_id % $CentroidMod = 1)"
+
+  private val ivfSql: String = ivfSqlFrom(seedCentsCte)
 
   // ------------------------------------------------------------ k-means step
 
@@ -528,13 +543,149 @@ object Similarity {
        |       c.n AS n_members
        |FROM dims d JOIN counts c USING (c_id)""".stripMargin
 
+  // ---------------------------------------------------------- k-means train
+
+  /** Fixed Lloyd-iteration count: determinism is the contract (the oracle
+    * unrolls exactly this many rounds). 4 is the `graft.IvfTune`-measured
+    * best on both fixtures — IVF recall@5 at sf0.1 (16 centroids, the
+    * realistic-k fixture): seed 0.350 → trained 0.365; at sf0.01 the
+    * quantizer is only 4 centroids (nprobe=2 already scans ~50%), so
+    * training is noise-bound there (0.70 vs the seed's 0.72 — within one
+    * truth pair on a 50-pair truth set).
+    */
+  val TrainIters = 4
+
+  /** [[kmeansStep]] iterated to a trained quantizer: TRAIN the IVF
+    * centroids instead of seeding them arbitrarily — the centroid-curation
+    * loop behind IVF/semantic-dedup at 100 TB (the same iterate-refine
+    * shape as the reference's rollup accumulate/flush loop,
+    * metricstore.go:85-185, and dedup_cluster's label propagation).
+    *
+    * Centroids are DRIVER-RESIDENT between iterations by design — k×Dim
+    * longs, collected once per round and broadcast back — exactly how
+    * Spark MLlib's KMeans iterates: the per-round distributed work is the
+    * [[assignNearest]] crossJoin + ONE groupBy whose 64 packed sums ride
+    * the partial aggregate (shuffle = |centroids| rows), and nothing is
+    * pinned in the block manager between rounds. Refined coordinates are
+    * `sum DIV count` in exact fixed-point — truncating integer division,
+    * identical in Scala (`Long./`), Spark (`DIV`) and DuckDB (`//`) — so
+    * both engines walk bit-identical centroid trajectories.
+    */
+  private[graft] def trainedCents(spark: SparkSession, dir: String,
+      iters: Int = TrainIters)
+      : (Seq[(Long, Seq[Long])], Seq[(Long, Long, Seq[Long])]) = {
+    val vecs = fixedVecs(spark, dir)
+    var cents: Seq[(Long, Seq[Long])] = seedCents(vecs)
+      .select(col("c_id"), col("cv")).collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).sortBy(_._1)
+    var stats = Seq.empty[(Long, Long, Seq[Long])] // (c_id, n, raw sums)
+    (1 to iters).foreach { _ =>
+      val sums = assignNearest(vecs, mkCentsDf(spark, cents))
+        .groupBy("c_id")
+        .agg(count(lit(1)).as("n"),
+          (1 to Dim).map(i => sum(expr(s"element_at(v, $i)")).as(s"s$i")): _*)
+        .collect()
+      cents = sums.map { r =>
+        val n = r.getLong(1)
+        (r.getLong(0), (0 until Dim).map(i => r.getLong(i + 2) / n): Seq[Long])
+      }.toSeq.sortBy(_._1)
+      stats = sums.map { r =>
+        (r.getLong(0), r.getLong(1), (0 until Dim).map(i => r.getLong(i + 2)): Seq[Long])
+      }.toSeq.sortBy(_._1)
+    }
+    (cents, stats)
+  }
+
+  /** Driver-held centroids back to a `(c_id, cv, cn)` frame. */
+  private[graft] def mkCentsDf(spark: SparkSession, cents: Seq[(Long, Seq[Long])]): DataFrame = {
+    graft.functions.VecMath.register(spark)
+    import spark.implicits._
+    cents.toDF("c_id", "cv").withColumn("cn", expr("vec_dot(cv, cv)"))
+  }
+
+  /** `kmeans_train` operator: the trained centroids in the same long
+    * `(c_id, dim, mean, n_members)` form as [[kmeansStep]]. The reported
+    * mean divides the final round's RAW sums (`round(s/(n·Scale), 6)`,
+    * kmeans_step's policy): the truncated fixed-point coordinate the loop
+    * iterates on has EXACTLY 7 decimal digits, so rounding it to 6 lands
+    * on .5 ties where Spark's decimal HALF_UP and DuckDB's binary
+    * rounding disagree — the full-precision quotient never ties.
+    */
+  def kmeansTrain(spark: SparkSession, dir: String): DataFrame = {
+    val (_, stats) = trainedCents(spark, dir)
+    val rows = stats.flatMap { case (c, n, sums) =>
+      sums.zipWithIndex.map { case (s, i) => (c, (i + 1).toLong, s, n) }
+    }
+    import spark.implicits._
+    rows.toDF("c_id", "dim", "s", "n_members")
+      .select(col("c_id"), col("dim"),
+        round(col("s") / (col("n_members") * lit(Scale.toDouble)), 6).as("mean"),
+        col("n_members"))
+  }
+
+  /** The Lloyd loop unrolled as CTE rounds — `cents0` (seeds) through
+    * `cents{TrainIters}`, each round = assign (argmax ccos, c_id asc
+    * tiebreak) → per-cluster counts + per-dim sums → truncated-mean
+    * centroid list.
+    */
+  private val kmeansIterCtes: String = {
+    val iters = (1 to TrainIters).map { i =>
+      s"""cd$i AS (
+         |  SELECT n.vec_id, n.v, c.c_id,
+         |         CAST(list_sum([n.v[j] * c.cv[j] for j in generate_series(1, len(n.v))]) AS BIGINT)
+         |           / (sqrt(n.nrm) * sqrt(c.cn)) AS ccos
+         |  FROM nv n CROSS JOIN cents${i - 1} c
+         |),
+         |asg$i AS (
+         |  SELECT vec_id, v, c_id
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS crn
+         |        FROM cd$i)
+         |  WHERE crn = 1
+         |),
+         |counts$i AS (SELECT c_id, CAST(count(*) AS BIGINT) AS n FROM asg$i GROUP BY 1),
+         |dims$i AS (
+         |  SELECT a.c_id, g.j AS dim, CAST(sum(a.v[g.j]) AS BIGINT) AS s
+         |  FROM asg$i a, generate_series(1, $Dim) AS g(j)
+         |  GROUP BY 1, 2
+         |),
+         |cents$i AS (
+         |  SELECT c_id, cv, CAST(list_sum([x * x for x in cv]) AS BIGINT) AS cn
+         |  FROM (SELECT d.c_id, list(d.s // c.n ORDER BY d.dim) AS cv
+         |        FROM dims$i d JOIN counts$i c USING (c_id) GROUP BY d.c_id)
+         |)""".stripMargin
+    }
+    (s"cents0 AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM nv WHERE vec_id % $CentroidMod = 1)"
+      +: iters).mkString(",\n")
+  }
+
+  private val kmeansTrainSql: String =
+    s"""WITH $fixedVecsCtes,
+       |$kmeansIterCtes
+       |SELECT d.c_id, d.dim, round(d.s / (c.n * ${Scale.toDouble}), 6) AS mean,
+       |       c.n AS n_members
+       |FROM dims$TrainIters d JOIN counts$TrainIters c USING (c_id)""".stripMargin
+
+  /** `ann_ivf_trained`: [[ivf]] with the k-means-trained quantizer — the
+    * proof that [[kmeansTrain]] closes the loop ([[recall]] reports its
+    * recall next to the seed-quantizer IVF's).
+    */
+  def ivfTrained(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = fixedVecs(spark, dir)
+    ivfFrom(vecs, mkCentsDf(spark, trainedCents(spark, dir)._1))
+  }
+
+  private val ivfTrainedSql: String =
+    ivfSqlFrom(s"$kmeansIterCtes,\ncents AS (SELECT c_id, cv, cn FROM cents$TrainIters)")
+
   // ---------------------------------------------------------- recall harness
 
-  /** Recall@k of the approximate ANN paths against the exact brute-force
-    * baseline — the "measure, don't guess" harness a pipeline runs before
-    * trusting a sketch at scale: the LSH/IVF width dials (NumPlanes,
-    * CentroidMod, NProbe) are only safe to turn if this number is watched
-    * while turning them. One row per approximate method with its matched /
+  /** Recall@k of the approximate ANN paths (multi-table LSH, seed-IVF,
+    * k-means-trained IVF) against the exact brute-force baseline — the
+    * "measure, don't guess" harness a pipeline runs before trusting a
+    * sketch at scale: the width dials (NumTables/PlanesPerTable/ProbeDist,
+    * CentroidMod, NProbe, TrainIters) are only safe to turn if this number
+    * is watched while turning them (`graft.LshTune` / `graft.IvfTune` are
+    * the sweep drivers). One row per approximate method with its matched /
     * truth counts and recall fraction.
     *
     * Plan shape: the truth and approximate top-k sub-plans are the three
@@ -551,6 +702,8 @@ object Similarity {
         .withColumn("method", lit("lsh_bucketed"))
         .union(ivf(spark, dir).select(col("query_id"), col("neighbor_id"))
           .withColumn("method", lit("ivf")))
+        .union(ivfTrained(spark, dir).select(col("query_id"), col("neighbor_id"))
+          .withColumn("method", lit("ivf_trained")))
     val matched = approx.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy("method").agg(count(lit(1)).as("n_matched"))
     val totals = approx.groupBy("method").agg(count(lit(1)).as("n_returned"))
@@ -568,6 +721,8 @@ object Similarity {
        |  SELECT 'lsh_bucketed' AS method, query_id, neighbor_id FROM ($lshBucketedSql)
        |  UNION ALL
        |  SELECT 'ivf' AS method, query_id, neighbor_id FROM ($ivfSql)
+       |  UNION ALL
+       |  SELECT 'ivf_trained' AS method, query_id, neighbor_id FROM ($ivfTrainedSql)
        |),
        |m AS (
        |  SELECT method, CAST(count(*) AS BIGINT) AS n_matched
@@ -583,8 +738,10 @@ object Similarity {
     Op("ann_cosine_topk", cosineTopK, Some(cosineTopKSql)),
     Op("ann_lsh_bucketed", lshBucketed, Some(lshBucketedSql)),
     Op("ann_ivf", ivf, Some(ivfSql)),
+    Op("ann_ivf_trained", ivfTrained, Some(ivfTrainedSql)),
     Op("ann_recall", recall, Some(recallSql)),
     Op("dedup_embedding_cosine", embeddingNearDup, Some(embeddingNearDupSql)),
-    Op("kmeans_step", kmeansStep, Some(kmeansStepSql))
+    Op("kmeans_step", kmeansStep, Some(kmeansStepSql)),
+    Op("kmeans_train", kmeansTrain, Some(kmeansTrainSql))
   )
 }

@@ -22,8 +22,15 @@ object Dedup {
 
   // ------------------------------------------------------------ shared pieces
 
-  /** Distinct word 3-gram shingles per document — the feature set shared by
-    * Jaccard, MinHash and SimHash. Texts are single-space word streams.
+  /** Distinct word-3-gram shingle features per document — the feature set
+    * shared by Jaccard, MinHash and SimHash, carried as the PORTABLE
+    * 60-bit md5 hash from the very first projection. Hashing BEFORE the
+    * distinct means every downstream exchange (the dedupe itself, the df
+    * window, the bucket groupBys) moves fixed 8-byte keys instead of
+    * ~25-char shingle text — at 100 TB the shingle set is the biggest
+    * thing this file shuffles. A 60-bit collision merges the same two
+    * shingles in BOTH engines (the oracle hashes identically), so the
+    * compare cannot drift. Texts are single-space word streams.
     */
   private def shingles(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -31,15 +38,17 @@ object Dedup {
       .select(col("doc_id"), explode(expr(
         """CASE WHEN size(t) >= 3
           |  THEN transform(sequence(1, size(t) - 2), i -> concat_ws(' ', slice(t, i, 3)))
-          |  ELSE array() END""".stripMargin)).as("shingle"))
+          |  ELSE array() END""".stripMargin)).as("sht"))
+      .select(col("doc_id"), hash60(col("sht")).as("shingle"))
       .distinct()
 
   private val shinglesCtes: String =
-    """tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      |sh AS (
-      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
-      |  FROM tok, unnest(generate_series(1, len(t) - 2)) AS g(i)
-      |)""".stripMargin
+    s"""tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |         ${Portable.hex2bigSql("md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2])")} AS shingle
+       |  FROM tok, unnest(generate_series(1, len(t) - 2)) AS g(i)
+       |)""".stripMargin
 
   // --------------------------------------------------------------- exact dedup
 
@@ -83,35 +92,36 @@ object Dedup {
   val MaxShingleDf = 32
 
   /** Word-3-gram Jaccard near-dup pairs >= 0.8 over the df-capped shingle
-    * sets — the exact-similarity baseline. Shuffle join on the PORTABLE
-    * 60-bit shingle hash, never the shingle text: fixed 8-byte keys make
-    * the big shuffle/sort cheap, and at 100 TB variable-length text keys
-    * in the hottest join are exactly what this file's header forbids. A
-    * 60-bit collision (≈0 at any realistic shingle count) merges the same
-    * two shingles in BOTH engines — the oracle hashes identically — so
-    * the compare cannot drift. common-count / (|A|+|B|-common).
+    * sets — the exact-similarity baseline.
+    * common-count / (|A|+|B|-common).
+    *
+    * Plan shape: the df window hash-partitions the shingle set ONCE; the
+    * bucket groupBy right after reuses that exchange (same key, already
+    * sorted — it plans as a no-exchange SortAggregate), and pair
+    * generation is a map-side explode of each bucket's ≤ [[MaxShingleDf]]
+    * sorted doc list (≤ df·(df-1)/2 = 496 structs per bucket, bounded by
+    * the df-cap no matter the corpus size). That replaces the r5 shingle
+    * self-join — the joined rows it materialized were exactly these
+    * pairs, but built by re-sorting and zipping two full copies of the
+    * shingle set. Only pair rows (8+8 bytes) reach the counting shuffle,
+    * which partial-aggregates map-side.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // df-cut BEFORE anything else: one shuffle on the shingle hash (the
-    // window), and the downstream self-join keys on the same column, so
-    // the partitioning is reused rather than re-exchanged.
     val sh = shingles(spark, dir)
-      .select(col("doc_id"), hash60(col("shingle")).as("shingle"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
       .filter(col("df") <= MaxShingleDf)
       .drop("df")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // size-ratio prune at the join: J(A,B) >= t forces |A|/|B| in [t, 1/t],
-    // so pairs outside the band can be dropped BEFORE the pair-count
-    // aggregation without losing any qualifying pair (t = 0.8 -> 4:5).
-    val withN = sh.join(broadcast(sizes), "doc_id")
-    val common = withN.as("a")
-      .join(withN.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
-          col("a.n") * 10 >= col("b.n") * 8 && col("b.n") * 10 >= col("a.n") * 8)
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("common"))
+    val pairs = sh.groupBy("shingle")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds) - i - 1),
+          |    y -> named_struct('doc_a', x, 'doc_b', y))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+    val common = pairs.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
     common
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -123,10 +133,9 @@ object Dedup {
 
   private val ngramJaccardSql: String =
     s"""WITH $shinglesCtes,
-       |hashed AS (SELECT doc_id, ${Portable.hex2bigSql("md5(shingle)")} AS shingle FROM sh),
        |rare AS (
        |  SELECT doc_id, shingle FROM (
-       |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM hashed
+       |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh
        |  ) WHERE df <= $MaxShingleDf
        |),
        |sizes AS (SELECT doc_id, count(*) AS n FROM rare GROUP BY 1),
@@ -168,7 +177,7 @@ object Dedup {
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val hashed = shingles(spark, dir)
-      .withColumn("hv", hash60(col("shingle")) % MinhashPrime)
+      .withColumn("hv", col("shingle") % MinhashPrime)
     // all 16 permutation minima in ONE aggregation pass: no perm-table
     // explode, no 16x row blowup, single shuffle on doc_id
     val minCols = perms.map { case (i, a, b) =>
@@ -198,9 +207,7 @@ object Dedup {
   private val minhashPairsCtes: String = {
     val permRows = perms.map { case (i, a, b) => s"($i, $a, $b)" }.mkString(", ")
     s"""$shinglesCtes,
-       |hashed AS (
-       |  SELECT doc_id, ${hex2bigSql("md5(shingle)")} % $MinhashPrime AS hv FROM sh
-       |),
+       |hashed AS (SELECT doc_id, shingle % $MinhashPrime AS hv FROM sh),
        |perms(i, a, b) AS (VALUES $permRows),
        |mh AS (
        |  SELECT doc_id, p.i, min((p.a * hashed.hv + p.b) % $MinhashPrime) AS mh
@@ -233,7 +240,7 @@ object Dedup {
     * `bit_count(xor)` re-check inside buckets. No all-pairs product.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val hashed = shingles(spark, dir).withColumn("hv", hash60(col("shingle")))
+    val hashed = shingles(spark, dir).withColumn("hv", col("shingle"))
     // all 60 bit-position counts in ONE aggregation pass, lane-packed:
     // 4 counters of 15 bits per long (no cross-lane carry while every
     // count < 32768 — i.e. docs under ~32k distinct shingles, far above
@@ -268,7 +275,7 @@ object Dedup {
 
   private val simhashSql: String =
     s"""WITH $shinglesCtes,
-       |hashed AS (SELECT doc_id, ${hex2bigSql("md5(shingle)")} AS hv FROM sh),
+       |hashed AS (SELECT doc_id, shingle AS hv FROM sh),
        |n AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY 1),
        |setbits AS (
        |  SELECT doc_id,

@@ -7,11 +7,23 @@ import org.apache.spark.sql.SparkSession
   *
   * Each query is fully materialized through the `noop` sink (a bare
   * `count()` would let Catalyst prune the computed columns away).
+  *
+  * Measurement aids (system property, falling back to env — the driver
+  * sets neither, so its runs are unchanged): `graft.bench.ops` = CSV of
+  * op names to run alone; `graft.bench.reps` = repeat each op N times
+  * and report the per-query MINIMUM — on a host with co-tenant
+  * steal-time spikes the min is the honest cost estimate (BASELINE.md
+  * "r6 measurement caveat"), while a single sample can be 5× off.
   */
 object Bench {
+  private def opt(name: String): Option[String] =
+    sys.props.get(name).orElse(sys.env.get(name.toUpperCase.replace('.', '_')))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val only = opt("graft.bench.ops").map(_.split(",").map(_.trim).toSet)
+    val reps = opt("graft.bench.reps").map(_.toInt).getOrElse(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -31,21 +43,27 @@ object Bench {
     graft.model.Tables.metrics(spark, sfDir)
       .groupBy("path").count().write.format("noop").mode("overwrite").save()
 
-    val results = Registry.ops.map { op =>
-      val t0 = System.nanoTime()
-      try op.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] ${op.name} failed: ${e.getMessage}")
+    val results = Registry.ops
+      .filter(op => only.forall(_.contains(op.name)))
+      .map { op =>
+        val dt = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          try op.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] ${op.name} failed: ${e.getMessage}")
+          }
+          val d = (System.nanoTime() - t0) / 1e9
+          // inter-query isolation: one op must not re-price the ones after
+          // it. clearCache drops Dataset-level cache entries; the RDD sweep
+          // frees localCheckpoint blocks, which live OUTSIDE the
+          // CacheManager.
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+          d
+        }.min
+        op.name -> dt
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // inter-query isolation: one op must not re-price the ones after it.
-      // clearCache drops Dataset-level cache entries; the RDD sweep frees
-      // localCheckpoint blocks, which live OUTSIDE the CacheManager.
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      op.name -> dt
-    }
 
     val qs = results
       .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }

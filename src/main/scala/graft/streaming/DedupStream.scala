@@ -101,8 +101,8 @@ object DedupStream {
   private def writeOneFile(df: DataFrame, target: String, ageMs: Long): Unit = {
     // Harness-local BY DESIGN (here and in dedupWatermarkQuery below):
     // these temp dirs stage the deterministic micro-batch replay fixture
-    // and its file-sink output for a single-process verification run —
-    // they are test plumbing, not operator state. A real deployment's
+    // for a single-process verification run — they are test plumbing, not
+    // operator state. A real deployment's
     // source/sink/checkpoint all live on shared storage; operator state
     // that must survive distribution goes through graft.model.Spill.
     val tmp = java.nio.file.Files.createTempDirectory("graft_onefile")
@@ -184,7 +184,11 @@ object DedupStream {
       StructField("doc_id", LongType),
       StructField("text_hash", StringType),
       StructField("ts", LongType)))
-    val out = java.nio.file.Files.createTempDirectory("stream_dedup_wm_out").toString
+    // Memory sink, like every other streaming entry: the semantics under
+    // test are the watermark/state-eviction rules, and a file sink adds a
+    // per-micro-batch parquet commit (8 files + _spark_metadata per batch
+    // at the bound partition count) that only measures sink IO.
+    val sink = "stream_dedup_wm_" + UUID.randomUUID().toString.replace("-", "")
     CarbonStream.withStreamPartitions(spark) {
       val q = spark.readStream
         .schema(streamSchema)
@@ -195,9 +199,8 @@ object DedupStream {
         .dropDuplicatesWithinWatermark("text_hash")
         .select("doc_id", "text_hash")
         .writeStream
-        .format("parquet")
-        .option("path", s"$out/data")
-        .option("checkpointLocation", s"$out/chk")
+        .format("memory")
+        .queryName(sink)
         .outputMode("append")
         .start()
       try {
@@ -206,7 +209,7 @@ object DedupStream {
         q.stop()
       }
     }
-    spark.read.parquet(s"$out/data")
+    CarbonStream.drainMemorySink(spark, sink)
   }
 
   private val dedupWatermarkSql: String =

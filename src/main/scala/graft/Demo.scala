@@ -5,9 +5,9 @@ import org.apache.spark.sql.functions._
 
 import graft.api.MetricsApi
 import graft.model.Tables
-import graft.operators.{Dedup, Rollups, Similarity, TextOps}
+import graft.operators.{Dedup, Multimodal, Rollups, Similarity, TextOps}
 import graft.sources.RollupStore
-import graft.streaming.CarbonStream
+import graft.streaming.{CarbonStream, DedupStream}
 
 /** End-to-end lifecycle demo: everything a cassabon user does, plus the
   * training-data pipeline, in one run. `runMain graft.Demo [sfDir]`.
@@ -54,13 +54,33 @@ object Demo {
     println(s"[demo] pipeline: $nearDups near-dup pairs, $sampled docs sampled, $bins context bins")
 
     // 5. pair candidates alone can't be acted on: collapse transitive
-    //    chains to one kept doc per cluster, then check the ANN quality
-    //    dial the sketches depend on
+    //    chains to one kept doc per cluster
     val dropped = Dedup.cluster(spark, dir).filter(!col("keep")).count()
     println(s"[demo] dedup_cluster: $dropped docs dropped as transitive near-dups")
+
+    // 6. the multimodal columns ride the same pipeline: typed metadata,
+    //    deterministic frame sampling, exact aspect-fit resize planning,
+    //    fixed-point feature lanes behind the (stubbed) decode seam
+    val nBlobs = Multimodal.meta(spark, dir).count()
+    val plan = Multimodal.resize(spark, dir)
+      .agg(max("out_w").as("w"), max("out_h").as("h")).collect().head
+    val lanes = Multimodal.features(spark, dir).columns.count(_.startsWith("f"))
+    println(s"[demo] multimodal: $nBlobs blobs -> resize fits ${plan.getInt(0)}x${plan.getInt(1)} " +
+      s"in ${Multimodal.ResizeBox}^2, $lanes feature lanes per blob")
+
+    // 7. train the ANN quantizer and verify every sketch against brute
+    //    force — the dial check a pipeline runs before trusting any
+    //    approximate path at scale (kmeans_train feeds ann_ivf_trained;
+    //    ann_recall reports it next to the seed quantizer and LSH)
     val rec = Similarity.recall(spark, dir).collect()
       .map(r => s"${r.getString(0)}=${r.getDouble(3)}").sorted.mkString(", ")
     println(s"[demo] ann recall@5 vs brute force: $rec")
+
+    // 8. continuous ingest twin: bounded-state streaming dedup (the
+    //    RocksDB state store is one conf away for unbounded key spaces:
+    //    CarbonStream.RocksDbFlag)
+    val kept = DedupStream.dedupWatermarkQuery(spark, dir).count()
+    println(s"[demo] stream_dedup_watermark: $kept docs admitted within the horizon")
 
     spark.stop()
   }

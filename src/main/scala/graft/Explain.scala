@@ -12,8 +12,9 @@ object Explain {
     val names = args.drop(1).headOption
       .map(_.split(",").toSeq)
       .getOrElse(Seq("rollup_multi", "rollup_redispatch", "q3_shipping", "q5_region",
-        "ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf", "kmeans_step",
-        "dedup_minhash_lsh", "dedup_embedding_cosine", "dedup_cluster",
+        "ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf", "ann_ivf_trained",
+        "kmeans_step", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+        "dedup_embedding_cosine", "dedup_cluster",
         "peer_rebalance", "metric_fetch", "sessionize", "index_build"))
     val spark = SparkSession.builder()
       .master("local[4]")

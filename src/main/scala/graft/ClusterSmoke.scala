@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+
+/** Multi-JVM smoke: run `dedup_cluster` under `local-cluster[2,2,1024]` —
+  * real standalone workers whose executors are FORKED JVMs with their own
+  * working directories — and require bit-identical labels vs the
+  * single-JVM run. This is the mechanical check for the r5 verdict's one
+  * `weak` finding: operator state parked on a driver-local path only
+  * provably breaks when executors stop sharing the driver's filesystem
+  * view, which `local[n]` can never exercise. `runMain graft.ClusterSmoke
+  * [sfDir]`; exits nonzero on any mismatch.
+  *
+  * Executors know nothing of sbt's classpath, so the current JVM's
+  * classpath is handed to them via `spark.executor.extraClassPath`.
+  * Sessions run SEQUENTIALLY (one SparkContext per JVM).
+  */
+object ClusterSmoke {
+  def main(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
+
+    def labels(spark: SparkSession): Set[(Long, Long, Long, Boolean)] =
+      try graft.operators.Dedup.cluster(spark, sf)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .toSet
+      finally spark.stop()
+
+    def builder(master: String) = SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+    val expected = labels(builder("local[2]").getOrCreate())
+
+    val spillRoot = Files.createTempDirectory("cluster_smoke_spill").toString
+    val clustered = labels(
+      builder("local-cluster[2,2,1024]")
+        .appName("graft-cluster-smoke")
+        .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
+        .config("spark.graft.spillDir", spillRoot)
+        .getOrCreate())
+
+    val spills = Files.list(Paths.get(spillRoot)).iterator().asScala.toSeq
+    require(spills.exists(_.getFileName.toString.startsWith("cc_labels_")),
+      s"no cc_labels_* spill under the shared $spillRoot: $spills")
+    require(expected.nonEmpty && expected.exists(!_._4),
+      "fixture must drop at least one transitive near-dup")
+    require(clustered == expected,
+      s"multi-JVM labels diverge: ${(clustered diff expected).take(5)} vs " +
+        s"${(expected diff clustered).take(5)}")
+    // the marker ClusterSmokeSpec greps for
+    println(s"CLUSTER_SMOKE_OK rows=${expected.size} " +
+      s"dropped=${expected.count(!_._4)} spill=$spillRoot")
+  }
+}

@@ -36,6 +36,15 @@ object Demo {
     val retained = RollupStore.readRetained(spark, store, now).count()
     println(s"[demo] store flush: $retained rows retained under TTL at $store")
 
+    // 2b. the same store fed the streaming way: append-only mergeable
+    //     state per flush cycle, merge-on-read finalization — equal to the
+    //     single-pass batch by the associativity of the state algebra
+    val store2 = java.nio.file.Files.createTempDirectory("graft_demo_flush").toString
+    CarbonStream.streamRollupsToStore(spark, dir, store2, glob = "events.parquet")
+    val finalized = RollupStore.readFinalized(spark, store2).count()
+    println(s"[demo] streaming flush: $finalized finalized rollup rows " +
+      s"(batch pass wrote ${Rollups.rollups(spark, dir).count()})")
+
     // 3. the query API
     val paths = MetricsApi.getPaths(spark, dir, "servers.*.u3")
     println(s"[demo] GET /paths servers.*.u3 -> ${paths.map(_.path).mkString(", ")}")

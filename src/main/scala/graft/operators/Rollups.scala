@@ -132,9 +132,12 @@ object Rollups {
         max(expr(lastKeyGuarded)).as("s_lastkey"))
   }
 
-  /** Combine two mergeable batches (same key space). */
-  def merge(a: DataFrame, b: DataFrame): DataFrame =
-    a.unionByName(b)
+  /** Collapse any number of mergeable state slices (appended flush cycles,
+    * backfill beside live ingest) to one row per key — associative, so the
+    * result is independent of how the stream was sliced into batches.
+    */
+  def mergeAll(state: DataFrame): DataFrame =
+    state
       .groupBy("tbl", "path", "stat_time", "expr")
       .agg(
         sum("s_cents").as("s_cents"),
@@ -143,6 +146,10 @@ object Rollups {
         min("s_min").as("s_min"),
         expr("max_by(s_last, s_lastkey)").as("s_last"),
         max("s_lastkey").as("s_lastkey"))
+
+  /** Combine two mergeable batches (same key space). */
+  def merge(a: DataFrame, b: DataFrame): DataFrame =
+    mergeAll(a.unionByName(b))
 
   /** Mergeable state -> the finalized (tbl, path, stat_time, stat) rows —
     * identical to [[rollups]] run in one pass.

@@ -36,6 +36,31 @@ object RollupStore {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Append one flush cycle's MERGEABLE rollup state (see
+    * `Rollups.mergeableFrom`) into the same partition layout — the
+    * streaming-flush write path (`CarbonStream.streamRollupsToStore`).
+    * Append-only: collisions between cycles are resolved by the
+    * associative merge at read ([[readFinalized]]) or by a compaction
+    * rewrite, never by read-modify-write during ingest.
+    */
+  def appendStateSlice(state: DataFrame, path: String): Unit =
+    state
+      .withColumn("stat_date", to_date(timestamp_seconds(col("stat_time"))))
+      .write
+      .mode("append")
+      .partitionBy("tbl", "stat_date")
+      .parquet(path)
+
+  /** Merge-on-read over an append-only state store: collapse all flush
+    * cycles' slices and finalize to (tbl, path, stat_time, stat) — by the
+    * associativity of the state algebra, equal to a single batch pass over
+    * the raw points no matter how ingest was sliced.
+    */
+  def readFinalized(spark: SparkSession, path: String): DataFrame =
+    graft.operators.Rollups.finalize(
+      graft.operators.Rollups.mergeAll(
+        read(spark, path).drop("stat_date")))
+
   /** TTL-enforced read: each table only yields rows newer than its
     * retention, with the cutoff expressed on the PARTITION columns so the
     * planner prunes expired directories at listing time

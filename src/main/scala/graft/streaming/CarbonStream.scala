@@ -211,6 +211,60 @@ object CarbonStream {
        |FROM c GROUP BY 1, 2
        |HAVING stat_time <= (SELECT max(ts) FROM metrics)""".stripMargin
 
+  /** The full INGEST→STORE loop: cassabon's accumulate/flush cycle
+    * (datastore/metricstore.go:85-185 — accumulate deltas per flush
+    * interval, flush to the store, re-accumulate on collision) re-expressed
+    * without any streaming state at all. Each micro-batch computes its
+    * MERGEABLE partial rollup state (graft.operators.Rollups.mergeableFrom
+    * — commutative five-method state, all windows, one batch-local
+    * aggregation) and APPENDS it to the partitioned store; readers finalize
+    * with [[graft.sources.RollupStore.readFinalized]] (associative
+    * `mergeAll` + `finalize`). Because the state algebra is associative,
+    * the finalized store provably equals the single-pass batch `rollups`
+    * REGARDLESS of how ingest was sliced into flush cycles — the spec
+    * replays the fixture in 3 micro-batches and asserts bit-equality.
+    *
+    * Versus the append-mode windowed form ([[rollupAppendQuery]]): no
+    * watermark, no state store, no still-open-window tail — a late point
+    * lands as one more state row and merges in at read; compaction (rewrite
+    * a partition through `mergeAll`) amortizes read cost exactly like the
+    * reference's re-accumulation on flush collision. At 100 TB each flush
+    * cycle is a map-side-combined aggregation of just that cycle's points,
+    * and the store stays partition-pruned on (tbl, stat_date).
+    */
+  def streamRollupsToStore(spark: SparkSession, srcDir: String, store: String,
+      glob: String = "*.parquet"): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", glob)
+      .option("maxFilesPerTrigger", 1) // one flush cycle per staged file
+      .parquet(srcDir)
+    // Tables.metrics' mapping plus event_id — the five-method mergeable
+    // state needs it for the LAST tiebreak key ([[toMetrics]] serves the
+    // average-only windowed forms and deliberately drops it).
+    val metrics = events.select(
+      concat(lit("servers."), col("event_type"), lit(".u"),
+        (col("user_id") % 8).cast("string")).as("path"),
+      col("value"),
+      expr("ts DIV 1000000000").as("ts"),
+      col("event_id"))
+    withStreamPartitions(spark) {
+      val q = metrics.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.sources.RollupStore.appendStateSlice(
+            graft.operators.Rollups.mergeableFrom(batch), store)
+        }
+        .start()
+      try {
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+      }
+    }
+  }
+
   def ops: Seq[Op] = Seq(
     Op("stream_rollup", rollupQuery, Some(rollupSql)),
     Op("stream_rollup_append", rollupAppendQuery, Some(rollupAppendSql))

@@ -61,6 +61,34 @@ object RollupStore {
       graft.operators.Rollups.mergeAll(
         read(spark, path).drop("stat_date")))
 
+  /** Compaction: rewrite the state store with every key's slices merged to
+    * ONE row — the same associative `mergeAll` the reader applies, run
+    * once so subsequent reads don't re-pay it. State stays MERGEABLE
+    * (compaction is lossless re-slicing, not finalization), so ingest can
+    * keep appending afterwards and [[readFinalized]] is unchanged before,
+    * during intent, and after. At 100 TB this runs per (tbl, stat_date)
+    * partition behind the ingest frontier — cassabon leans on Cassandra
+    * compaction for exactly this (upsert columns collapse in SSTable
+    * merges); here it's explicit and schedulable. The rewrite stages
+    * through `_compact` + two renames because dynamic-overwrite READING
+    * FROM the store being overwritten would race its own file listing.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val staged = s"$path/_compact"
+    graft.operators.Rollups.mergeAll(read(spark, path).drop("stat_date"))
+      .withColumn("stat_date", to_date(timestamp_seconds(col("stat_time"))))
+      .write.mode("overwrite").partitionBy("tbl", "stat_date").parquet(staged)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).foreach { s =>
+      if (s.getPath.getName != "_compact") fs.delete(s.getPath, true)
+    }
+    fs.listStatus(new org.apache.hadoop.fs.Path(staged)).foreach { s =>
+      fs.rename(s.getPath, new org.apache.hadoop.fs.Path(p, s.getPath.getName))
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(staged), true)
+  }
+
   /** TTL-enforced read: each table only yields rows newer than its
     * retention, with the cutoff expressed on the PARTITION columns so the
     * planner prunes expired directories at listing time

@@ -61,5 +61,17 @@ class StreamFlushSpec extends AnyFunSuite with TestSpark {
     assert(got == expected,
       s"flush-sliced store diverges from single-pass batch: " +
         s"extra=${(got diff expected).take(3)} missing=${(expected diff got).take(3)}")
+
+    // compaction: one slice per key afterwards, reader result unchanged,
+    // and the store is still appendable (state stays mergeable)
+    RollupStore.compact(spark, store)
+    val postSlices = RollupStore.read(spark, store)
+      .groupBy("tbl", "path", "stat_time").count()
+    assert(postSlices.filter(col("count") > 1).count() == 0,
+      "compaction left multi-slice keys")
+    val afterCompact = RollupStore.readFinalized(spark, store)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(afterCompact == expected, "compaction changed the finalized result")
   }
 }

@@ -165,6 +165,38 @@ object Rollups {
           .when(col("method") === "min", col("s_min"))
           .otherwise(col("s_last")).as("stat"))
 
+  /** End-to-end ingest→store→query lifecycle as one driver-gradable
+    * operator: the point stream is split into three deterministic flush
+    * cycles (`event_id % 3` — the batch twin of
+    * `CarbonStream.streamRollupsToStore`'s per-file foreachBatch slices),
+    * each cycle appends its MERGEABLE state to the partitioned
+    * `RollupStore`, a compaction rewrite collapses the store mid-ingest
+    * (the behind-the-frontier maintenance pass), the final cycle appends
+    * AFTER compaction, and the read merges-on-read and finalizes.
+    *
+    * By the associativity of the state algebra the result equals
+    * [[rollups]] in a single pass — and the oracle IS `rollup_multi`'s
+    * single-pass SQL, so the driver's DuckDB hash gate certifies the
+    * store machinery itself (partitioned append, the staged compaction
+    * rename, merge-on-read) rather than only the plan algebra the specs
+    * already prove. The store lives at a [[graft.model.Spill]] path
+    * (shared storage on a real cluster); the store is append-only, so
+    * rerun idempotence comes from the explicit reset, not overwrite.
+    */
+  def storeLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.RollupStore
+    val store = graft.model.Spill.path(spark, "store_lifecycle", dir)
+    val p = new org.apache.hadoop.fs.Path(store)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val m = Tables.metrics(spark, dir)
+    def cycle(i: Int): DataFrame = mergeableFrom(m.filter(col("event_id") % 3 === i))
+    RollupStore.appendStateSlice(cycle(0), store)
+    RollupStore.appendStateSlice(cycle(1), store)
+    RollupStore.compact(spark, store)
+    RollupStore.appendStateSlice(cycle(2), store)
+    RollupStore.readFinalized(spark, store)
+  }
+
   /** Single-method fixed-window rollup over the whole stream (the
     * method-isolation queries: one per RollupMethod, 60 s windows).
     */
@@ -433,6 +465,9 @@ object Rollups {
     Op("rollup_dispatch", dispatch, Some(dispatchSql)),
     Op("rollup_redispatch", redispatch, Some(redispatchSql)),
     Op("rollup_multi", rollups, Some(multiSql)),
+    // same oracle as rollup_multi ON PURPOSE: the lifecycle must finalize
+    // to exactly the single-pass write set
+    Op("store_lifecycle", storeLifecycle, Some(multiSql)),
     Op("retention_ttl", retentionTtl, Some(ttlSql))
   )
 }

@@ -94,6 +94,16 @@ class Round6Spec extends AnyFunSuite with TestSpark {
       s"memory-sink temp views leaked: $before tables before, $after after")
   }
 
+  test("store_lifecycle: sliced append + mid-ingest compaction = single-pass write set") {
+    val lifecycle = graft.operators.Rollups.storeLifecycle(spark, Sf)
+      .collect().map(_.toString).sorted
+    val single = graft.operators.Rollups.rollups(spark, Sf)
+      .collect().map(_.toString).sorted
+    assert(lifecycle.nonEmpty)
+    assert(lifecycle.sameElements(single),
+      "merge-on-read over sliced+compacted store must be BIT-identical to one batch pass")
+  }
+
   test("sessionize oracles derive seconds via the integer epoch_ns route") {
     // Tables.scala documents the float epoch() route as divergent near
     // second boundaries; every ts-derived oracle must use epoch_ns // 1e9.

@@ -167,12 +167,23 @@ object Rollups {
 
   /** End-to-end ingest→store→query lifecycle as one driver-gradable
     * operator: the point stream is split into three deterministic flush
-    * cycles (`event_id % 3` — the batch twin of
-    * `CarbonStream.streamRollupsToStore`'s per-file foreachBatch slices),
-    * each cycle appends its MERGEABLE state to the partitioned
-    * `RollupStore`, a compaction rewrite collapses the store mid-ingest
-    * (the behind-the-frontier maintenance pass), the final cycle appends
+    * cycles, each cycle appends its MERGEABLE state to the partitioned
+    * `RollupStore` (the batch twin of
+    * `CarbonStream.streamRollupsToStore`'s foreachBatch slices), a
+    * compaction rewrite collapses the store mid-ingest (the
+    * behind-the-frontier maintenance pass), the final cycle appends
     * AFTER compaction, and the read merges-on-read and finalizes.
+    *
+    * Cycles are TIME-CONTIGUOUS (`(ts DIV 86400) % 3`, whole days), like
+    * real flush cycles: windows close in time order
+    * (metricstore.go:85-185), so a cycle touches only its own
+    * `stat_date` partitions — slicing by a time-uncorrelated key
+    * (event_id) made every append commit a file into EVERY date
+    * directory, tripling the partitioned-write cost for an ingest
+    * pattern no deployment has. Cross-slice merging is still exercised
+    * at every day boundary: a window closing at midnight lands its
+    * `stat_time` on the NEXT day, so day-boundary keys carry state from
+    * two cycles, which compaction and the final read must merge.
     *
     * By the associativity of the state algebra the result equals
     * [[rollups]] in a single pass — and the oracle IS `rollup_multi`'s
@@ -182,6 +193,9 @@ object Rollups {
     * already prove. The store lives at a [[graft.model.Spill]] path
     * (shared storage on a real cluster); the store is append-only, so
     * rerun idempotence comes from the explicit reset, not overwrite.
+    * This is the suite's deliberately I/O-bound entry — its cost is
+    * parquet commit machinery over |tbl|×|stat_date| directories, not
+    * compute (see BASELINE.md).
     */
   def storeLifecycle(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.RollupStore
@@ -189,7 +203,8 @@ object Rollups {
     val p = new org.apache.hadoop.fs.Path(store)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     val m = Tables.metrics(spark, dir)
-    def cycle(i: Int): DataFrame = mergeableFrom(m.filter(col("event_id") % 3 === i))
+    def cycle(i: Int): DataFrame =
+      mergeableFrom(m.filter(expr("(ts DIV 86400) % 3") === i))
     RollupStore.appendStateSlice(cycle(0), store)
     RollupStore.appendStateSlice(cycle(1), store)
     RollupStore.compact(spark, store)

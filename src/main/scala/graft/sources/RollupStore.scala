@@ -42,12 +42,27 @@ object RollupStore {
     * Append-only: collisions between cycles are resolved by the
     * associative merge at read ([[readFinalized]]) or by a compaction
     * rewrite, never by read-modify-write during ingest.
+    *
+    * Rows are clustered onto their `(tbl, stat_date)` partition before
+    * the write: without it every hash-partitioned task scatters a few
+    * rows into EVERY partition directory, so each flush commits
+    * tasks × directories tiny files and every later read/compaction pays
+    * the listing+open cost. One file per directory per slice is the
+    * right shape for state slices at any scale — a slice's rows per
+    * (tbl, date) are bounded by |paths| × windows/day, not by the point
+    * count, and `maxRecordsPerFile` still splits a pathological
+    * directory. (What this does NOT remove is the per-directory writer
+    * open/commit cost itself — a flush's wall time scales with how many
+    * partitions it touches, which is why flush cycles should be
+    * time-contiguous; see `Rollups.storeLifecycle`.)
     */
   def appendStateSlice(state: DataFrame, path: String): Unit =
     state
       .withColumn("stat_date", to_date(timestamp_seconds(col("stat_time"))))
+      .repartition(col("tbl"), col("stat_date"))
       .write
       .mode("append")
+      .option("maxRecordsPerFile", 5000000)
       .partitionBy("tbl", "stat_date")
       .parquet(path)
 
@@ -77,7 +92,9 @@ object RollupStore {
     val staged = s"$path/_compact"
     graft.operators.Rollups.mergeAll(read(spark, path).drop("stat_date"))
       .withColumn("stat_date", to_date(timestamp_seconds(col("stat_time"))))
-      .write.mode("overwrite").partitionBy("tbl", "stat_date").parquet(staged)
+      .repartition(col("tbl"), col("stat_date")) // one file per directory
+      .write.mode("overwrite").option("maxRecordsPerFile", 5000000)
+      .partitionBy("tbl", "stat_date").parquet(staged)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.listStatus(p).foreach { s =>

@@ -41,9 +41,13 @@ object Demo {
     //     single-pass batch by the associativity of the state algebra
     val store2 = java.nio.file.Files.createTempDirectory("graft_demo_flush").toString
     CarbonStream.streamRollupsToStore(spark, dir, store2, glob = "events.parquet")
+    RollupStore.compact(spark, store2) // fold the flush slices; readers unchanged
     val finalized = RollupStore.readFinalized(spark, store2).count()
-    println(s"[demo] streaming flush: $finalized finalized rollup rows " +
+    println(s"[demo] streaming flush + compaction: $finalized finalized rollup rows " +
       s"(batch pass wrote ${Rollups.rollups(spark, dir).count()})")
+    val lifecycle = Rollups.storeLifecycle(spark, dir).count()
+    println(s"[demo] store_lifecycle (sliced append -> compact -> merge-on-read): " +
+      s"$lifecycle rows, oracle-equal to the single pass")
 
     // 3. the query API
     val paths = MetricsApi.getPaths(spark, dir, "servers.*.u3")

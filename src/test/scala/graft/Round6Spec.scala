@@ -94,6 +94,23 @@ class Round6Spec extends AnyFunSuite with TestSpark {
       s"memory-sink temp views leaked: $before tables before, $after after")
   }
 
+  test("appendStateSlice clusters each flush to ONE file per partition directory") {
+    // the small-files gate: a hash-partitioned write scatters every task
+    // across every (tbl, stat_date) directory, so a flush commits
+    // tasks x directories tiny files; the repartition-on-partition-cols
+    // clustering must hold or read/compaction cost silently multiplies
+    val store = Files.createTempDirectory("round6_slice").toString
+    graft.sources.RollupStore.appendStateSlice(
+      graft.operators.Rollups.rollupsMergeable(spark, Sf), store)
+    val leafDirs = Files.walk(Paths.get(store)).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && !p.getFileName.toString.startsWith("_"))
+      .map(_.getParent).toSeq
+    assert(leafDirs.nonEmpty)
+    val multi = leafDirs.groupBy(identity).filter(_._2.size > 1)
+    assert(multi.isEmpty,
+      s"slice wrote multiple files into one partition dir: ${multi.keys.take(3)}")
+  }
+
   test("store_lifecycle: sliced append + mid-ingest compaction = single-pass write set") {
     val lifecycle = graft.operators.Rollups.storeLifecycle(spark, Sf)
       .collect().map(_.toString).sorted

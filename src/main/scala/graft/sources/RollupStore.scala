@@ -76,34 +76,58 @@ object RollupStore {
       graft.operators.Rollups.mergeAll(
         read(spark, path).drop("stat_date")))
 
-  /** Compaction: rewrite the state store with every key's slices merged to
-    * ONE row — the same associative `mergeAll` the reader applies, run
-    * once so subsequent reads don't re-pay it. State stays MERGEABLE
-    * (compaction is lossless re-slicing, not finalization), so ingest can
-    * keep appending afterwards and [[readFinalized]] is unchanged before,
-    * during intent, and after. At 100 TB this runs per (tbl, stat_date)
-    * partition behind the ingest frontier — cassabon leans on Cassandra
-    * compaction for exactly this (upsert columns collapse in SSTable
-    * merges); here it's explicit and schedulable. The rewrite stages
-    * through `_compact` + two renames because dynamic-overwrite READING
-    * FROM the store being overwritten would race its own file listing.
+  /** Compaction: fold each key's accumulated slices to ONE row — the
+    * same associative `mergeAll` the reader applies, run once so
+    * subsequent reads don't re-pay it. State stays MERGEABLE (compaction
+    * is lossless re-slicing, not finalization), so ingest can keep
+    * appending afterwards and [[readFinalized]] is unchanged before,
+    * during intent, and after.
+    *
+    * SELECTIVE per-partition: because every flush is one merged file per
+    * `(tbl, stat_date)` directory ([[appendStateSlice]]), a directory
+    * with a single file is already one-row-per-key — only MULTI-file
+    * directories (ones several flush cycles landed in) are read and
+    * rewritten; the rest of the store is never touched. That is the
+    * behind-the-ingest-frontier maintenance pass at 100 TB: work scales
+    * with the partitions recent flushes touched, not with store size —
+    * cassabon leans on Cassandra compaction for exactly this (upsert
+    * columns collapse in SSTable merges); here it's explicit and
+    * schedulable. The rewrite stages through `_compact` + renames
+    * because a write READING FROM the partitions being replaced would
+    * race its own file listing; the swap is per-directory, so a crash
+    * mid-swap loses no data (staged dirs survive for manual recovery,
+    * un-swapped dirs still merge on read).
     */
   def compact(spark: SparkSession, path: String): Unit = {
-    val staged = s"$path/_compact"
-    graft.operators.Rollups.mergeAll(read(spark, path).drop("stat_date"))
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parquets(d: org.apache.hadoop.fs.Path) =
+      fs.listStatus(d).filter(_.getPath.getName.endsWith(".parquet"))
+    val multi = fs
+      .globStatus(new org.apache.hadoop.fs.Path(root, "tbl=*/stat_date=*"))
+      .map(_.getPath)
+      .filter(d => parquets(d).length > 1)
+    if (multi.isEmpty) return
+    val staged = new org.apache.hadoop.fs.Path(root, "_compact")
+    graft.operators.Rollups.mergeAll(
+        spark.read.option("basePath", path)
+          .parquet(multi.map(_.toString).toIndexedSeq: _*)
+          .drop("stat_date"))
       .withColumn("stat_date", to_date(timestamp_seconds(col("stat_time"))))
       .repartition(col("tbl"), col("stat_date")) // one file per directory
       .write.mode("overwrite").option("maxRecordsPerFile", 5000000)
-      .partitionBy("tbl", "stat_date").parquet(staged)
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(p).foreach { s =>
-      if (s.getPath.getName != "_compact") fs.delete(s.getPath, true)
-    }
-    fs.listStatus(new org.apache.hadoop.fs.Path(staged)).foreach { s =>
-      fs.rename(s.getPath, new org.apache.hadoop.fs.Path(p, s.getPath.getName))
-    }
-    fs.delete(new org.apache.hadoop.fs.Path(staged), true)
+      .partitionBy("tbl", "stat_date").parquet(staged.toString)
+    // swap ONLY the compacted directories into place
+    multi.foreach(d => fs.delete(d, true))
+    fs.listStatus(staged).filter(_.getPath.getName.startsWith("tbl="))
+      .foreach { t =>
+        val destTbl = new org.apache.hadoop.fs.Path(root, t.getPath.getName)
+        fs.mkdirs(destTbl)
+        fs.listStatus(t.getPath).foreach { d =>
+          fs.rename(d.getPath, new org.apache.hadoop.fs.Path(destTbl, d.getPath.getName))
+        }
+      }
+    fs.delete(staged, true)
   }
 
   /** TTL-enforced read: each table only yields rows newer than its

@@ -111,6 +111,32 @@ class Round6Spec extends AnyFunSuite with TestSpark {
       s"slice wrote multiple files into one partition dir: ${multi.keys.take(3)}")
   }
 
+  test("compaction is selective: single-slice partitions are never rewritten") {
+    import graft.operators.Rollups
+    import graft.sources.RollupStore
+    val store = Files.createTempDirectory("round6_compact").toString
+    def files(): Set[String] = Files.walk(Paths.get(store)).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).map(_.toString).toSet
+    val state = Rollups.rollupsMergeable(spark, Sf)
+    RollupStore.appendStateSlice(state, store)
+    val before = files()
+    RollupStore.compact(spark, store) // every dir single-file: must be a no-op
+    assert(files() == before,
+      "compaction rewrote already-compacted (single-file) partitions")
+    RollupStore.appendStateSlice(state, store) // now every dir has 2 slices
+    RollupStore.compact(spark, store)
+    val dirCounts = files().groupBy(f => f.substring(0, f.lastIndexOf('/')))
+    assert(dirCounts.values.forall(_.size == 1),
+      "compaction left a multi-file partition unfolded")
+    // lossless: merge-on-read over the compacted double-append equals the
+    // algebra applied to the doubled state
+    val got = RollupStore.readFinalized(spark, store)
+      .collect().map(_.toString).sorted
+    val want = Rollups.finalize(Rollups.mergeAll(state.unionByName(state)))
+      .collect().map(_.toString).sorted
+    assert(got.sameElements(want))
+  }
+
   test("store_lifecycle: sliced append + mid-ingest compaction = single-pass write set") {
     val lifecycle = graft.operators.Rollups.storeLifecycle(spark, Sf)
       .collect().map(_.toString).sorted

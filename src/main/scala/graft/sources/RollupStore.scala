@@ -94,9 +94,11 @@ object RollupStore {
     * columns collapse in SSTable merges); here it's explicit and
     * schedulable. The rewrite stages through `_compact` + renames
     * because a write READING FROM the partitions being replaced would
-    * race its own file listing; the swap is per-directory, so a crash
-    * mid-swap loses no data (staged dirs survive for manual recovery,
-    * un-swapped dirs still merge on read).
+    * race its own file listing; each directory is swapped (delete +
+    * rename) individually AFTER the staged write is fully committed, so
+    * a crash exposes at most the ONE directory mid-swap — its compacted
+    * copy survives under `_compact/` for recovery, and every other
+    * directory is either already swapped or still merges on read.
     */
   def compact(spark: SparkSession, path: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
@@ -117,14 +119,16 @@ object RollupStore {
       .repartition(col("tbl"), col("stat_date")) // one file per directory
       .write.mode("overwrite").option("maxRecordsPerFile", 5000000)
       .partitionBy("tbl", "stat_date").parquet(staged.toString)
-    // swap ONLY the compacted directories into place
-    multi.foreach(d => fs.delete(d, true))
+    // swap ONLY the compacted directories into place, one at a time —
+    // the crash-vulnerable window is a single directory, never the store
     fs.listStatus(staged).filter(_.getPath.getName.startsWith("tbl="))
       .foreach { t =>
         val destTbl = new org.apache.hadoop.fs.Path(root, t.getPath.getName)
         fs.mkdirs(destTbl)
         fs.listStatus(t.getPath).foreach { d =>
-          fs.rename(d.getPath, new org.apache.hadoop.fs.Path(destTbl, d.getPath.getName))
+          val dest = new org.apache.hadoop.fs.Path(destTbl, d.getPath.getName)
+          fs.delete(dest, true)
+          fs.rename(d.getPath, dest)
         }
       }
     fs.delete(staged, true)

@@ -96,13 +96,19 @@ object RollupStore {
     * because a write READING FROM the partitions being replaced would
     * race its own file listing; each directory is swapped (delete +
     * rename) individually AFTER the staged write is fully committed, so
-    * a crash exposes at most the ONE directory mid-swap — its compacted
-    * copy survives under `_compact/` for recovery, and every other
-    * directory is either already swapped or still merges on read.
+    * a crash exposes at most the ONE directory mid-swap — and the next
+    * `compact()` SELF-HEALS via [[recover]]: `_compact/_SUCCESS` present
+    * means the staged copies are committed truth, so the remaining ones
+    * (renames remove staged dirs as they land, so what's left is exactly
+    * what hasn't been swapped) are swapped in before anything else;
+    * `_SUCCESS` absent means the staged WRITE itself crashed, the source
+    * directories are untouched, and the garbage is dropped.
     */
   def compact(spark: SparkSession, path: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = new org.apache.hadoop.fs.Path(root, "_compact")
+    recover(fs, root, staged)
     def parquets(d: org.apache.hadoop.fs.Path) =
       fs.listStatus(d).filter(_.getPath.getName.endsWith(".parquet"))
     val multi = fs
@@ -110,7 +116,6 @@ object RollupStore {
       .map(_.getPath)
       .filter(d => parquets(d).length > 1)
     if (multi.isEmpty) return
-    val staged = new org.apache.hadoop.fs.Path(root, "_compact")
     graft.operators.Rollups.mergeAll(
         spark.read.option("basePath", path)
           .parquet(multi.map(_.toString).toIndexedSeq: _*)
@@ -119,8 +124,16 @@ object RollupStore {
       .repartition(col("tbl"), col("stat_date")) // one file per directory
       .write.mode("overwrite").option("maxRecordsPerFile", 5000000)
       .partitionBy("tbl", "stat_date").parquet(staged.toString)
-    // swap ONLY the compacted directories into place, one at a time —
-    // the crash-vulnerable window is a single directory, never the store
+    swapIn(fs, root, staged)
+  }
+
+  /** Swap every staged partition directory into place, one delete+rename
+    * at a time — the crash-vulnerable window is a single directory, never
+    * the store — then drop the staging root.
+    */
+  private[graft] def swapIn(fs: org.apache.hadoop.fs.FileSystem,
+                            root: org.apache.hadoop.fs.Path,
+                            staged: org.apache.hadoop.fs.Path): Unit = {
     fs.listStatus(staged).filter(_.getPath.getName.startsWith("tbl="))
       .foreach { t =>
         val destTbl = new org.apache.hadoop.fs.Path(root, t.getPath.getName)
@@ -133,6 +146,19 @@ object RollupStore {
       }
     fs.delete(staged, true)
   }
+
+  /** Finish (committed staged write → swap the leftovers in) or discard
+    * (uncommitted → sources untouched, drop the garbage) a compaction a
+    * crash interrupted. Idempotent; no-op when `_compact` is absent.
+    */
+  private[graft] def recover(fs: org.apache.hadoop.fs.FileSystem,
+                             root: org.apache.hadoop.fs.Path,
+                             staged: org.apache.hadoop.fs.Path): Unit =
+    if (fs.exists(staged)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(staged, "_SUCCESS")))
+        swapIn(fs, root, staged)
+      else fs.delete(staged, true)
+    }
 
   /** TTL-enforced read: each table only yields rows newer than its
     * retention, with the cutoff expressed on the PARTITION columns so the

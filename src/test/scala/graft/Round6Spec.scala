@@ -137,6 +137,58 @@ class Round6Spec extends AnyFunSuite with TestSpark {
     assert(got.sameElements(want))
   }
 
+  test("compaction self-heals from a crash at either phase") {
+    import graft.operators.Rollups
+    import graft.sources.RollupStore
+    import org.apache.hadoop.fs.Path
+    val store = Files.createTempDirectory("round6_recover").toString
+    val root = new Path(store)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = new Path(root, "_compact")
+    val state = Rollups.rollupsMergeable(spark, Sf)
+    RollupStore.appendStateSlice(state, store)
+    RollupStore.appendStateSlice(state, store)
+    val want = Rollups.finalize(Rollups.mergeAll(state.unionByName(state)))
+      .collect().map(_.toString).sorted
+    // crash BEFORE the staged write committed: garbage without _SUCCESS —
+    // sources are untouched, so recovery discards and recompacts from them
+    fs.mkdirs(staged)
+    val junk = new Path(staged, "tbl=junk/stat_date=2020-01-01")
+    fs.mkdirs(junk)
+    fs.createNewFile(new Path(junk, "part-junk.parquet"))
+    RollupStore.compact(spark, store)
+    assert(!fs.exists(staged), "uncommitted staging not discarded")
+    assert(!fs.exists(new Path(root, "tbl=junk")), "garbage swapped into the store")
+    assert(RollupStore.readFinalized(spark, store)
+      .collect().map(_.toString).sorted.sameElements(want))
+    // crash AFTER the staged write committed, mid-swap: one directory was
+    // deleted but its compacted replacement never renamed in — the staged
+    // copy is the only remaining truth and recovery must finish the swap
+    RollupStore.appendStateSlice(state, store)
+    val multi = fs.globStatus(new Path(root, "tbl=*/stat_date=*")).map(_.getPath)
+      .filter(d => fs.listStatus(d).count(_.getPath.getName.endsWith(".parquet")) > 1)
+    assert(multi.nonEmpty)
+    Rollups.mergeAll(spark.read.option("basePath", store)
+        .parquet(multi.map(_.toString).toIndexedSeq: _*).drop("stat_date"))
+      .withColumn("stat_date", org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.timestamp_seconds(
+          org.apache.spark.sql.functions.col("stat_time"))))
+      .repartition(org.apache.spark.sql.functions.col("tbl"),
+        org.apache.spark.sql.functions.col("stat_date"))
+      .write.mode("overwrite").partitionBy("tbl", "stat_date")
+      .parquet(staged.toString)
+    assert(fs.exists(new Path(staged, "_SUCCESS")), "committed staging must carry _SUCCESS")
+    fs.delete(multi.head, true) // the mid-swap victim
+    RollupStore.compact(spark, store)
+    assert(!fs.exists(staged))
+    val want2 = Rollups.finalize(Rollups.mergeAll(
+        state.unionByName(state).unionByName(state)))
+      .collect().map(_.toString).sorted
+    assert(RollupStore.readFinalized(spark, store)
+      .collect().map(_.toString).sorted.sameElements(want2),
+      "recovery lost the mid-swap directory's rows")
+  }
+
   test("store_lifecycle: sliced append + mid-ingest compaction = single-pass write set") {
     val lifecycle = graft.operators.Rollups.storeLifecycle(spark, Sf)
       .collect().map(_.toString).sorted

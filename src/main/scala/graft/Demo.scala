@@ -48,6 +48,15 @@ object Demo {
     val lifecycle = Rollups.storeLifecycle(spark, dir).count()
     println(s"[demo] store_lifecycle (sliced append -> compact -> merge-on-read): " +
       s"$lifecycle rows, oracle-equal to the single pass")
+    // 2c. maintenance is crash-safe: a staging dir a previous compaction
+    //     left behind (here: an uncommitted write, no _SUCCESS) is
+    //     recovered before the next one stages — see RollupStore.recover
+    val hp = new org.apache.hadoop.fs.Path(store2, "_compact")
+    val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.mkdirs(hp)
+    RollupStore.compact(spark, store2)
+    println(s"[demo] compaction self-heal: stale staging drained=${!hfs.exists(hp)}, " +
+      s"rows unchanged=${RollupStore.readFinalized(spark, store2).count() == finalized}")
 
     // 3. the query API
     val paths = MetricsApi.getPaths(spark, dir, "servers.*.u3")

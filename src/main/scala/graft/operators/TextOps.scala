@@ -136,6 +136,57 @@ object TextOps {
        |       CAST(length(text) AS INT) AS n_chars_obs
        |FROM documents""".stripMargin
 
+  // --------------------------------------------------------- text_repetition
+
+  /** Intra-document repetition: duplicate fraction of tokens, word
+    * 2-grams, and word 3-grams — the Gopher-style "repetitive document"
+    * quality signal (high duplicate-n-gram fraction flags boilerplate,
+    * keyword stuffing, and generation loops), complementary to
+    * [[textQuality]]'s surface stats and to the CROSS-doc dedup family.
+    * Map-only: grams, dedup, and ratios all evaluate inside the row, so
+    * the operator is a projection over the scan — zero shuffles at any
+    * scale. Guarded with CASE because Spark's `sequence(1, 0)` DESCENDS
+    * (see [[fingerprint]]); short docs score 0.0 in both engines.
+    */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    textRepetitionFrom(Tables.documents(spark, dir))
+
+  private def gramCol(g: Int): String =
+    s"""CASE WHEN size(t) >= $g
+       |     THEN transform(sequence(1, size(t) - ${g - 1}),
+       |                    i -> concat_ws(' ', slice(t, i, $g)))
+       |     ELSE CAST(array() AS array<string>) END""".stripMargin
+
+  private def dupFrac(c: String): String =
+    s"CASE WHEN size($c) > 0 THEN round((size($c) - size(array_distinct($c))) / CAST(size($c) AS DOUBLE), 6) ELSE 0.0 END"
+
+  def textRepetitionFrom(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("t", split(lower(col("text")), " "))
+      .withColumn("g2", expr(gramCol(2)))
+      .withColumn("g3", expr(gramCol(3)))
+      .select(col("doc_id"),
+        expr(dupFrac("t")).as("dup_tok"),
+        expr(dupFrac("g2")).as("rep2"),
+        expr(dupFrac("g3")).as("rep3"))
+
+  private val textRepetitionSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+      |), g AS (
+      |  SELECT doc_id, t, len(t) AS n,
+      |    list_transform(generate_series(1, len(t) - 1),
+      |                   i -> t[i] || ' ' || t[i + 1]) AS g2,
+      |    list_transform(generate_series(1, len(t) - 2),
+      |                   i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) AS g3
+      |  FROM tok
+      |)
+      |SELECT doc_id,
+      |  CASE WHEN n > 0 THEN round((n - len(list_distinct(t))) / CAST(n AS DOUBLE), 6) ELSE 0.0 END AS dup_tok,
+      |  CASE WHEN len(g2) > 0 THEN round((len(g2) - len(list_distinct(g2))) / CAST(len(g2) AS DOUBLE), 6) ELSE 0.0 END AS rep2,
+      |  CASE WHEN len(g3) > 0 THEN round((len(g3) - len(list_distinct(g3))) / CAST(len(g3) AS DOUBLE), 6) ELSE 0.0 END AS rep3
+      |FROM g""".stripMargin
+
   // ---------------------------------------------------------- doc_fingerprint
 
   val FingerprintK = 8
@@ -298,6 +349,7 @@ object TextOps {
     Op("lang_id", langId, Some(langIdSql)),
     Op("text_quality", textQuality, Some(textQualitySql)),
     Op("token_count", tokenCount, Some(tokenCountSql)),
+    Op("text_repetition", textRepetition, Some(textRepetitionSql)),
     Op("doc_fingerprint", fingerprint, Some(fingerprintSql)),
     Op("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     Op("pack_sequences", packSequencesSharded(_, _), Some(packSequencesSql))

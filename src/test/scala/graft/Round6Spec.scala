@@ -199,6 +199,22 @@ class Round6Spec extends AnyFunSuite with TestSpark {
       "merge-on-read over sliced+compacted store must be BIT-identical to one batch pass")
   }
 
+  test("text_repetition: planted duplicate n-grams score exactly; short docs 0.0") {
+    import spark.implicits._
+    val got = graft.operators.TextOps.textRepetitionFrom(
+        Seq((1L, "a a a a"), (2L, "a b c d"), (3L, "x"), (4L, "A a B b"))
+          .toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    // "a a a a": 4 tokens 1 distinct -> 0.75; g2 = 3×"a a" -> 2/3; g3 = 2×"a a a" -> 0.5
+    assert(got(0) == ((1L, 0.75, 0.666667, 0.5)))
+    assert(got(1) == ((2L, 0.0, 0.0, 0.0)))
+    // single token: no 2-/3-grams, guards must yield 0.0 (not NaN/negative-sequence)
+    assert(got(2) == ((3L, 0.0, 0.0, 0.0)))
+    // lowercasing folds A/a before counting
+    assert(got(3) == ((4L, 0.5, 0.0, 0.0)))
+  }
+
   test("sessionize oracles derive seconds via the integer epoch_ns route") {
     // Tables.scala documents the float epoch() route as divergent near
     // second boundaries; every ts-derived oracle must use epoch_ns // 1e9.

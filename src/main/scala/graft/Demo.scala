@@ -73,7 +73,10 @@ object Demo {
     val nearDups = Dedup.minhashLsh(spark, dir).count()
     val sampled = TextOps.sampleStratified(spark, dir).count()
     val bins = TextOps.packSequences(spark, dir).agg(max("bin")).collect().head.getLong(0) + 1
-    println(s"[demo] pipeline: $nearDups near-dup pairs, $sampled docs sampled, $bins context bins")
+    val repetitive = TextOps.textRepetition(spark, dir)
+      .filter(col("rep2") > 0.1).count()
+    println(s"[demo] pipeline: $nearDups near-dup pairs, $sampled docs sampled, " +
+      s"$bins context bins, $repetitive docs flagged repetitive (rep2 > 0.1)")
 
     // 5. pair candidates alone can't be acted on: collapse transitive
     //    chains to one kept doc per cluster

@@ -187,6 +187,51 @@ object TextOps {
       |  CASE WHEN len(g3) > 0 THEN round((len(g3) - len(list_distinct(g3))) / CAST(len(g3) AS DOUBLE), 6) ELSE 0.0 END AS rep3
       |FROM g""".stripMargin
 
+  // --------------------------------------------------------- text_commonness
+
+  /** Corpus-statistics quality signal: mean and minimum DOCUMENT
+    * FREQUENCY of each doc's tokens — the integer-safe proxy for the
+    * CCNet/Gopher LM-rarity filter (a doc whose tokens are rare across
+    * the corpus is jargon, noise, or another language; one full of
+    * corpus-universal tokens is boilerplate). Integer DF counts + one
+    * final division keep it engine-portable where log-prob scoring would
+    * hinge on libm ULPs.
+    *
+    * Scale shape: the DF table is VOCABULARY-sized (bounded by language,
+    * not corpus — it fits in a broadcast at any corpus size), so the
+    * score join is map-side; the per-doc aggregation partially combines
+    * each doc's co-located tokens before the exchange, which therefore
+    * carries ~|docs| rows, not |tokens|. The DF aggregation itself is
+    * the one token-keyed shuffle, with map-side partials.
+    */
+  def textCommonness(spark: SparkSession, dir: String): DataFrame =
+    textCommonnessFrom(Tables.documents(spark, dir))
+
+  def textCommonnessFrom(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+    val dfTbl = toks.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+    toks.join(broadcast(dfTbl), "tok")
+      .groupBy("doc_id")
+      .agg(
+        round(sum("df") / count(lit(1)).cast("double"), 6).as("mean_df"),
+        min("df").as("rarest_df"),
+        count(lit(1)).as("n_tok"))
+  }
+
+  private val textCommonnessSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+      |), df AS (
+      |  SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY tok
+      |)
+      |SELECT t.doc_id,
+      |       round(sum(d.df) / CAST(count(*) AS DOUBLE), 6) AS mean_df,
+      |       CAST(min(d.df) AS BIGINT) AS rarest_df,
+      |       CAST(count(*) AS BIGINT) AS n_tok
+      |FROM tok t JOIN df d USING (tok)
+      |GROUP BY t.doc_id""".stripMargin
+
   // ---------------------------------------------------------- doc_fingerprint
 
   val FingerprintK = 8
@@ -350,6 +395,7 @@ object TextOps {
     Op("text_quality", textQuality, Some(textQualitySql)),
     Op("token_count", tokenCount, Some(tokenCountSql)),
     Op("text_repetition", textRepetition, Some(textRepetitionSql)),
+    Op("text_commonness", textCommonness, Some(textCommonnessSql)),
     Op("doc_fingerprint", fingerprint, Some(fingerprintSql)),
     Op("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     Op("pack_sequences", packSequencesSharded(_, _), Some(packSequencesSql))

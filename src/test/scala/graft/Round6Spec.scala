@@ -215,6 +215,22 @@ class Round6Spec extends AnyFunSuite with TestSpark {
     assert(got(3) == ((4L, 0.5, 0.0, 0.0)))
   }
 
+  test("text_commonness: planted document frequencies score exactly; join broadcasts") {
+    import spark.implicits._
+    val out = graft.operators.TextOps.textCommonnessFrom(
+      Seq((1L, "a b"), (2L, "a a c"), (3L, "a")).toDF("doc_id", "text"))
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // df: a=3 docs, b=1, c=1
+    assert(got(0) == ((1L, 2.0, 1L, 2L)))       // (3+1)/2
+    assert(got(1) == ((2L, 2.333333, 1L, 3L)))  // (3+3+1)/3
+    assert(got(2) == ((3L, 3.0, 3L, 1L)))
+    // the vocabulary-sized DF table must ride a broadcast, not a shuffle join
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "DF score join is not broadcast")
+  }
+
   test("sessionize oracles derive seconds via the integer epoch_ns route") {
     // Tables.scala documents the float epoch() route as divergent near
     // second boundaries; every ts-derived oracle must use epoch_ns // 1e9.

@@ -33,7 +33,10 @@ object Dedup {
     * compare cannot drift. Texts are single-space word streams.
     */
   private def shingles(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    shinglesFrom(Tables.documents(spark, dir))
+
+  private[graft] def shinglesFrom(docs: DataFrame): DataFrame =
+    docs
       .withColumn("t", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(
         """CASE WHEN size(t) >= 3
@@ -398,11 +401,54 @@ object Dedup {
        |       m.doc_id = m.cluster_id AS keep
        |FROM m JOIN sizes s USING (cluster_id)""".stripMargin
 
+  // ------------------------------------------------------------ decontaminate
+
+  /** Benchmark decontamination: flag every TRAINING document that shares
+    * a word-3-gram shingle with the held-out EVAL set (here the docs with
+    * `doc_id % 97 == 0` stand in for the benchmark suite; in production
+    * the eval side is the actual eval corpora). A first-class pipeline
+    * stage distinct from dedup: dedup compares the corpus against ITSELF,
+    * decontamination against a small EXTERNAL set, so the plan is
+    * asymmetric — the eval shingle set is benchmark-sized (broadcastable
+    * at any corpus size), the train side streams through map-side, and
+    * the only exchange is the per-doc hit count whose partial aggregation
+    * collapses each doc's co-located shingles first. Gram width is the
+    * strictness dial (production suites use 8–13-grams; 3 matches this
+    * corpus's phrase length and reuses [[shingles]]' portable 60-bit
+    * hashing, so a hash collision flags identically in both engines).
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame =
+    decontaminateFrom(Tables.documents(spark, dir))
+
+  def decontaminateFrom(docs: DataFrame): DataFrame = {
+    val sh = shinglesFrom(docs)
+    val evalSh = sh.filter(col("doc_id") % 97 === 0)
+      .select(col("shingle")).distinct()
+      .withColumn("hit", lit(1))
+    sh.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(evalSh), Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("hit")).as("n_shared"))
+      .select(col("doc_id"), col("n_shared"),
+        (col("n_shared") > 0).as("contaminated"))
+  }
+
+  private val decontaminateSql: String =
+    s"""WITH $shinglesCtes,
+       |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+       |SELECT s.doc_id,
+       |       CAST(count(e.shingle) AS BIGINT) AS n_shared,
+       |       count(e.shingle) > 0 AS contaminated
+       |FROM sh s LEFT JOIN ev e USING (shingle)
+       |WHERE s.doc_id % 97 <> 0
+       |GROUP BY s.doc_id""".stripMargin
+
   def ops: Seq[Op] = Seq(
     Op("dedup_exact", exact, Some(exactSql)),
     Op("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     Op("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),
     Op("dedup_simhash", simhash, Some(simhashSql)),
-    Op("dedup_cluster", cluster, Some(clusterSql))
+    Op("dedup_cluster", cluster, Some(clusterSql)),
+    Op("decontaminate", decontaminate, Some(decontaminateSql))
   )
 }

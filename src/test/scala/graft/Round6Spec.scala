@@ -231,6 +231,19 @@ class Round6Spec extends AnyFunSuite with TestSpark {
       "DF score join is not broadcast")
   }
 
+  test("decontaminate: eval-shingle overlap flags exactly; eval side broadcasts") {
+    import spark.implicits._
+    // doc 97 is eval (97 % 97 == 0); doc 1 shares its "x y z" 3-gram via
+    // "w x y z" (grams "w x y", "x y z"), doc 2 shares nothing
+    val out = graft.operators.Dedup.decontaminateFrom(
+      Seq((97L, "x y z"), (1L, "w x y z"), (2L, "p q r s")).toDF("doc_id", "text"))
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 1L, true), (2L, 0L, false)))
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "eval shingle join is not broadcast")
+  }
+
   test("sessionize oracles derive seconds via the integer epoch_ns route") {
     // Tables.scala documents the float epoch() route as divergent near
     // second boundaries; every ts-derived oracle must use epoch_ns // 1e9.

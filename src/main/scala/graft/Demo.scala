@@ -77,6 +77,12 @@ object Demo {
       .filter(col("rep2") > 0.1).count()
     println(s"[demo] pipeline: $nearDups near-dup pairs, $sampled docs sampled, " +
       s"$bins context bins, $repetitive docs flagged repetitive (rep2 > 0.1)")
+    val rare = TextOps.textCommonness(spark, dir)
+      .agg(min("rarest_df")).collect().head.getLong(0)
+    val contaminated = Dedup.decontaminate(spark, dir)
+      .filter(col("contaminated")).count()
+    println(s"[demo] pipeline filters: rarest token df=$rare, " +
+      s"$contaminated train docs share a 3-gram with the eval holdout")
 
     // 5. pair candidates alone can't be acted on: collapse transitive
     //    chains to one kept doc per cluster

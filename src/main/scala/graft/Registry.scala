@@ -21,6 +21,7 @@ object Registry {
       graft.operators.OpsStats.ops ++
       graft.operators.Dedup.ops ++
       graft.operators.TextOps.ops ++
+      graft.operators.Curate.ops ++
       graft.operators.Similarity.ops ++
       graft.operators.Multimodal.ops ++
       graft.operators.Analytics.ops ++

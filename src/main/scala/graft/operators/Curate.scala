@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Op
+
+/** The end-to-end curation verdict: ONE query that composes the pipeline's
+  * per-document filters into the keep/drop decision a training run
+  * consumes, with the per-filter booleans kept as the audit trail —
+  * [[TextOps.textQuality]]'s score gate, [[TextOps.textRepetition]]'s
+  * duplicate-2-gram gate, [[Dedup.decontaminate]]'s benchmark-overlap
+  * gate (eval-holdout docs themselves fail it by definition — they are
+  * never trained on), and [[Dedup.cluster]]'s transitive near-dup
+  * representative election.
+  *
+  * Scale shape: every constituent keeps its own audited plan (map-only
+  * quality/repetition, broadcast decontamination, checkpointed cluster
+  * loop), and the composition is doc_id-keyed equi-joins — co-partitioned
+  * exchanges over one row per document, nothing wider. The DuckDB oracle
+  * nests the constituents' oracle SQL verbatim, so the composed verdict
+  * is hash-gated end to end, not re-derived.
+  */
+object Curate {
+
+  /** rep2 above this duplicate-2-gram fraction fails the repetition gate
+    * (the Demo's observed corpus tail; production tunes per corpus).
+    */
+  val MaxRep2 = 0.10
+
+  def curate(spark: SparkSession, dir: String): DataFrame = {
+    val quality = TextOps.textQuality(spark, dir)
+      .select(col("doc_id"), col("keep").as("quality_ok"))
+    val repetition = TextOps.textRepetition(spark, dir)
+      .select(col("doc_id"), (col("rep2") <= MaxRep2).as("repetition_ok"))
+    val decontaminated = Dedup.decontaminate(spark, dir)
+      .select(col("doc_id"), (!col("contaminated")).as("decontaminated"))
+    val representative = Dedup.cluster(spark, dir)
+      .select(col("doc_id"), col("keep").as("dedup_keep"))
+    quality
+      .join(repetition, "doc_id")
+      .join(representative, "doc_id")
+      .join(decontaminated, Seq("doc_id"), "left") // eval docs have no row
+      .withColumn("decontaminated", coalesce(col("decontaminated"), lit(false)))
+      .withColumn("keep",
+        col("quality_ok") && col("repetition_ok") &&
+          col("decontaminated") && col("dedup_keep"))
+  }
+
+  private val curateSql: String =
+    s"""WITH q AS (${TextOps.textQualitySql}),
+       |r AS (${TextOps.textRepetitionSql}),
+       |d AS (${Dedup.decontaminateSql}),
+       |c AS (${Dedup.clusterSql})
+       |SELECT q.doc_id,
+       |       q.keep AS quality_ok,
+       |       r.rep2 <= $MaxRep2 AS repetition_ok,
+       |       coalesce(NOT d.contaminated, false) AS decontaminated,
+       |       c.keep AS dedup_keep,
+       |       (q.keep AND r.rep2 <= $MaxRep2
+       |        AND coalesce(NOT d.contaminated, false) AND c.keep) AS keep
+       |FROM q
+       |JOIN r ON q.doc_id = r.doc_id
+       |JOIN c ON q.doc_id = c.doc_id
+       |LEFT JOIN d ON q.doc_id = d.doc_id""".stripMargin
+
+  def ops: Seq[Op] = Seq(
+    Op("curate", curate, Some(curateSql))
+  )
+}

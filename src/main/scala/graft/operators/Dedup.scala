@@ -379,7 +379,7 @@ object Dedup {
   /** Oracle: transitive closure over the same pairs via a recursive CTE —
     * `reach(v, r)` = r is in v's component; cluster id = min reachable.
     */
-  private val clusterSql: String =
+  private[graft] val clusterSql: String =
     s"""WITH RECURSIVE $minhashPairsCtes,
        |edges AS (
        |  SELECT doc_a AS u, doc_b AS v FROM pairs
@@ -433,7 +433,7 @@ object Dedup {
         (col("n_shared") > 0).as("contaminated"))
   }
 
-  private val decontaminateSql: String =
+  private[graft] val decontaminateSql: String =
     s"""WITH $shinglesCtes,
        |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
        |SELECT s.doc_id,

@@ -92,7 +92,7 @@ object TextOps {
         col("stop_ratio"), col("mean_tok_len"), col("score"),
         (col("score") >= 0.5).as("keep"))
 
-  private val textQualitySql: String = {
+  private[graft] val textQualitySql: String = {
     val allStops = hitsSql(Stopwords.flatMap(_._2))
     s"""WITH base AS (
        |  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
@@ -170,7 +170,7 @@ object TextOps {
         expr(dupFrac("g2")).as("rep2"),
         expr(dupFrac("g3")).as("rep3"))
 
-  private val textRepetitionSql: String =
+  private[graft] val textRepetitionSql: String =
     """WITH tok AS (
       |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
       |), g AS (

@@ -244,6 +244,21 @@ class Round6Spec extends AnyFunSuite with TestSpark {
       "eval shingle join is not broadcast")
   }
 
+  test("curate: eval-holdout docs always fail; verdict is the gate conjunction") {
+    val out = graft.operators.Curate.curate(spark, Sf).collect()
+    assert(out.nonEmpty)
+    def b(r: org.apache.spark.sql.Row, c: String) = r.getAs[Boolean](c)
+    val evalRows = out.filter(_.getAs[Long]("doc_id") % 97 == 0)
+    assert(evalRows.nonEmpty, "fixture must contain eval-holdout doc_ids")
+    assert(evalRows.forall(r => !b(r, "decontaminated") && !b(r, "keep")),
+      "an eval-holdout doc passed decontamination or was kept")
+    assert(out.forall { r =>
+      b(r, "keep") == (b(r, "quality_ok") && b(r, "repetition_ok") &&
+        b(r, "decontaminated") && b(r, "dedup_keep"))
+    }, "keep is not the conjunction of its gates")
+    assert(out.exists(b(_, "keep")), "no document survived curation")
+  }
+
   test("sessionize oracles derive seconds via the integer epoch_ns route") {
     // Tables.scala documents the float epoch() route as divergent near
     // second boundaries; every ts-derived oracle must use epoch_ns // 1e9.

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.api.MetricsApi
 import graft.model.Tables
-import graft.operators.{Dedup, Multimodal, Rollups, Similarity, TextOps}
+import graft.operators.{Curate, Dedup, Multimodal, Rollups, Similarity, TextOps}
 import graft.sources.RollupStore
 import graft.streaming.{CarbonStream, DedupStream}
 
@@ -88,6 +88,13 @@ object Demo {
     //    chains to one kept doc per cluster
     val dropped = Dedup.cluster(spark, dir).filter(!col("keep")).count()
     println(s"[demo] dedup_cluster: $dropped docs dropped as transitive near-dups")
+
+    // 5b. the composed verdict: every gate in ONE query, per-filter
+    //     booleans as the audit trail
+    val verdict = Curate.curate(spark, dir)
+    val survived = verdict.filter(col("keep")).count()
+    println(s"[demo] curate: $survived/${verdict.count()} docs survive " +
+      "quality+repetition+decontamination+dedup in one query")
 
     // 6. the multimodal columns ride the same pipeline: typed metadata,
     //    deterministic frame sampling, exact aspect-fit resize planning,

@@ -28,24 +28,38 @@ object Curate {
     */
   val MaxRep2 = 0.10
 
-  def curate(spark: SparkSession, dir: String): DataFrame = {
-    val quality = TextOps.textQuality(spark, dir)
-      .select(col("doc_id"), col("keep").as("quality_ok"))
-    val repetition = TextOps.textRepetition(spark, dir)
-      .select(col("doc_id"), (col("rep2") <= MaxRep2).as("repetition_ok"))
-    val decontaminated = Dedup.decontaminate(spark, dir)
-      .select(col("doc_id"), (!col("contaminated")).as("decontaminated"))
-    val representative = Dedup.cluster(spark, dir)
-      .select(col("doc_id"), col("keep").as("dedup_keep"))
+  def curate(spark: SparkSession, dir: String): DataFrame =
+    verdictFrom(
+      TextOps.textQuality(spark, dir)
+        .select(col("doc_id"), col("keep").as("quality_ok")),
+      TextOps.textRepetition(spark, dir)
+        .select(col("doc_id"), (col("rep2") <= MaxRep2).as("repetition_ok")),
+      Dedup.decontaminate(spark, dir)
+        .select(col("doc_id"), (!col("contaminated")).as("decontaminated")),
+      Dedup.cluster(spark, dir)
+        .select(col("doc_id"), col("keep").as("dedup_keep")))
+
+  /** The composition itself, constituent-agnostic so the absence
+    * semantics are directly testable (Round7Spec).
+    */
+  private[graft] def verdictFrom(quality: DataFrame, repetition: DataFrame,
+                                 decontaminated: DataFrame,
+                                 representative: DataFrame): DataFrame =
     quality
       .join(repetition, "doc_id")
       .join(representative, "doc_id")
-      .join(decontaminated, Seq("doc_id"), "left") // eval docs have no row
-      .withColumn("decontaminated", coalesce(col("decontaminated"), lit(false)))
+      .join(decontaminated, Seq("doc_id"), "left")
+      // Eval holdout is decided by the PREDICATE, never by row absence:
+      // decontaminate's output also omits docs with <3 tokens (zero
+      // shingles), and those are trainable — no shingles means no possible
+      // benchmark overlap, so missing NON-eval rows coalesce to true while
+      // eval docs hard-fail (they are never trained on).
+      .withColumn("decontaminated",
+        when(col("doc_id") % Dedup.EvalMod === 0, lit(false))
+          .otherwise(coalesce(col("decontaminated"), lit(true))))
       .withColumn("keep",
         col("quality_ok") && col("repetition_ok") &&
           col("decontaminated") && col("dedup_keep"))
-  }
 
   private val curateSql: String =
     s"""WITH q AS (${TextOps.textQualitySql}),
@@ -55,10 +69,13 @@ object Curate {
        |SELECT q.doc_id,
        |       q.keep AS quality_ok,
        |       r.rep2 <= $MaxRep2 AS repetition_ok,
-       |       coalesce(NOT d.contaminated, false) AS decontaminated,
+       |       CASE WHEN q.doc_id % ${Dedup.EvalMod} = 0 THEN false
+       |            ELSE coalesce(NOT d.contaminated, true) END AS decontaminated,
        |       c.keep AS dedup_keep,
        |       (q.keep AND r.rep2 <= $MaxRep2
-       |        AND coalesce(NOT d.contaminated, false) AND c.keep) AS keep
+       |        AND CASE WHEN q.doc_id % ${Dedup.EvalMod} = 0 THEN false
+       |                 ELSE coalesce(NOT d.contaminated, true) END
+       |        AND c.keep) AS keep
        |FROM q
        |JOIN r ON q.doc_id = r.doc_id
        |JOIN c ON q.doc_id = c.doc_id

@@ -417,15 +417,23 @@ object Dedup {
     * corpus's phrase length and reuses [[shingles]]' portable 60-bit
     * hashing, so a hash collision flags identically in both engines).
     */
+  /** Stand-in predicate marking the held-out EVAL docs (the benchmark
+    * suite): `doc_id % EvalMod == 0`. Shared with [[Curate]] so the
+    * keep/drop verdict gates on the PREDICATE, not on row absence in
+    * this operator's output (docs with <3 tokens have zero shingles and
+    * are absent too — they must not be mistaken for eval holdout).
+    */
+  val EvalMod = 97
+
   def decontaminate(spark: SparkSession, dir: String): DataFrame =
     decontaminateFrom(Tables.documents(spark, dir))
 
   def decontaminateFrom(docs: DataFrame): DataFrame = {
     val sh = shinglesFrom(docs)
-    val evalSh = sh.filter(col("doc_id") % 97 === 0)
+    val evalSh = sh.filter(col("doc_id") % EvalMod === 0)
       .select(col("shingle")).distinct()
       .withColumn("hit", lit(1))
-    sh.filter(col("doc_id") % 97 =!= 0)
+    sh.filter(col("doc_id") % EvalMod =!= 0)
       .join(broadcast(evalSh), Seq("shingle"), "left")
       .groupBy("doc_id")
       .agg(count(col("hit")).as("n_shared"))
@@ -435,12 +443,12 @@ object Dedup {
 
   private[graft] val decontaminateSql: String =
     s"""WITH $shinglesCtes,
-       |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+       |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % $EvalMod = 0)
        |SELECT s.doc_id,
        |       CAST(count(e.shingle) AS BIGINT) AS n_shared,
        |       count(e.shingle) > 0 AS contaminated
        |FROM sh s LEFT JOIN ev e USING (shingle)
-       |WHERE s.doc_id % 97 <> 0
+       |WHERE s.doc_id % $EvalMod <> 0
        |GROUP BY s.doc_id""".stripMargin
 
   def ops: Seq[Op] = Seq(

@@ -174,16 +174,21 @@ object Rollups {
     * behind-the-frontier maintenance pass), the final cycle appends
     * AFTER compaction, and the read merges-on-read and finalizes.
     *
-    * Cycles are TIME-CONTIGUOUS (`(ts DIV 86400) % 3`, whole days), like
-    * real flush cycles: windows close in time order
-    * (metricstore.go:85-185), so a cycle touches only its own
-    * `stat_date` partitions — slicing by a time-uncorrelated key
-    * (event_id) made every append commit a file into EVERY date
-    * directory, tripling the partitioned-write cost for an ingest
-    * pattern no deployment has. Cross-slice merging is still exercised
-    * at every day boundary: a window closing at midnight lands its
-    * `stat_time` on the NEXT day, so day-boundary keys carry state from
-    * two cycles, which compaction and the final read must merge.
+    * Cycles are TIME-CONTIGUOUS: the fixture's day span is cut into
+    * three consecutive day ranges (terciles), like real flush cycles —
+    * windows close in time order (metricstore.go:85-185), so a cycle
+    * touches only its own `stat_date` partitions. Slicing by a
+    * time-uncorrelated key (event_id) made every append commit a file
+    * into EVERY date directory, tripling the partitioned-write cost for
+    * an ingest pattern no deployment has; a `% 3` over the day number
+    * was day-ALIGNED but interleaved (days 0,3,6,… in cycle 0), i.e.
+    * disjoint but not contiguous ranges. The tercile bounds come from
+    * one column-pruned min/max over `ts` — two longs on the driver, the
+    * flush frontier a real ingester knows for free. Cross-slice merging
+    * is still exercised at each tercile boundary: a window closing at
+    * the boundary lands its `stat_time` in the NEXT cycle's range, so
+    * boundary keys carry state from two cycles, which compaction and
+    * the final read must merge.
     *
     * By the associativity of the state algebra the result equals
     * [[rollups]] in a single pass — and the oracle IS `rollup_multi`'s
@@ -203,8 +208,14 @@ object Rollups {
     val p = new org.apache.hadoop.fs.Path(store)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     val m = Tables.metrics(spark, dir)
-    def cycle(i: Int): DataFrame =
-      mergeableFrom(m.filter(expr("(ts DIV 86400) % 3") === i))
+    val span = m.agg(min(expr("ts DIV 86400")), max(expr("ts DIV 86400"))).head()
+    val (d0, d1) = (span.getLong(0), span.getLong(1))
+    val days = d1 - d0 + 1
+    def cycle(i: Int): DataFrame = {
+      val lo = d0 + i * days / 3
+      val hi = if (i == 2) d1 + 1 else d0 + (i + 1) * days / 3
+      mergeableFrom(m.filter(expr("ts DIV 86400") >= lo && expr("ts DIV 86400") < hi))
+    }
     RollupStore.appendStateSlice(cycle(0), store)
     RollupStore.appendStateSlice(cycle(1), store)
     RollupStore.compact(spark, store)

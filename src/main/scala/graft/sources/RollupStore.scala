@@ -33,8 +33,10 @@ object RollupStore {
       .partitionBy("tbl", "stat_date")
       .parquet(path)
 
-  def read(spark: SparkSession, path: String): DataFrame =
+  def read(spark: SparkSession, path: String): DataFrame = {
+    recoverIfNeeded(spark, path)
     spark.read.parquet(path)
+  }
 
   /** Append one flush cycle's MERGEABLE rollup state (see
     * `Rollups.mergeableFrom`) into the same partition layout — the
@@ -56,7 +58,8 @@ object RollupStore {
     * partitions it touches, which is why flush cycles should be
     * time-contiguous; see `Rollups.storeLifecycle`.)
     */
-  def appendStateSlice(state: DataFrame, path: String): Unit =
+  def appendStateSlice(state: DataFrame, path: String): Unit = {
+    recoverIfNeeded(state.sparkSession, path)
     state
       .withColumn("stat_date", to_date(timestamp_seconds(col("stat_time"))))
       .repartition(col("tbl"), col("stat_date"))
@@ -65,6 +68,7 @@ object RollupStore {
       .option("maxRecordsPerFile", 5000000)
       .partitionBy("tbl", "stat_date")
       .parquet(path)
+  }
 
   /** Merge-on-read over an append-only state store: collapse all flush
     * cycles' slices and finalize to (tbl, path, stat_time, stat) — by the
@@ -107,12 +111,14 @@ object RollupStore {
   def compact(spark: SparkSession, path: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return // never-written store: nothing to fold
     val staged = new org.apache.hadoop.fs.Path(root, "_compact")
     recover(fs, root, staged)
     def parquets(d: org.apache.hadoop.fs.Path) =
       fs.listStatus(d).filter(_.getPath.getName.endsWith(".parquet"))
-    val multi = fs
-      .globStatus(new org.apache.hadoop.fs.Path(root, "tbl=*/stat_date=*"))
+    val multi = Option(fs
+        .globStatus(new org.apache.hadoop.fs.Path(root, "tbl=*/stat_date=*")))
+      .getOrElse(Array.empty)
       .map(_.getPath)
       .filter(d => parquets(d).length > 1)
     if (multi.isEmpty) return
@@ -159,6 +165,24 @@ object RollupStore {
         swapIn(fs, root, staged)
       else fs.delete(staged, true)
     }
+
+  /** EVERY public entry point recovers before touching the store, not just
+    * `compact()`. Two failure modes this closes (both real data loss):
+    * a crash mid-swap leaves one partition's dest dir deleted with its
+    * staged replacement not yet renamed in — a read that skipped recovery
+    * would silently return a store missing that partition's rows; and an
+    * `appendStateSlice` that landed a fresh slice in such a partition
+    * BEFORE the next compact would have that slice deleted when recover's
+    * swapIn later replaced the whole directory. Recovering first means no
+    * slice can ever land in (and no read can ever observe) a half-swapped
+    * store. Cost when healthy: one `exists` on `_compact`, nothing else.
+    */
+  private def recoverIfNeeded(spark: SparkSession, path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root))
+      recover(fs, root, new org.apache.hadoop.fs.Path(root, "_compact"))
+  }
 
   /** TTL-enforced read: each table only yields rows newer than its
     * retention, with the cutoff expressed on the PARTITION columns so the

@@ -8,12 +8,14 @@ import org.apache.spark.sql.SparkSession
   * Each query is fully materialized through the `noop` sink (a bare
   * `count()` would let Catalyst prune the computed columns away).
   *
-  * Measurement aids (system property, falling back to env — the driver
-  * sets neither, so its runs are unchanged): `graft.bench.ops` = CSV of
-  * op names to run alone; `graft.bench.reps` = repeat each op N times
-  * and report the per-query MINIMUM — on a host with co-tenant
-  * steal-time spikes the min is the honest cost estimate (BASELINE.md
-  * "r6 measurement caveat"), while a single sample can be 5× off.
+  * Measurement aids (system property, falling back to env):
+  * `graft.bench.ops` = CSV of op names to run alone; `graft.bench.reps`
+  * = repeat each op N times and report the per-query MINIMUM — on a
+  * host with co-tenant steal-time spikes the min is the honest cost
+  * estimate (BASELINE.md "r6 measurement caveat"), while a single
+  * sample can be 5× off. DEFAULT is min-of-3 so the driver-recorded
+  * BENCH_r{N}.json is itself noise-robust (r6's single-sample run read
+  * 6.8× high and had to be re-adjudicated by hand).
   */
 object Bench {
   private def opt(name: String): Option[String] =
@@ -23,7 +25,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val only = opt("graft.bench.ops").map(_.split(",").map(_.trim).toSet)
-    val reps = opt("graft.bench.reps").map(_.toInt).getOrElse(1)
+    val reps = opt("graft.bench.reps").map(_.toInt).getOrElse(3)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -18,7 +18,15 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // -Dgraft.verify.ops=a,b restricts the dump (and the oracle json) for
     // fast local iteration on a changed operator; the driver runs unfiltered.
-    val only = sys.props.get("graft.verify.ops").map(_.split(",").toSet)
+    // Names are trimmed and validated — a typo'd op would otherwise dump
+    // nothing and make the subsequent oracle check pass vacuously.
+    val only = sys.props.get("graft.verify.ops")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"-Dgraft.verify.ops names unknown ops: ${unknown.mkString(", ")}")
+    }
     def selected(name: String) = only.forall(_.contains(name))
     SparkEntry.queries.filter(e => selected(e._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -209,6 +209,8 @@ object Rollups {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     val m = Tables.metrics(spark, dir)
     val span = m.agg(min(expr("ts DIV 86400")), max(expr("ts DIV 86400"))).head()
+    require(!span.isNullAt(0),
+      s"storeLifecycle: metrics table at $dir is empty — no day span to slice")
     val (d0, d1) = (span.getLong(0), span.getLong(1))
     val days = d1 - d0 + 1
     def cycle(i: Int): DataFrame = {

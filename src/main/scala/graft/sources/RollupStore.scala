@@ -24,7 +24,8 @@ object RollupStore {
     * files on 1000-executor writes; dynamic overwrite only replaces the
     * partitions present in this batch (the streaming flush contract).
     */
-  def write(rollups: DataFrame, path: String): Unit =
+  def write(rollups: DataFrame, path: String): Unit = {
+    recoverIfNeeded(rollups.sparkSession, path)
     rollups
       .withColumn("stat_date", to_date(timestamp_seconds(col("stat_time"))))
       .write
@@ -32,6 +33,7 @@ object RollupStore {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("tbl", "stat_date")
       .parquet(path)
+  }
 
   def read(spark: SparkSession, path: String): DataFrame = {
     recoverIfNeeded(spark, path)
@@ -136,6 +138,20 @@ object RollupStore {
   /** Swap every staged partition directory into place, one delete+rename
     * at a time — the crash-vulnerable window is a single directory, never
     * the store — then drop the staging root.
+    *
+    * CONCURRENCY CONTRACT (single maintenance writer): the store tolerates
+    * any number of crash/restart cycles (that is what [[recover]] heals)
+    * but NOT two live processes mutating it at once — a reader or
+    * appender racing an in-progress `compact` could observe `_compact`
+    * without `_SUCCESS` and discard the compactor's in-flight staged
+    * write, and two concurrent `swapIn`s could interleave delete+rename
+    * on the same directory. Run compaction from one scheduled maintenance
+    * job (the cassabon model: one metricmanager owns the store,
+    * datastore/metricmanager.go:127-180); ingest itself is safe because
+    * every entry point serializes through recovery BEFORE touching files
+    * and flush cycles come from one streaming query. Each rename/delete
+    * below is checked so a lost race (or a filesystem refusing the swap)
+    * fails LOUDLY instead of silently dropping a partition directory.
     */
   private[graft] def swapIn(fs: org.apache.hadoop.fs.FileSystem,
                             root: org.apache.hadoop.fs.Path,
@@ -143,14 +159,18 @@ object RollupStore {
     fs.listStatus(staged).filter(_.getPath.getName.startsWith("tbl="))
       .foreach { t =>
         val destTbl = new org.apache.hadoop.fs.Path(root, t.getPath.getName)
-        fs.mkdirs(destTbl)
+        require(fs.mkdirs(destTbl) || fs.exists(destTbl),
+          s"compact swap: cannot create $destTbl")
         fs.listStatus(t.getPath).foreach { d =>
           val dest = new org.apache.hadoop.fs.Path(destTbl, d.getPath.getName)
-          fs.delete(dest, true)
-          fs.rename(d.getPath, dest)
+          if (fs.exists(dest))
+            require(fs.delete(dest, true), s"compact swap: cannot delete $dest")
+          require(fs.rename(d.getPath, dest),
+            s"compact swap: rename ${d.getPath} -> $dest failed (concurrent writer?)")
         }
       }
-    fs.delete(staged, true)
+    require(fs.delete(staged, true),
+      s"compact swap: cannot drop staging root $staged")
   }
 
   /** Finish (committed staged write → swap the leftovers in) or discard

@@ -20,6 +20,7 @@ object Registry {
       graft.operators.MetricQuery.ops ++
       graft.operators.OpsStats.ops ++
       graft.operators.Dedup.ops ++
+      graft.operators.Sketch.ops ++
       graft.operators.TextOps.ops ++
       graft.operators.Curate.ops ++
       graft.operators.Similarity.ops ++

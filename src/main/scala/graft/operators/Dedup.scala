@@ -45,7 +45,7 @@ object Dedup {
       .select(col("doc_id"), hash60(col("sht")).as("shingle"))
       .distinct()
 
-  private val shinglesCtes: String =
+  private[graft] val shinglesCtes: String =
     s"""tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        |sh AS (
        |  SELECT DISTINCT doc_id,
@@ -173,12 +173,10 @@ object Dedup {
     }
   }
 
-  /** MinHash signatures + LSH band join: candidate pairs share at least one
-    * band signature. The band join touches only bucket collisions — the
-    * 100 TB path for near-dup at scale. 16 perms over md5-based shingle
-    * hashes, banded 4x4, band signature = md5 of the ordered minhash run.
+  /** Per-document band signatures `(doc_id, band, sig)` — the bucketed
+    * frame [[minhashLsh]] self-joins and `sketch_occupancy` measures.
     */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def minhashBandSigs(spark: SparkSession, dir: String): DataFrame = {
     val hashed = shingles(spark, dir)
       .withColumn("hv", col("shingle") % MinhashPrime)
     // all 16 permutation minima in ONE aggregation pass: no perm-table
@@ -192,10 +190,18 @@ object Dedup {
         .map(i => s"CAST(m$i AS STRING)").mkString(", ")
       s"named_struct('band', $band, 'sig', md5(cast(concat_ws('-', $run) AS binary)))"
     }
-    val sigs = mh
-      .select(col("doc_id"),
+    mh.select(col("doc_id"),
         explode(expr(bandStructs.mkString("array(", ", ", ")"))).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** MinHash signatures + LSH band join: candidate pairs share at least one
+    * band signature. The band join touches only bucket collisions — the
+    * 100 TB path for near-dup at scale. 16 perms over md5-based shingle
+    * hashes, banded 4x4, band signature = md5 of the ordered minhash run.
+    */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashBandSigs(spark, dir)
     sigs.as("a")
       .join(sigs.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -204,23 +210,34 @@ object Dedup {
       .distinct()
   }
 
+  /** CTE chain `{p}hashed … {p}sigs(doc_id, band, sig)` — the DuckDB
+    * mirror of [[minhashBandSigs]] (expects `sh` from `shinglesCtes` in
+    * scope). The name prefix `p` keeps several sketch families
+    * collision-free inside one WITH clause (`sketch_occupancy` composes
+    * this next to the simhash and hyperplane chains, which also define
+    * `hashed`/`sigs`).
+    */
+  private[graft] def minhashSigsCtes(p: String): String = {
+    val permRows = perms.map { case (i, a, b) => s"($i, $a, $b)" }.mkString(", ")
+    s"""${p}hashed AS (SELECT doc_id, shingle % $MinhashPrime AS hv FROM sh),
+       |${p}perms(i, a, b) AS (VALUES $permRows),
+       |${p}mh AS (
+       |  SELECT doc_id, p.i, min((p.a * ${p}hashed.hv + p.b) % $MinhashPrime) AS mh
+       |  FROM ${p}hashed CROSS JOIN ${p}perms p GROUP BY 1, 2
+       |),
+       |${p}sigs AS (
+       |  SELECT doc_id, i // $BandRows AS band,
+       |         md5(string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i)) AS sig
+       |  FROM ${p}mh GROUP BY 1, 2
+       |)""".stripMargin
+  }
+
   /** CTE chain ending in `pairs(doc_a, doc_b)` — the DuckDB mirror of
     * [[minhashLsh]]; the cluster oracle builds on it.
     */
   private val minhashPairsCtes: String = {
-    val permRows = perms.map { case (i, a, b) => s"($i, $a, $b)" }.mkString(", ")
     s"""$shinglesCtes,
-       |hashed AS (SELECT doc_id, shingle % $MinhashPrime AS hv FROM sh),
-       |perms(i, a, b) AS (VALUES $permRows),
-       |mh AS (
-       |  SELECT doc_id, p.i, min((p.a * hashed.hv + p.b) % $MinhashPrime) AS mh
-       |  FROM hashed CROSS JOIN perms p GROUP BY 1, 2
-       |),
-       |sigs AS (
-       |  SELECT doc_id, i // $BandRows AS band,
-       |         md5(string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i)) AS sig
-       |  FROM mh GROUP BY 1, 2
-       |),
+       |${minhashSigsCtes("")},
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM sigs a JOIN sigs b
@@ -235,14 +252,22 @@ object Dedup {
 
   val SimhashBits = 60 // md5-derived hashes carry 60 portable bits
   val HammingMax = 3
-  val SimhashPieces = 4 // 4 x 15-bit pieces: pigeonhole-complete for ham<=3
 
-  /** 60-bit SimHash over shingle hashes; near-dup pairs with hamming <= 3.
-    * Candidate generation is multi-index banding (4 pieces of 15 bits — a
-    * pair within hamming 3 must agree on at least one piece), then the exact
-    * `bit_count(xor)` re-check inside buckets. No all-pairs product.
+  /** Default piece width. 15-bit pieces give 4 pieces over 60 bits —
+    * pigeonhole-complete for ham <= [[HammingMax]] — and 2^15 buckets per
+    * piece index. The width is the scale dial: per-bucket occupancy grows
+    * ~n/2^width, so at 100× corpus growth move to a wider total sketch /
+    * wider pieces (any divisor of [[SimhashBits]] with at least
+    * HammingMax+1 pieces is valid — see [[simhashWith]]); the
+    * `sketch_occupancy` operator is the measured gate that says when.
     */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
+  val SimhashPieceBits = 15
+  val SimhashPieces: Int = SimhashBits / SimhashPieceBits
+
+  /** Per-document 60-bit SimHash `(doc_id, sh)` — the majority-bit
+    * aggregation shared by every piece width.
+    */
+  private[graft] def simhashSigs(spark: SparkSession, dir: String): DataFrame = {
     val hashed = shingles(spark, dir).withColumn("hv", col("shingle"))
     // all 60 bit-position counts in ONE aggregation pass, lane-packed:
     // 4 counters of 15 bits per long (no cross-lane carry while every
@@ -262,10 +287,36 @@ object Dedup {
       val off = (j % 4) * 15
       s"CASE WHEN 2 * (shiftright(lane$g, $off) & 32767) > n THEN ${1L << j} ELSE CAST(0 AS BIGINT) END"
     }.mkString(" + ")
-    val sim = agg.select(col("doc_id"), expr(shExpr).as("sh"))
-    val pieces = sim.select(col("doc_id"), col("sh"),
-      explode(expr(s"transform(sequence(0, ${SimhashPieces - 1}), t -> named_struct('t', t, 'piece', shiftright(sh, t * 15) & 32767))")).as("pc"))
+    agg.select(col("doc_id"), expr(shExpr).as("sh"))
+  }
+
+  /** Multi-index piece frame `(doc_id, sh, t, piece)` for pieces of
+    * `pieceBits` bits — the bucketed frame the candidate join collides on
+    * and `sketch_occupancy` measures.
+    */
+  private[graft] def simhashPieceFrame(sim: DataFrame, pieceBits: Int): DataFrame = {
+    require(SimhashBits % pieceBits == 0,
+      s"piece width $pieceBits must divide $SimhashBits-bit sketch")
+    val n = SimhashBits / pieceBits
+    require(n >= HammingMax + 1,
+      s"$n pieces of $pieceBits bits cannot pigeonhole hamming <= $HammingMax (need >= ${HammingMax + 1})")
+    val mask = (1L << pieceBits) - 1
+    sim.select(col("doc_id"), col("sh"),
+      explode(expr(s"transform(sequence(0, ${n - 1}), t -> named_struct('t', t, 'piece', shiftright(sh, t * $pieceBits) & $mask))")).as("pc"))
       .select(col("doc_id"), col("sh"), col("pc.t").as("t"), col("pc.piece").as("piece"))
+  }
+
+  /** 60-bit SimHash over shingle hashes; near-dup pairs with hamming <= 3.
+    * Candidate generation is multi-index banding (pieces of `pieceBits`
+    * bits — a pair within hamming [[HammingMax]] must agree on at least
+    * one piece whenever there are more pieces than differing bits), then
+    * the exact `bit_count(xor)` re-check inside buckets. No all-pairs
+    * product. Any valid `pieceBits` returns the IDENTICAL pair set (the
+    * re-check is exact; only bucket sizes change) — the dial trades
+    * candidate volume against bucket occupancy.
+    */
+  def simhashWith(spark: SparkSession, dir: String, pieceBits: Int): DataFrame = {
+    val pieces = simhashPieceFrame(simhashSigs(spark, dir), pieceBits)
     pieces.as("a")
       .join(pieces.as("b"),
         col("a.t") === col("b.t") && col("a.piece") === col("b.piece") &&
@@ -276,25 +327,44 @@ object Dedup {
       .filter(col("hamming") <= HammingMax)
   }
 
-  private val simhashSql: String =
-    s"""WITH $shinglesCtes,
-       |hashed AS (SELECT doc_id, shingle AS hv FROM sh),
-       |n AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY 1),
-       |setbits AS (
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashWith(spark, dir, SimhashPieceBits)
+
+  /** CTE chain `{p}hashed … {p}sim(doc_id, sh)` — the DuckDB mirror of
+    * [[simhashSigs]] (expects `sh` from `shinglesCtes`; prefixed like
+    * [[minhashSigsCtes]]).
+    */
+  private[graft] def simhashSimCtes(p: String): String =
+    s"""${p}hashed AS (SELECT doc_id, shingle AS hv FROM sh),
+       |${p}n AS (SELECT doc_id, count(*) AS n FROM ${p}hashed GROUP BY 1),
+       |${p}setbits AS (
        |  SELECT doc_id,
        |         unnest([j for j in generate_series(0, ${SimhashBits - 1}) if (hv >> j) & 1 = 1]) AS j
-       |  FROM hashed
+       |  FROM ${p}hashed
        |),
-       |bits AS (SELECT doc_id, j, count(*) AS cnt FROM setbits GROUP BY 1, 2),
-       |sim AS (
+       |${p}bits AS (SELECT doc_id, j, count(*) AS cnt FROM ${p}setbits GROUP BY 1, 2),
+       |${p}sim AS (
        |  SELECT b.doc_id,
        |         CAST(sum(CASE WHEN 2 * b.cnt > n.n THEN (1::BIGINT << b.j) ELSE 0 END) AS BIGINT) AS sh
-       |  FROM bits b JOIN n ON b.doc_id = n.doc_id GROUP BY 1
-       |),
-       |pieces AS (
-       |  SELECT doc_id, sh, t, (sh >> (t * 15)) & 32767 AS piece
-       |  FROM sim, unnest(generate_series(0, ${SimhashPieces - 1})) AS g(t)
-       |)
+       |  FROM ${p}bits b JOIN ${p}n n ON b.doc_id = n.doc_id GROUP BY 1
+       |)""".stripMargin
+
+  /** `{p}pieces(doc_id, sh, t, piece)` over `{p}sim` — [[simhashPieceFrame]]'s
+    * mirror at the given piece width.
+    */
+  private[graft] def simhashPiecesCte(p: String, pieceBits: Int): String = {
+    val n = SimhashBits / pieceBits
+    val mask = (1L << pieceBits) - 1
+    s"""${p}pieces AS (
+       |  SELECT doc_id, sh, t, (sh >> (t * $pieceBits)) & $mask AS piece
+       |  FROM ${p}sim, unnest(generate_series(0, ${n - 1})) AS g(t)
+       |)""".stripMargin
+  }
+
+  private val simhashSql: String =
+    s"""WITH $shinglesCtes,
+       |${simhashSimCtes("")},
+       |${simhashPiecesCte("", SimhashPieceBits)}
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
        |FROM pieces a JOIN pieces b

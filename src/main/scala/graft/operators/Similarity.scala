@@ -51,7 +51,7 @@ object Similarity {
       .withColumn("nrm", expr(dotExpr("v", "v")))
   }
 
-  private val fixedVecsCtes: String =
+  private[graft] val fixedVecsCtes: String =
     s"""iv AS (SELECT vec_id, $toFixedSql AS v FROM embeddings),
        |nv AS (SELECT vec_id, v, CAST(list_sum([x * x for x in v]) AS BIGINT) AS nrm FROM iv)""".stripMargin
 
@@ -246,29 +246,41 @@ object Similarity {
     * (i-1)) & 1` extracts coordinate signs — bit extraction is fill-bit
     * agnostic, so arithmetic-vs-logical shift on a negative mask is moot.)
     */
-  private val lshBucketedSql: String = {
-    val planeRows = tablePlanes.zipWithIndex.flatMap { case (tp, t) =>
+  /** CTE chain `{p}planes … {p}sigs(vec_id, t, b)` — the relational
+    * DuckDB mirror of `vec_signbits` over a table family (expects
+    * `nv` from [[fixedVecsCtes]] in scope). Prefix `p` keeps several
+    * sketch families collision-free in one WITH clause: the
+    * `sketch_occupancy` oracle composes this twice (LSH tables AND
+    * embedding-cosine bands — a band IS a table of
+    * [[DupPlanesPerBand]] planes).
+    */
+  private[graft] def sigCtes(p: String, tables: Seq[Seq[Seq[Long]]]): String = {
+    val planeRows = tables.zipWithIndex.flatMap { case (tp, t) =>
       graft.functions.VecMath.planeMasks(tp).zipWithIndex.map {
         case (mask, k) => s"($t, $k, ${mask}::BIGINT)"
       }
     }
-    s"""WITH $fixedVecsCtes,
-       |planes(t, k, mask) AS (VALUES ${planeRows.mkString(", ")}),
-       |vu AS (
+    s"""${p}planes(t, k, mask) AS (VALUES ${planeRows.mkString(", ")}),
+       |${p}vu AS (
        |  SELECT vec_id, g.i AS i, v[g.i] AS x
        |  FROM nv, generate_series(1, $Dim) AS g(i)
        |),
-       |psum AS (
+       |${p}psum AS (
        |  SELECT vu.vec_id, p.t, p.k,
        |         sum(CASE WHEN (p.mask >> (vu.i - 1)) & 1 = 1 THEN vu.x ELSE -vu.x END) AS s
-       |  FROM vu CROSS JOIN planes p
+       |  FROM ${p}vu vu CROSS JOIN ${p}planes p
        |  GROUP BY 1, 2, 3
        |),
-       |sigs AS (
+       |${p}sigs AS (
        |  SELECT vec_id, t,
        |         CAST(sum(CASE WHEN s >= 0 THEN 1::BIGINT << k ELSE 0 END) AS BIGINT) AS b
-       |  FROM psum GROUP BY 1, 2
-       |),
+       |  FROM ${p}psum GROUP BY 1, 2
+       |)""".stripMargin
+  }
+
+  private val lshBucketedSql: String = {
+    s"""WITH $fixedVecsCtes,
+       |${sigCtes("", tablePlanes)},
        |probes AS (
        |  SELECT s.vec_id AS q_id, s.t, xor(s.b, m.m) AS qb
        |  FROM sigs s, (SELECT unnest([${ProbeMasks.mkString(",")}]) AS m) m
@@ -336,21 +348,57 @@ object Similarity {
     * sign-colliding pairs (~1/256 of the cross product per band) — and the
     * band width is the dial that keeps bucket sizes bounded as n grows.
     */
-  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
-    def bandRows(band: Int): Seq[Seq[Long]] =
-      (0 until DupPlanesPerBand).map(k => dupPlanes(band * DupPlanesPerBand + k)._2)
-    val sigs = fixedVecs(spark, dir)
-      .withColumn("sig0", expr(sigCall(bandRows(0))))
-      .withColumn("sig1", expr(sigCall(bandRows(1))))
-    def bandPairs(sig: String): DataFrame =
-      sigs.as("a").join(sigs.as("b"),
-          col(s"a.$sig") === col(s"b.$sig") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-          (expr(dotExpr("a.v", "b.v")) / (sqrt(col("a.nrm")) * sqrt(col("b.nrm")))).as("cos"))
-    bandPairs("sig0").union(bandPairs("sig1"))
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame =
+    embeddingNearDupWith(spark, dir, DupBands, DupPlanesPerBand)
+
+  /** Band-plane rows for a `(bands, planesPerBand)` config, drawn from the
+    * same sequential splitmix64 stream as the defaults — a band is a table
+    * of `planesPerBand` planes, structurally identical to an LSH table.
+    */
+  private[graft] def dupPlanesFor(bands: Int, planesPerBand: Int): Seq[Seq[Seq[Long]]] =
+    mkPlanes(bands * planesPerBand).map(_._2).grouped(planesPerBand).toSeq
+
+  /** Per-vector band signatures `(vec_id, v, nrm, band, sig)` at a given
+    * config — the bucketed frame the candidate join collides on and
+    * `sketch_occupancy` measures. All bands come out of ONE map-only
+    * posexplode projection (one `vec_signbits` call per band).
+    */
+  private[graft] def embBandSigs(spark: SparkSession, dir: String,
+      bands: Int, planesPerBand: Int): DataFrame = {
+    val sigArr = expr(dupPlanesFor(bands, planesPerBand)
+      .map(sigCall).mkString("array(", ", ", ")"))
+    fixedVecs(spark, dir)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        posexplode(sigArr).as(Seq("band", "sig")))
+  }
+
+  /** [[embeddingNearDup]] at an explicit `(bands, planesPerBand)` config:
+    * one self-join on `(band, sig)` replaces the per-band join union, so
+    * the dial can widen without adding exchanges — `planesPerBand` is the
+    * occupancy knob (buckets/band = 2^planes; should grow ~log n) and
+    * `bands` the recall knob. The exact cosine filter is config-invariant;
+    * only WHICH candidate pairs get scored changes.
+    */
+  def embeddingNearDupWith(spark: SparkSession, dir: String,
+      bands: Int, planesPerBand: Int): DataFrame = {
+    val sigs = embBandSigs(spark, dir, bands, planesPerBand)
+    sigs.as("a").join(sigs.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        (expr(dotExpr("a.v", "b.v")) / (sqrt(col("a.nrm")) * sqrt(col("b.nrm")))).as("cos"))
       .filter(col("cos") >= DupThreshold)
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cosine"))
-      .distinct() // a pair may collide in both bands; cos is exact so rows tie
+      .distinct() // a pair may collide in several bands; cos is exact so rows tie
+  }
+
+  /** Per-vector LSH table signatures `(vec_id, t, b)` for the default
+    * [[tablePlanes]] — `sketch_occupancy`'s view of the ANN buckets.
+    */
+  private[graft] def lshTableSigs(spark: SparkSession, dir: String): DataFrame = {
+    val sigArr = expr(tablePlanes.map(sigCall).mkString("array(", ", ", ")"))
+    fixedVecs(spark, dir)
+      .select(col("vec_id"), posexplode(sigArr).as(Seq("t", "b")))
   }
 
   private val embeddingNearDupSql: String = {

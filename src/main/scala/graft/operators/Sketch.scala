@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Op
+
+/** Measured bucket occupancy for every sketch family the engine buckets
+  * on — the scale gate for the "bounded bucket" claims.
+  *
+  * Every near-dup/ANN candidate generator in this library confines the
+  * quadratic all-pairs product to colliding buckets (minhash band
+  * signatures, simhash pieces, embedding-cosine band signatures, LSH
+  * table buckets). That bound is only as good as the bucket sizes, and
+  * per-bucket occupancy grows ~n/2^width as the corpus grows — the
+  * sketch widths must widen ~log n to keep buckets bounded. This
+  * operator turns that from an asserted invariant into a WATCHED number:
+  * max/mean occupancy per family, oracle-gated like any other query, and
+  * benched per round. When `max_occ` drifts toward the corpus size, the
+  * dial to turn is the matching width parameter
+  * ([[Dedup.simhashWith]] `pieceBits`, [[Similarity.embeddingNearDupWith]]
+  * `planesPerBand`, [[Similarity.PlanesPerTable]]) — Round8Spec pins that
+  * widening a dial shrinks `max_occ` on the live fixture.
+  *
+  * Plan shape: each family is its signature projection (map-only except
+  * minhash/simhash's one per-doc aggregation) plus a two-level
+  * aggregation — per-bucket counts, then a 4-row stats collapse. Nothing
+  * here shuffles more than the candidate generators themselves already
+  * do; occupancy is strictly cheaper than the dedup op it audits, so it
+  * can run as a pre-flight check before committing to a full dedup pass
+  * at a new corpus scale.
+  */
+object Sketch {
+
+  /** `(family, n_buckets, max_occ, mean_occ)` for one bucketed frame.
+    * `mean_occ` = rows/buckets as ONE IEEE division of exact integer
+    * counts, then `round(·, 6)` — the Portable convention for anything
+    * float-divided.
+    */
+  private[graft] def occupancyOf(buckets: DataFrame, family: String,
+      cols: Seq[String]): DataFrame =
+    buckets.groupBy(cols.map(col): _*).agg(count(lit(1)).as("occ"))
+      .agg(count(lit(1)).as("n_buckets"), max("occ").as("max_occ"),
+        round(sum("occ").cast("double") / count(lit(1)), 6).as("mean_occ"))
+      .select(lit(family).as("family"), col("n_buckets"),
+        col("max_occ"), col("mean_occ"))
+
+  def occupancy(spark: SparkSession, dir: String): DataFrame = {
+    val mh = Dedup.minhashBandSigs(spark, dir)
+    val sim = Dedup.simhashPieceFrame(
+      Dedup.simhashSigs(spark, dir), Dedup.SimhashPieceBits)
+    val emb = Similarity.embBandSigs(spark, dir,
+      Similarity.DupBands, Similarity.DupPlanesPerBand)
+    val lsh = Similarity.lshTableSigs(spark, dir)
+    occupancyOf(mh, "minhash_band", Seq("band", "sig"))
+      .unionByName(occupancyOf(sim, "simhash_piece", Seq("t", "piece")))
+      .unionByName(occupancyOf(emb, "embcos_band", Seq("band", "sig")))
+      .unionByName(occupancyOf(lsh, "lsh_table", Seq("t", "b")))
+  }
+
+  /** One WITH clause composing all four signature chains under
+    * collision-free prefixes — each family's CTEs are the SAME builders
+    * its dedup/ANN oracle uses, so the occupancy oracle cannot drift from
+    * the candidate-generation oracles.
+    */
+  private val occupancySql: String = {
+    def stats(family: String, from: String, by: String) =
+      s"""SELECT '$family' AS family, CAST(count(*) AS BIGINT) AS n_buckets,
+         |       CAST(max(occ) AS BIGINT) AS max_occ,
+         |       round(CAST(sum(occ) AS DOUBLE) / count(*), 6) AS mean_occ
+         |FROM (SELECT count(*) AS occ FROM $from GROUP BY $by)""".stripMargin
+    s"""WITH ${Dedup.shinglesCtes},
+       |${Dedup.minhashSigsCtes("mh_")},
+       |${Dedup.simhashSimCtes("sh_")},
+       |${Dedup.simhashPiecesCte("sh_", Dedup.SimhashPieceBits)},
+       |${Similarity.fixedVecsCtes},
+       |${Similarity.sigCtes("emb_",
+            Similarity.dupPlanesFor(Similarity.DupBands, Similarity.DupPlanesPerBand))},
+       |${Similarity.sigCtes("lsh_", Similarity.tablePlanes)}
+       |${stats("minhash_band", "mh_sigs", "band, sig")}
+       |UNION ALL
+       |${stats("simhash_piece", "sh_pieces", "t, piece")}
+       |UNION ALL
+       |${stats("embcos_band", "emb_sigs", "t, b")}
+       |UNION ALL
+       |${stats("lsh_table", "lsh_sigs", "t, b")}""".stripMargin
+  }
+
+  def ops: Seq[Op] = Seq(
+    Op("sketch_occupancy", occupancy, Some(occupancySql)))
+}

@@ -94,6 +94,25 @@ object CarbonStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Parse raw carbon plaintext lines (`path value ts`, the TCP/UDP
+    * listener wire format — reference listener/carbon_plaintext.go:60-200)
+    * from ANY line-shaped source into the `(path, value, ts)` metric
+    * stream the rollup forms consume. `lineCol` defaults to `value`, the
+    * socket source's column; Kafka callers pass the cast payload column.
+    * Invalid lines are DROPPED here (the live listener discards them and
+    * bumps a counter — the batch `carbon_parse` operator is where they
+    * stay observable); the split/try_cast validation is identical to
+    * `graft.operators.Carbon.parse`.
+    */
+  def parseCarbonLines(lines: DataFrame, lineCol: String = "value"): DataFrame =
+    lines
+      .withColumn("p", split(col(lineCol), " "))
+      .withColumn("pv", expr("try_cast(try_element_at(p, 2) AS DOUBLE)"))
+      .withColumn("pt", expr("try_cast(try_element_at(p, 3) AS BIGINT)"))
+      .filter(size(col("p")) === 3 && col("pv").isNotNull && col("pt").isNotNull)
+      .select(expr("try_element_at(p, 1)").as("path"),
+        col("pv").as("value"), col("pt").as("ts"))
+
   /** events stream -> carbon metric stream (same mapping as Tables.metrics). */
   def toMetrics(events: DataFrame): DataFrame =
     events.select(

@@ -54,7 +54,7 @@ object RollupConfig {
       Seq(w(600, 86400), w(3600, 2592000), w(86400, 31536000)))
   )
 
-  private def byPriority(defs: Seq[RollupDef]): Seq[RollupDef] = {
+  private[graft] def byPriority(defs: Seq[RollupDef]): Seq[RollupDef] = {
     val (catchall, exprs) = defs.partition(_.isCatchall)
     exprs.sortWith { (a, b) =>
       if (a.key.length != b.key.length) a.key.length > b.key.length

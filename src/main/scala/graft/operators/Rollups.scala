@@ -281,15 +281,24 @@ object Rollups {
     * over the path CATALOG, not the point stream.
     */
   def redispatch(spark: SparkSession, dir: String): DataFrame =
+    redispatchBetween(spark, dir, RollupConfig.reference, RollupConfig.reloaded)
+
+  /** [[redispatch]] over EXPLICIT old/new configs — the reload path a real
+    * SIGHUP handler runs, fed by file-loaded defs
+    * ([[graft.model.RollupConfigFile]]); the registered operator pins the
+    * reference/reloaded pair so the oracle stays static.
+    */
+  def redispatchBetween(spark: SparkSession, dir: String,
+      oldCfg: Seq[RollupDef], newCfg: Seq[RollupDef]): DataFrame =
     Tables.metrics(spark, dir)
       .select("path").distinct()
-      .withColumn("old_expr", exprKeyFor(RollupConfig.reference)(col("path")))
-      .withColumn("new_expr", exprKeyFor(RollupConfig.reloaded)(col("path")))
-      .withColumn("old_method", methodFor(RollupConfig.reference)(col("old_expr")))
-      .withColumn("new_method", methodFor(RollupConfig.reloaded)(col("new_expr")))
+      .withColumn("old_expr", exprKeyFor(oldCfg)(col("path")))
+      .withColumn("new_expr", exprKeyFor(newCfg)(col("path")))
+      .withColumn("old_method", methodFor(oldCfg)(col("old_expr")))
+      .withColumn("new_method", methodFor(newCfg)(col("new_expr")))
       .withColumn("windows_changed",
-        winsFor(RollupConfig.reference)(col("old_expr")) =!=
-          winsFor(RollupConfig.reloaded)(col("new_expr")))
+        winsFor(oldCfg)(col("old_expr")) =!=
+          winsFor(newCfg)(col("new_expr")))
       .groupBy("old_expr", "new_expr", "old_method", "new_method", "windows_changed")
       .agg(count(lit(1)).as("paths"))
 

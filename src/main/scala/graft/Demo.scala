@@ -58,6 +58,27 @@ object Demo {
     println(s"[demo] compaction self-heal: stale staging drained=${!hfs.exists(hp)}, " +
       s"rows unchanged=${RollupStore.readFinalized(spark, store2).count() == finalized}")
 
+    // 2d. config front door: the same rollup semantics loaded from a
+    //     cassabon-format yaml file, driving the reload diff a SIGHUP
+    //     handler ships (RollupConfigFile mirrors LoadRollups exactly)
+    val cfgFile = java.nio.file.Files.createTempFile("demo_rollups", ".yaml")
+    java.nio.file.Files.write(cfgFile,
+      """rollups:
+        |  '^servers\.click\..*':
+        |    retention: [ 1m:2h, 1h:1w ]
+        |    aggregation: sum
+        |  default:
+        |    retention: [ 10m:1d, 1h:30d ]
+        |    aggregation: average
+        |""".stripMargin.getBytes("UTF-8"))
+    val loaded = graft.model.RollupConfigFile.load(cfgFile.toString)
+    val moved = Rollups.redispatchBetween(spark, dir,
+        graft.model.RollupConfig.reference, loaded.defs)
+      .filter(col("old_expr") =!= col("new_expr"))
+      .agg(coalesce(sum("paths"), lit(0L))).collect().head.getLong(0)
+    println(s"[demo] config reload from file: clean=${loaded.clean}, " +
+      s"${loaded.defs.size} defs, $moved paths would re-dispatch")
+
     // 3. the query API
     val paths = MetricsApi.getPaths(spark, dir, "servers.*.u3")
     println(s"[demo] GET /paths servers.*.u3 -> ${paths.map(_.path).mkString(", ")}")
@@ -83,6 +104,13 @@ object Demo {
       .filter(col("contaminated")).count()
     println(s"[demo] pipeline filters: rarest token df=$rare, " +
       s"$contaminated train docs share a 3-gram with the eval holdout")
+
+    // 4b. pre-flight the sketch dials: measured bucket occupancy per
+    //     family — the number that says when a width must widen (~log n)
+    //     BEFORE committing to a full dedup pass at a new corpus scale
+    val occ = graft.operators.Sketch.occupancy(spark, dir).collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(2)}").sorted.mkString(", ")
+    println(s"[demo] sketch_occupancy max bucket per family: $occ")
 
     // 5. pair candidates alone can't be acted on: collapse transitive
     //    chains to one kept doc per cluster

@@ -71,8 +71,15 @@ object Bench {
       .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // parse insurance: stdout goes through whatever wrapper launched us
+    // (sbt, a driver harness); the file copy is always clean JSON
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("target/bench_latest.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: java.io.IOException => () }
     spark.stop()
   }
 }

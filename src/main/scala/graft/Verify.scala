@@ -23,6 +23,9 @@ object Verify {
     val only = sys.props.get("graft.verify.ops")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names =>
+      require(names.nonEmpty,
+        "-Dgraft.verify.ops is set but names no ops — the dump would be " +
+          "empty and the oracle check would pass vacuously")
       val unknown = names -- SparkEntry.queries.keySet
       require(unknown.isEmpty,
         s"-Dgraft.verify.ops names unknown ops: ${unknown.mkString(", ")}")

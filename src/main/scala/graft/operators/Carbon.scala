@@ -55,17 +55,27 @@ object Carbon {
        |  FROM metrics
        |)""".stripMargin
 
-  /** Parse + validate the triplet — all codegen'd column ops, no UDF.
-    * Invalid lines keep null fields and `valid=false` (the listener drops
-    * them and bumps a counter; here they stay observable).
+  /** The ONE wire-format parse: append `p` (split parts), `v`, `t` and
+    * `valid` columns for the carbon plaintext triplet `path value ts` —
+    * all codegen'd column ops, no UDF. Shared by the batch `carbon_parse`
+    * operator (which KEEPS invalid lines, flagged) and the streaming
+    * front door (`CarbonStream.parseCarbonLines`, which drops them like
+    * the live listener) so the two can never drift.
     */
-  private def parsedFull(spark: SparkSession, dir: String): DataFrame =
-    lines(spark, dir)
-      .withColumn("p", split(col("line"), " "))
+  private[graft] def withParsedLine(df: DataFrame, lineCol: String): DataFrame =
+    df
+      .withColumn("p", split(col(lineCol), " "))
       .withColumn("v", expr("try_cast(try_element_at(p, 2) AS DOUBLE)"))
       .withColumn("t", expr("try_cast(try_element_at(p, 3) AS BIGINT)"))
       .withColumn("valid",
         size(col("p")) === 3 && col("v").isNotNull && col("t").isNotNull)
+
+  /** Parse + validate the triplet. Invalid lines keep null fields and
+    * `valid=false` (the listener drops them and bumps a counter; here
+    * they stay observable).
+    */
+  private def parsedFull(spark: SparkSession, dir: String): DataFrame =
+    withParsedLine(lines(spark, dir), "line")
       .select(
         col("line_id"), col("arrival_ts"), col("valid"),
         when(col("valid"), expr("try_element_at(p, 1)")).as("path"),

@@ -29,7 +29,11 @@ object Rollups {
     */
   def exprKeyFor(config: Seq[RollupDef])(path: Column): Column = {
     val exprs = config.filterNot(_.isCatchall)
-    exprs.tail
+    // a catchall-only config is legal (the minimal cassabon config is just
+    // a `default:` section, and RollupConfigFile injects one when every
+    // expression was rejected): every path dispatches to the catchall
+    if (exprs.isEmpty) lit(Catchall)
+    else exprs.tail
       .foldLeft(when(path.rlike(exprs.head.key), exprs.head.key)) { (acc, d) =>
         acc.when(path.rlike(d.key), d.key)
       }

@@ -101,17 +101,14 @@ object CarbonStream {
     * socket source's column; Kafka callers pass the cast payload column.
     * Invalid lines are DROPPED here (the live listener discards them and
     * bumps a counter — the batch `carbon_parse` operator is where they
-    * stay observable); the split/try_cast validation is identical to
-    * `graft.operators.Carbon.parse`.
+    * stay observable); the split/try_cast validation IS the batch one —
+    * both project from `Carbon.withParsedLine`, so they cannot drift.
     */
   def parseCarbonLines(lines: DataFrame, lineCol: String = "value"): DataFrame =
-    lines
-      .withColumn("p", split(col(lineCol), " "))
-      .withColumn("pv", expr("try_cast(try_element_at(p, 2) AS DOUBLE)"))
-      .withColumn("pt", expr("try_cast(try_element_at(p, 3) AS BIGINT)"))
-      .filter(size(col("p")) === 3 && col("pv").isNotNull && col("pt").isNotNull)
+    graft.operators.Carbon.withParsedLine(lines, lineCol)
+      .filter(col("valid"))
       .select(expr("try_element_at(p, 1)").as("path"),
-        col("pv").as("value"), col("pt").as("ts"))
+        col("v").as("value"), col("t").as("ts"))
 
   /** events stream -> carbon metric stream (same mapping as Tables.metrics). */
   def toMetrics(events: DataFrame): DataFrame =

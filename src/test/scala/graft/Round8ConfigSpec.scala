@@ -128,6 +128,20 @@ class Round8ConfigSpec extends AnyFunSuite with TestSpark {
     assert(!dupTable.clean && !dupTable.defs.exists(_.key == "^a.*"))
   }
 
+  test("a catchall-only config dispatches every path to default — the minimal cassabon config") {
+    // the minimal legal config is just a `default:` section; it must not
+    // crash the reload path (exprKeyFor used to take .head of zero
+    // non-catchall expressions)
+    val only = RollupConfigFile.parse(
+      "rollups:\n  default:\n    retention: [ 10m:1d ]\n    aggregation: average\n")
+    assert(only.clean && only.defs.map(_.key) == Seq(RollupConfig.Catchall))
+    val moved = graft.operators.Rollups
+      .redispatchBetween(spark, Sf, RollupConfig.reference, only.defs)
+      .collect()
+    assert(moved.forall(_.getString(1) == RollupConfig.Catchall),
+      "every path must re-dispatch to the catchall under a catchall-only config")
+  }
+
   test("a missing default injects the reference fallback: average 10s:1h + 1m:30d") {
     val loaded = RollupConfigFile.parse(
       "rollups:\n  '^a.*':\n    retention: [ 1m:1h ]\n    aggregation: sum\n")

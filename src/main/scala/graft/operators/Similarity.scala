@@ -541,6 +541,36 @@ object Similarity {
 
   private val ivfSql: String = ivfSqlFrom(seedCentsCte)
 
+  /** Per-vector seed-quantizer assignment `(vec_id, c_id)` — the IVF
+    * inverted-list membership `sketch_occupancy` measures (list sizes ARE
+    * the scan-fraction dial).
+    */
+  private[graft] def ivfAssignments(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = fixedVecs(spark, dir)
+    assignNearest(vecs, seedCents(vecs)).select("vec_id", "c_id")
+  }
+
+  /** CTE chain `{p}cents … {p}assigned(vec_id, c_id)` — the DuckDB mirror
+    * of [[ivfAssignments]] (expects `nv` in scope; prefixed like
+    * [[sigCtes]] for composition in the occupancy oracle). Identical
+    * argmax + c_id-asc tiebreak to the `ann_ivf` oracle's `assigned` CTE.
+    */
+  private[graft] def ivfAssignCtes(p: String): String =
+    s"""${p}cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM nv WHERE vec_id % $CentroidMod = 1),
+       |${p}cdist AS (
+       |  SELECT n.vec_id, c.c_id,
+       |         CAST(list_sum([n.v[i] * c.cv[i] for i in generate_series(1, len(n.v))]) AS BIGINT)
+       |           / (sqrt(n.nrm) * sqrt(c.cn)) AS ccos
+       |  FROM nv n CROSS JOIN ${p}cents c
+       |),
+       |${p}assigned AS (
+       |  SELECT vec_id, c_id FROM (
+       |    SELECT vec_id, c_id,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS crn
+       |    FROM ${p}cdist
+       |  ) WHERE crn = 1
+       |)""".stripMargin
+
   // ------------------------------------------------------------ k-means step
 
   /** One exact Lloyd iteration over the embedding space: assign every

@@ -11,7 +11,8 @@ import graft.Op
   * Every near-dup/ANN candidate generator in this library confines the
   * quadratic all-pairs product to colliding buckets (minhash band
   * signatures, simhash pieces, embedding-cosine band signatures, LSH
-  * table buckets). That bound is only as good as the bucket sizes, and
+  * table buckets, IVF inverted lists). That bound is only as good as the
+  * bucket sizes, and
   * per-bucket occupancy grows ~n/2^width as the corpus grows — the
   * sketch widths must widen ~log n to keep buckets bounded. This
   * operator turns that from an asserted invariant into a WATCHED number:
@@ -52,10 +53,16 @@ object Sketch {
     val emb = Similarity.embBandSigs(spark, dir,
       Similarity.DupBands, Similarity.DupPlanesPerBand)
     val lsh = Similarity.lshTableSigs(spark, dir)
+    val ivf = Similarity.ivfAssignments(spark, dir)
     occupancyOf(mh, "minhash_band", Seq("band", "sig"))
       .unionByName(occupancyOf(sim, "simhash_piece", Seq("t", "piece")))
       .unionByName(occupancyOf(emb, "embcos_band", Seq("band", "sig")))
       .unionByName(occupancyOf(lsh, "lsh_table", Seq("t", "b")))
+      // the IVF dial reads differently: hashed-bucket families want max_occ
+      // BOUNDED (quadratic join work), while inverted lists want cells
+      // BALANCED around n/k — a hot cell is scan-fraction skew, an empty
+      // one is wasted quantizer capacity
+      .unionByName(occupancyOf(ivf, "ivf_cell", Seq("c_id")))
   }
 
   /** One WITH clause composing all four signature chains under
@@ -76,14 +83,17 @@ object Sketch {
        |${Similarity.fixedVecsCtes},
        |${Similarity.sigCtes("emb_",
             Similarity.dupPlanesFor(Similarity.DupBands, Similarity.DupPlanesPerBand))},
-       |${Similarity.sigCtes("lsh_", Similarity.tablePlanes)}
+       |${Similarity.sigCtes("lsh_", Similarity.tablePlanes)},
+       |${Similarity.ivfAssignCtes("ivf_")}
        |${stats("minhash_band", "mh_sigs", "band, sig")}
        |UNION ALL
        |${stats("simhash_piece", "sh_pieces", "t, piece")}
        |UNION ALL
        |${stats("embcos_band", "emb_sigs", "t, b")}
        |UNION ALL
-       |${stats("lsh_table", "lsh_sigs", "t, b")}""".stripMargin
+       |${stats("lsh_table", "lsh_sigs", "t, b")}
+       |UNION ALL
+       |${stats("ivf_cell", "ivf_assigned", "c_id")}""".stripMargin
   }
 
   def ops: Seq[Op] = Seq(

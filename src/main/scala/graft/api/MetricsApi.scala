@@ -27,17 +27,26 @@ object MetricsApi {
       series: Map[String, Seq[Option[Double]]])
 
   def getMetrics(spark: SparkSession, dir: String,
-      paths: Seq[String], from: Long, to: Long): MetricsResponse = {
+      paths: Seq[String], from: Long, to: Long,
+      nowSec: Option[Long] = None): MetricsResponse = {
     val rollups = Rollups.rollups(spark, dir)
       .filter(col("path").isin(paths: _*))
       .collect() // tiny: only the requested paths' rollup rows
       .groupBy(r => (r.getString(0), r.getString(1))) // (tbl, path)
       .map { case (k, rs) => k -> rs.map(r => r.getLong(2) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap }
 
+    // table selection keys on the AGE of the oldest requested point —
+    // `time.Since(q.From)` in the reference (metricquery.go:103), i.e.
+    // now - from, NOT the range length: a historic 1 h slice 30 days back
+    // must read the long-retention table, not the freshest one. `now` is
+    // wall clock in the daemon; the batch stand-in is the newest point in
+    // the store (same convention as retention_ttl), overridable.
+    val now = nowSec.getOrElse(
+      graft.model.Tables.metrics(spark, dir).agg(max("ts")).head().getLong(0))
     var step = 0L
     var normalFrom = 0L
     val series = paths.map { path =>
-      val ageSec = math.max(to - from, 0L)
+      val ageSec = math.max(now - from, 0L)
       val (_, win) = MetricQuery.chooseWindow(path, ageSec)
       step = win.windowSec
       normalFrom = from + (step - from % step)

@@ -290,7 +290,7 @@ object Analytics {
       |       round(avg(k), 6) AS k_avg
       |FROM (
       |  SELECT event_type,
-      |         CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+      |         CAST(NULLIF(regexp_extract(props, '"k":\s*(-?\d+)', 1), '') AS BIGINT) AS k
       |  FROM events
       |)
       |GROUP BY 1""".stripMargin

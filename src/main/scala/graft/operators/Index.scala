@@ -25,9 +25,12 @@ object Index {
     * — single-tenant — and this engine mirrors that, keeping the column so
     * a multi-tenant deployment only swaps the literal for a real source.
     */
-  def build(spark: SparkSession, dir: String): DataFrame =
-    Tables.metrics(spark, dir)
-      .select("path").distinct()
+  /** The prefix-node construction over any `(path)` frame — the ONE
+    * definition [[build]] and [[delete]] both apply (delete to the
+    * survivors of its glob filter).
+    */
+  private def indexFrom(paths: DataFrame): DataFrame =
+    paths
       .withColumn("p", split(col("path"), "\\."))
       .select(col("p"), explode(expr("sequence(1, size(p))")).as("depth"))
       .select(
@@ -38,9 +41,16 @@ object Index {
       .agg(max("depth").as("depth"), max("leaf").as("leaf"))
       .withColumn("tenant", lit(""))
 
-  private val buildCtes: String =
+  def build(spark: SparkSession, dir: String): DataFrame =
+    indexFrom(Tables.metrics(spark, dir).select("path").distinct())
+
+  /** [[indexFrom]]'s SQL mirror: the prefix-node CTE chain over whatever
+    * `paths` CTE the caller supplies — shared by the build and delete
+    * oracles like the Scala side shares `indexFrom`.
+    */
+  private def indexSqlFrom(pathsCte: String): String =
     s"""${Tables.metricsSql},
-       |paths AS (SELECT DISTINCT path FROM metrics),
+       |$pathsCte,
        |sp AS (SELECT path, string_split(path, '.') AS p FROM paths),
        |nodes AS (
        |  SELECT array_to_string(p[1:CAST(d AS INT)], '.') AS node,
@@ -53,12 +63,21 @@ object Index {
        |  FROM nodes GROUP BY 1
        |)""".stripMargin
 
+  private val buildCtes: String =
+    indexSqlFrom("paths AS (SELECT DISTINCT path FROM metrics)")
+
   private val buildSql: String =
     s"WITH $buildCtes SELECT * FROM index_nodes"
 
   /** Glob → regex exactly as the reference converts for its search backend
-    * (indexmanager.go:309-311): escape dots, `*` → `.*`, full-string match,
-    * constrained to the glob's depth, sorted by path.
+    * (indexmanager.go:312-314): escape dots, `*` → `.*`, full-string match,
+    * constrained to the glob's depth, sorted by path. FAITHFULLY minimal:
+    * the reference replaces ONLY `.` and `*` and ships everything else to
+    * Elasticsearch's regexp query verbatim, so other regex metacharacters
+    * in a user glob pass through here too (`a{2}.b` matches `aa.b`, a
+    * malformed class throws) — matching the daemon's behavior, quirk
+    * included. A deployment wanting strict-literal globs quotes the glob
+    * before calling.
     */
   def globToRegex(glob: String): String =
     "^" + glob.replace(".", "\\.").replace("*", ".*") + "$"
@@ -86,34 +105,17 @@ object Index {
   val DeleteGlob = "servers.error.*"
 
   def delete(spark: SparkSession, dir: String): DataFrame =
-    Tables.metrics(spark, dir)
+    indexFrom(Tables.metrics(spark, dir)
       .select("path").distinct()
-      .filter(!col("path").rlike(globToRegex(DeleteGlob)))
-      .withColumn("p", split(col("path"), "\\."))
-      .select(col("p"), explode(expr("sequence(1, size(p))")).as("depth"))
-      .select(
-        concat_ws(".", expr("slice(p, 1, depth)")).as("node"),
-        col("depth"),
-        (col("depth") === size(col("p"))).as("leaf"))
-      .groupBy("node")
-      .agg(max("depth").as("depth"), max("leaf").as("leaf"))
-      .withColumn("tenant", lit(""))
+      .filter(!col("path").rlike(globToRegex(DeleteGlob))))
 
   private val deleteSql: String =
-    s"""WITH ${Tables.metricsSql},
-       |paths AS (
-       |  SELECT DISTINCT path FROM metrics
-       |  WHERE NOT regexp_matches(path, '${globToRegex(DeleteGlob)}')
-       |),
-       |sp AS (SELECT path, string_split(path, '.') AS p FROM paths),
-       |nodes AS (
-       |  SELECT array_to_string(p[1:CAST(d AS INT)], '.') AS node,
-       |         CAST(d AS INT) AS depth,
-       |         d = len(p) AS leaf
-       |  FROM sp, unnest(generate_series(1, len(p))) AS g(d)
-       |)
-       |SELECT node, max(depth) AS depth, max(leaf) AS leaf, '' AS tenant
-       |FROM nodes GROUP BY 1""".stripMargin
+    s"""WITH ${indexSqlFrom(
+        s"""paths AS (
+           |  SELECT DISTINCT path FROM metrics
+           |  WHERE NOT regexp_matches(path, '${globToRegex(DeleteGlob)}')
+           |)""".stripMargin)}
+       |SELECT * FROM index_nodes""".stripMargin
 
   def ops: Seq[Op] = Seq(
     Op("index_build", build, Some(buildSql)),

@@ -26,14 +26,14 @@ object TextOps {
     "es" -> Seq("el", "la", "que", "y", "en", "un", "es", "se", "no", "por"),
     "fr" -> Seq("le", "la", "et", "les", "des", "une", "est", "dans", "pour", "que"))
 
-  private def hitsCol(words: Seq[String]): String = {
+  private def hitsCol(words: Seq[String], toks: String = "t"): String = {
     val arr = words.map("'" + _ + "'").mkString("array(", ", ", ")")
-    s"size(filter(t, x -> array_contains($arr, x)))"
+    s"size(filter($toks, x -> array_contains($arr, x)))"
   }
 
-  private def hitsSql(words: Seq[String]): String = {
+  private def hitsSql(words: Seq[String], toks: String = "t"): String = {
     val arr = words.map("'" + _ + "'").mkString("[", ", ", "]")
-    s"len(list_filter(t, x -> list_contains($arr, x)))"
+    s"len(list_filter($toks, x -> list_contains($arr, x)))"
   }
 
   def langId(spark: SparkSession, dir: String): DataFrame = {
@@ -76,11 +76,18 @@ object TextOps {
   def textQuality(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("t", split(col("text"), " "))
+      // stopword matching is case-insensitive like lang_id's (a doc whose
+      // stopwords are sentence-initial — "The … It …" — must still count);
+      // token counts/lengths stay on the RAW split
+      .withColumn("lt", split(lower(col("text")), " "))
       .withColumn("n_tok", size(col("t")))
       .withColumn("chars", length(col("text")))
-      .withColumn("punct_ratio",
+      // chars = 0 (empty doc) would divide to NaN in Spark but NULL in
+      // DuckDB — and Spark's NaN ordering would make keep TRUE; pin 0.0
+      .withColumn("punct_ratio", when(col("chars") > 0,
         round(length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")) / col("chars"), 6))
-      .withColumn("stop_hits", expr(hitsCol(Stopwords.flatMap(_._2))))
+        .otherwise(lit(0.0)))
+      .withColumn("stop_hits", expr(hitsCol(Stopwords.flatMap(_._2), "lt")))
       .withColumn("stop_ratio", round(col("stop_hits") / col("n_tok"), 6))
       .withColumn("mean_tok_len",
         round(length(regexp_replace(col("text"), " ", "")) / col("n_tok"), 6))
@@ -93,15 +100,19 @@ object TextOps {
         (col("score") >= 0.5).as("keep"))
 
   private[graft] val textQualitySql: String = {
-    val allStops = hitsSql(Stopwords.flatMap(_._2))
+    val allStops = hitsSql(Stopwords.flatMap(_._2), "lt")
     s"""WITH base AS (
-       |  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+       |  SELECT doc_id, text, string_split(text, ' ') AS t,
+       |         string_split(lower(text), ' ') AS lt
+       |  FROM documents
        |),
        |feat AS (
        |  SELECT doc_id,
        |         CAST(len(t) AS INT) AS n_tok,
        |         CAST(length(text) AS INT) AS chars,
-       |         round(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) / length(text), 6) AS punct_ratio,
+       |         CASE WHEN length(text) > 0
+       |              THEN round(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) / length(text), 6)
+       |              ELSE 0.0 END AS punct_ratio,
        |         round($allStops / len(t), 6) AS stop_ratio,
        |         round(length(replace(text, ' ', '')) / len(t), 6) AS mean_tok_len
        |  FROM base
@@ -260,8 +271,12 @@ object TextOps {
   def fingerprintFrom(docs: DataFrame): DataFrame =
     docs
       // char codes materialized ONCE per doc: per-char substring() on a long
-      // UTF8String is O(position), which makes the naive gram loop O(len^2)
-      .withColumn("cs", expr("transform(split(text, ''), c -> ascii(c))"))
+      // UTF8String is O(position), which makes the naive gram loop O(len^2).
+      // BIGINT from the start: a codepoint >= 2326 (any CJK char, emoji,
+      // even '€') times 923521 overflows INT32 — ANSI Spark throws and
+      // DuckDB errors, so int32 gram hashes only LOOK fine on ASCII
+      // fixtures. All-ASCII values are unchanged by the widening.
+      .withColumn("cs", expr("transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT))"))
       .select(col("doc_id"), expr(
         s"""CASE WHEN length(text) >= 5 THEN
            |  concat_ws('-', transform(
@@ -278,11 +293,11 @@ object TextOps {
        |  CASE WHEN length(text) >= 5 THEN
        |    array_to_string(
        |      list_sort(list_distinct(
-       |        [ascii(substr(text, CAST(i AS INT), 1)) * 923521
-       |         + ascii(substr(text, CAST(i + 1 AS INT), 1)) * 29791
-       |         + ascii(substr(text, CAST(i + 2 AS INT), 1)) * 961
-       |         + ascii(substr(text, CAST(i + 3 AS INT), 1)) * 31
-       |         + ascii(substr(text, CAST(i + 4 AS INT), 1))
+       |        [CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT) * 923521
+       |         + CAST(ascii(substr(text, CAST(i + 1 AS INT), 1)) AS BIGINT) * 29791
+       |         + CAST(ascii(substr(text, CAST(i + 2 AS INT), 1)) AS BIGINT) * 961
+       |         + CAST(ascii(substr(text, CAST(i + 3 AS INT), 1)) AS BIGINT) * 31
+       |         + CAST(ascii(substr(text, CAST(i + 4 AS INT), 1)) AS BIGINT)
        |         for i in generate_series(1, length(text) - 4)]))[1:$FingerprintK],
        |      '-')
        |  ELSE '' END AS fingerprint

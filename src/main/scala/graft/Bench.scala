@@ -75,11 +75,27 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // parse insurance: stdout goes through whatever wrapper launched us
-    // (sbt, a driver harness); the file copy is always clean JSON
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("target/bench_latest.json"),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case _: java.io.IOException => () }
+    // (sbt, a driver harness); the file copy is always clean JSON.
+    // -Dgraft.bench.json / $GRAFT_BENCH_JSON override the destination;
+    // otherwise cwd-relative target/, falling back to the tmpdir when the
+    // cwd isn't writable (spark-submit from elsewhere) — and a failed
+    // write WARNS instead of silently defeating the insurance.
+    val dest = sys.props.get("graft.bench.json")
+      .orElse(sys.env.get("GRAFT_BENCH_JSON"))
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse(java.nio.file.Paths.get("target", "bench_latest.json"))
+    val fallback = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_bench_latest.json")
+    val written = Seq(dest, fallback).view.map { p =>
+      try {
+        Option(p.toAbsolutePath.getParent)
+          .foreach(d => { java.nio.file.Files.createDirectories(d); () })
+        java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+        Some(p)
+      } catch { case _: java.io.IOException => None }
+    }.collectFirst { case Some(p) => p }
+    if (written.isEmpty)
+      System.err.println(s"[bench] WARN: could not write JSON side copy to $dest or $fallback")
     spark.stop()
   }
 }

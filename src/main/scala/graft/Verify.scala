@@ -4,31 +4,20 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
-  def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+  /** The dump itself, separated from session lifecycle so Round9Spec can
+    * run the SAME gate (dump + tools/oracle_check.py) over an adversarial
+    * fixture dir inside the shared test session without stopping it.
+    */
+  def dump(spark: SparkSession, sfDir: String, outDir: String,
+      only: Option[Set[String]] = None): Unit = {
     new java.io.File(outDir).mkdirs()
-    // -Dgraft.verify.ops=a,b restricts the dump (and the oracle json) for
-    // fast local iteration on a changed operator; the driver runs unfiltered.
-    // Names are trimmed and validated — a typo'd op would otherwise dump
-    // nothing and make the subsequent oracle check pass vacuously.
-    val only = sys.props.get("graft.verify.ops")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names =>
       require(names.nonEmpty,
-        "-Dgraft.verify.ops is set but names no ops — the dump would be " +
+        "op filter is set but names no ops — the dump would be " +
           "empty and the oracle check would pass vacuously")
       val unknown = names -- SparkEntry.queries.keySet
       require(unknown.isEmpty,
-        s"-Dgraft.verify.ops names unknown ops: ${unknown.mkString(", ")}")
+        s"op filter names unknown ops: ${unknown.mkString(", ")}")
     }
     def selected(name: String) = only.forall(_.contains(name))
     SparkEntry.queries.filter(e => selected(e._1)).foreach { case (name, fn) =>
@@ -53,6 +42,26 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(e => selected(e._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // -Dgraft.verify.ops=a,b restricts the dump (and the oracle json) for
+    // fast local iteration on a changed operator; the driver runs unfiltered.
+    // Names are trimmed and validated — a typo'd op would otherwise dump
+    // nothing and make the subsequent oracle check pass vacuously.
+    val only = sys.props.get("graft.verify.ops")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    dump(spark, sfDir, outDir, only)
     spark.stop()
   }
 }

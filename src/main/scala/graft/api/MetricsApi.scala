@@ -26,6 +26,8 @@ object MetricsApi {
   case class MetricsResponse(from: Long, to: Long, step: Long,
       series: Map[String, Seq[Option[Double]]])
 
+  private val nowCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   def getMetrics(spark: SparkSession, dir: String,
       paths: Seq[String], from: Long, to: Long,
       nowSec: Option[Long] = None): MetricsResponse = {
@@ -40,9 +42,21 @@ object MetricsApi {
     // now - from, NOT the range length: a historic 1 h slice 30 days back
     // must read the long-retention table, not the freshest one. `now` is
     // wall clock in the daemon; the batch stand-in is the newest point in
-    // the store (same convention as retention_ttl), overridable.
-    val now = nowSec.getOrElse(
-      graft.model.Tables.metrics(spark, dir).agg(max("ts")).head().getLong(0))
+    // the store (same convention as retention_ttl), overridable — and
+    // cached per store dir so repeated API calls don't rescan the table
+    // (the stand-in is a fixed property of a batch fixture; a live
+    // deployment passes wall-clock nowSec and never hits this path).
+    val now = nowSec.getOrElse {
+      Option(nowCache.get(dir)).map(_.longValue()).getOrElse {
+        val r = Tables.metrics(spark, dir).agg(max("ts")).head()
+        // empty store: getLong on null would NPE — same guard class as
+        // storeLifecycle's empty-table require; fall back to `to`, the
+        // closest batch analogue of "everything just arrived" (and don't
+        // cache a value derived from one request's range)
+        if (r.isNullAt(0)) to
+        else { val n = r.getLong(0); nowCache.put(dir, n); n }
+      }
+    }
     var step = 0L
     var normalFrom = 0L
     val series = paths.map { path =>

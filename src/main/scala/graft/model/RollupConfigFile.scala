@@ -14,9 +14,16 @@ import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
   *  - `aggregation` is case-insensitive average/max/min/sum/last; anything
   *    else rejects the expression;
   *  - window durations are Go `time.ParseDuration` compounds of
-  *    h/m/s/ms/us/ns units ("90m", "1h30m"), minimum 1 second;
+  *    h/m/s/ms/us/ns units ("90m", "1h30m"), incl. FRACTIONAL terms
+  *    ("1.5h" = 5400 s, like ParseDuration), minimum 1 second; sub-second
+  *    remainders floor away (this engine's window boundaries are
+  *    second-granular where the daemon keeps nanos);
   *  - retention durations are `<int><unit>` with units m/h/d/w/y (note: NO
-  *    seconds — the reference's regex-based manual parse);
+  *    seconds), matched UNANCHORED like the reference's
+  *    `FindStringSubmatch` — "30dxyz" reads as 30d, quirk included;
+  *  - an expression whose retention list is empty is silently dropped
+  *    with `configIsClean` untouched (LoadRollups `len(rd.Windows) > 0`
+  *    guard — only PAIR-level parse errors dirty the config);
   *  - windows sort ascending, every window must be an exact multiple of
   *    the shortest, and no two windows may share a retention table —
   *    violations reject the whole expression;
@@ -45,44 +52,52 @@ object RollupConfigFile {
       java.nio.file.Paths.get(path)), "UTF-8"))
 
   /** Go `time.ParseDuration` for the units a rollup window can use:
-    * one or more `<int><unit>` terms, unit in h/m/s/ms/us/ns. Returns
-    * seconds (fractional-second windows reject via the 1 s minimum).
+    * one or more `<number><unit>` terms, unit in h/m/s/ms/us/ns, number
+    * possibly fractional ("1.5h", ".5m" — ParseDuration accepts both).
+    * Returns whole seconds, flooring sub-second remainders (a window
+    * < 1 s floors to 0 and the minimum check rejects it, mirroring the
+    * reference's `window < time.Second`). Signed durations ("-1h", Go
+    * accepts them) are treated as malformed here — the reference would
+    * reject them one line later on the same 1 s minimum, so the
+    * observable outcome (pair rejected, config dirty) is identical.
     */
   private[graft] def parseWindowSec(s: String): Option[Long] = {
-    val term = "([0-9]+)(ns|us|ms|h|m|s)".r
+    val term = "([0-9]+(?:\\.[0-9]*)?|\\.[0-9]+)(ns|us|ms|h|m|s)".r
     val terms = term.findAllMatchIn(s).toSeq
     if (terms.isEmpty || terms.map(_.matched).mkString != s) None
     else {
       val nanos = terms.map { m =>
-        val n = m.group(1).toLong
+        val n = m.group(1).toDouble
         m.group(2) match {
-          case "h" => n * 3600L * 1000000000L
-          case "m" => n * 60L * 1000000000L
-          case "s" => n * 1000000000L
-          case "ms" => n * 1000000L
-          case "us" => n * 1000L
+          case "h" => n * 3600e9
+          case "m" => n * 60e9
+          case "s" => n * 1e9
+          case "ms" => n * 1e6
+          case "us" => n * 1e3
           case "ns" => n
         }
       }.sum
-      Some(nanos / 1000000000L) // window < 1 s floors to 0 -> minimum check rejects
+      Some((nanos / 1e9).toLong)
     }
   }
 
-  /** The reference's manual retention parse: `<int><unit>`, m/h/d/w/y. */
+  /** The reference's manual retention parse: `([0-9]+)([a-z])` via
+    * `FindStringSubmatch` — UNANCHORED, so the first `<int><letter>` run
+    * anywhere in the string wins ("30dxyz" → 30d, "1h30m" → 1h) — then
+    * unit must be one of m/h/d/w/y or the pair rejects.
+    */
   private[graft] def parseRetentionSec(s: String): Option[Long] = {
     val re = "([0-9]+)([a-z])".r
-    s match {
-      case re(n, u) =>
-        val mult = u match {
-          case "m" => Some(60L)
-          case "h" => Some(3600L)
-          case "d" => Some(86400L)
-          case "w" => Some(604800L)
-          case "y" => Some(31536000L)
-          case _ => None
-        }
-        mult.map(_ * n.toLong)
-      case _ => None
+    re.findFirstMatchIn(s).flatMap { m =>
+      val mult = m.group(2) match {
+        case "m" => Some(60L)
+        case "h" => Some(3600L)
+        case "d" => Some(86400L)
+        case "w" => Some(604800L)
+        case "y" => Some(31536000L)
+        case _ => None
+      }
+      mult.map(_ * m.group(1).toLong)
     }
   }
 
@@ -120,7 +135,11 @@ object RollupConfigFile {
             case _ => rejected += Rejected(key, s"malformed pair: $s"); None
           }
         }.sortBy(_.windowSec)
-        if (windows.isEmpty) reject("no valid windows")
+        // empty window list: the reference's `len(rd.Windows) > 0` guard
+        // drops the expression SILENTLY — configIsClean only goes false for
+        // pair-level errors (already recorded above), not for an empty or
+        // fully-absent retention list
+        if (windows.isEmpty) None
         else {
           val shortest = windows.head.windowSec
           if (windows.exists(_.windowSec % shortest != 0))

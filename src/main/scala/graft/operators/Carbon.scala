@@ -20,9 +20,14 @@ import graft.model.Tables
   */
 object Carbon {
 
-  /** `path value ts` lines with deterministic corruption:
+  /** `path value ts` lines with deterministic corruption AND whitespace/
+    * format tolerance cases:
     * id%17==0 → missing timestamp field; id%13==0 → bad value;
-    * id%19==0 → bad timestamp (carbon_plaintext.go:219-243 rejects each).
+    * id%19==0 → bad timestamp (carbon_plaintext.go:219-243 rejects each);
+    * id%23==0 → tab + run-of-spaces separators and a leading blank
+    * (`strings.Fields` accepts — carbon_plaintext.go:218);
+    * id%29==0 → fractional timestamp (`strconv.ParseFloat` accepts —
+    * carbon_plaintext.go:238).
     *
     * PRECONDITION on the `%.3f` renderings: fixture values are 2-decimal by
     * construction, so the 3rd decimal is exact and no rounding happens —
@@ -41,6 +46,10 @@ object Carbon {
           format_string("%s x%.3f %d", col("path"), col("value"), col("ts")))
         .when(col("event_id") % 19 === 0,
           format_string("%s %.3f notatime", col("path"), col("value")))
+        .when(col("event_id") % 23 === 0,
+          format_string(" %s\t%.3f  %d", col("path"), col("value"), col("ts")))
+        .when(col("event_id") % 29 === 0,
+          format_string("%s %.3f %d.75", col("path"), col("value"), col("ts")))
         .otherwise(format_string("%s %.3f %d", col("path"), col("value"), col("ts")))
         .as("line"))
 
@@ -51,6 +60,8 @@ object Carbon {
        |         CASE WHEN event_id % 17 = 0 THEN printf('%s %.3f', path, value)
        |              WHEN event_id % 13 = 0 THEN printf('%s x%.3f %d', path, value, ts)
        |              WHEN event_id % 19 = 0 THEN printf('%s %.3f notatime', path, value)
+       |              WHEN event_id % 23 = 0 THEN printf(' %s' || chr(9) || '%.3f  %d', path, value, ts)
+       |              WHEN event_id % 29 = 0 THEN printf('%s %.3f %d.75', path, value, ts)
        |              ELSE printf('%s %.3f %d', path, value, ts) END AS line
        |  FROM metrics
        |)""".stripMargin
@@ -64,9 +75,17 @@ object Carbon {
     */
   private[graft] def withParsedLine(df: DataFrame, lineCol: String): DataFrame =
     df
-      .withColumn("p", split(col(lineCol), " "))
+      // the reference tokenizes with strings.Fields — ANY whitespace runs,
+      // leading/trailing blanks ignored (carbon_plaintext.go:218): trim +
+      // regex split, NOT a single-space split, or tab-separated lines and
+      // double spaces read as malformed
+      .withColumn("p", split(trim(col(lineCol)), "\\s+"))
       .withColumn("v", expr("try_cast(try_element_at(p, 2) AS DOUBLE)"))
-      .withColumn("t", expr("try_cast(try_element_at(p, 3) AS BIGINT)"))
+      // ts parses as FLOAT in the reference (ParseFloat,
+      // carbon_plaintext.go:238) — '70.5' is a valid timestamp; this
+      // engine's time grid is whole seconds, so floor. try_cast keeps a
+      // non-finite or out-of-int64-range float invalid rather than throwing.
+      .withColumn("t", expr("try_cast(floor(try_cast(try_element_at(p, 3) AS DOUBLE)) AS BIGINT)"))
       .withColumn("valid",
         size(col("p")) === 3 && col("v").isNotNull && col("t").isNotNull)
 
@@ -84,10 +103,11 @@ object Carbon {
 
   private val parsedFullSql: String =
     s"""$linesSql,
-       |sp AS (SELECT line_id, arrival_ts, string_split(line, ' ') AS p FROM lines),
+       |sp AS (SELECT line_id, arrival_ts, regexp_split_to_array(trim(line), '\\s+') AS p FROM lines),
        |cast_try AS (
        |  SELECT line_id, arrival_ts, p,
-       |         try_cast(p[2] AS DOUBLE) AS v, try_cast(p[3] AS BIGINT) AS t
+       |         try_cast(p[2] AS DOUBLE) AS v,
+       |         try_cast(floor(try_cast(p[3] AS DOUBLE)) AS BIGINT) AS t
        |  FROM sp
        |),
        |flagged AS (

@@ -109,15 +109,17 @@ object Similarity {
     * (≈ L × ring/2^planes, minus overlap) — the standard L-table LSH
     * construction. MORE planes per table with a DEEPER probe ring is the
     * efficient direction: a distance-2 ring covers 106 of 2^14 buckets
-    * (0.65%) per table, so 16 tables probe a MEASURED 12.9% of the corpus
-    * for 0.74 recall@5 (sf0.01 sweep via `graft.LshTune`; the per-round
-    * `ann_recall` key re-measures it) — past IVF's 0.72 @ ~12.5% frontier
-    * on data-OBLIVIOUS hashes alone, where the r5 point sat at 0.32/11%.
-    * At 100 TB the dials move together: planes ~log n keeps buckets
-    * bounded, tables × ring keeps recall, and each table stays an
-    * independent broadcast-probe equality join.
+    * (0.65%) per table. The shipped 32×14×d2 point is the r9 sf0.1-swept
+    * knee for the ≥0.8-recall regime: recall@5 = 0.82 at 22.4% scanned on
+    * sf0.1 AND 0.90 at 22.8% on sf0.01 (`graft.LshTune`; docs/TUNING.md
+    * has the full frontier; the per-round `ann_recall` key re-measures
+    * it). The r8 16-table point (0.74 @ 12.9% sf0.01, but only 0.59 at
+    * sf0.1) sat below the recall bar a curation pipeline wants. At 100 TB
+    * the dials move together: planes ~log n keeps buckets bounded,
+    * tables × ring keeps recall, and each table stays an independent
+    * broadcast-probe equality join.
     */
-  val NumTables = 16
+  val NumTables = 32
   val PlanesPerTable = 14
   val ProbeDist = 2
 
@@ -235,7 +237,18 @@ object Similarity {
     * exact cosine re-rank over the deduped candidate union.
     */
   def lshBucketed(spark: SparkSession, dir: String): DataFrame =
-    topKFromCands(lshCandidates(spark, dir, tablePlanes, ProbeDist))
+    lshBucketedWith(spark, dir, NumTables, PlanesPerTable, ProbeDist)
+
+  /** [[lshBucketed]] at an explicit `(tables, planes, dist)` config — the
+    * LSH dial surface, parameterized like [[Dedup.simhashWith]] /
+    * [[embeddingNearDupWith]]: `planes` is the occupancy knob (2^planes
+    * buckets per table, must grow ~log n), `tables` × `dist` the recall
+    * knob. Plane rows extend the same splitmix64 stream, so any config is
+    * a prefix-family of a larger one.
+    */
+  def lshBucketedWith(spark: SparkSession, dir: String,
+      tables: Int, planes: Int, dist: Int = ProbeDist): DataFrame =
+    topKFromCands(lshCandidates(spark, dir, tablePlanesFor(tables, planes), dist))
 
   /** The oracle computes the SAME signatures relationally — a 224-row
     * `planes(t, k, mask)` VALUES table joined against the unnested
@@ -392,14 +405,22 @@ object Similarity {
       .distinct() // a pair may collide in several bands; cos is exact so rows tie
   }
 
-  /** Per-vector LSH table signatures `(vec_id, t, b)` for the default
-    * [[tablePlanes]] — `sketch_occupancy`'s view of the ANN buckets.
+  /** Per-vector LSH table signatures `(vec_id, t, b)` at an explicit
+    * `(tables, planes)` config — `sketch_occupancy`'s view of the ANN
+    * buckets, parametric so the occupancy gate can watch a PROPOSED dial
+    * before the operator ships it.
     */
-  private[graft] def lshTableSigs(spark: SparkSession, dir: String): DataFrame = {
-    val sigArr = expr(tablePlanes.map(sigCall).mkString("array(", ", ", ")"))
+  private[graft] def lshTableSigsWith(spark: SparkSession, dir: String,
+      tables: Int, planes: Int): DataFrame = {
+    val sigArr = expr(tablePlanesFor(tables, planes)
+      .map(sigCall).mkString("array(", ", ", ")"))
     fixedVecs(spark, dir)
       .select(col("vec_id"), posexplode(sigArr).as(Seq("t", "b")))
   }
+
+  /** [[lshTableSigsWith]] at the shipped [[NumTables]]×[[PlanesPerTable]]. */
+  private[graft] def lshTableSigs(spark: SparkSession, dir: String): DataFrame =
+    lshTableSigsWith(spark, dir, NumTables, PlanesPerTable)
 
   private val embeddingNearDupSql: String = {
     val elem = (i: Int) => s"v[$i]"
@@ -447,18 +468,25 @@ object Similarity {
       .withColumn("ccos",
         expr(dotExpr("v", "cv")) / (sqrt(col("nrm")) * sqrt(col("cn"))))
       .groupBy("vec_id")
-      .agg(max_by(struct(col("v"), col("nrm"), col("c_id")),
+      .agg(max_by(struct(col("v"), col("nrm"), col("c_id"), col("ccos")),
         struct(col("ccos"), -col("c_id"))).as("b"))
       .select(col("vec_id"), col("b.v").as("v"), col("b.nrm").as("nrm"),
-        col("b.c_id").as("c_id"))
+        col("b.c_id").as("c_id"), col("b.ccos").as("ccos"))
 
-  /** Seed quantizer: every [[CentroidMod]]-th vector serves as a centroid
-    * — deterministic, data-independent, the starting point
-    * [[trainedCents]] refines.
+  /** Seed quantizer at an explicit spacing: every `mod`-th vector serves
+    * as a centroid — deterministic, data-independent. `mod` IS the
+    * cell-count dial (k ≈ n/mod): halving it doubles the quantizer's
+    * cells and halves the expected inverted-list length.
+    */
+  private[graft] def seedCentsEvery(vecs: DataFrame, mod: Int): DataFrame =
+    vecs.filter(col("vec_id") % mod === 1)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+
+  /** [[seedCentsEvery]] at the shipped [[CentroidMod]] — the starting
+    * point [[trainedCents]] refines.
     */
   private[graft] def seedCents(vecs: DataFrame): DataFrame =
-    vecs.filter(col("vec_id") % CentroidMod === 1)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    seedCentsEvery(vecs, CentroidMod)
 
   /** IVF-flat ANN: a deterministic coarse quantizer (seed centroids by
     * default; [[ivfTrained]] slots the k-means-refined set in unchanged),
@@ -467,9 +495,18 @@ object Similarity {
     * lists are the partition layout: a probe touches NProbe/centroids of
     * the corpus.
     */
-  def ivf(spark: SparkSession, dir: String): DataFrame = {
+  def ivf(spark: SparkSession, dir: String): DataFrame =
+    ivfWith(spark, dir, CentroidMod, NProbe)
+
+  /** [[ivf]] at an explicit `(centroidMod, nprobe)` config — the IVF dial
+    * surface: `centroidMod` sets the cell count (k ≈ n/mod, the
+    * inverted-list-length knob `sketch_occupancy` watches as `ivf_cell`),
+    * `nprobe` the scanned-lists recall knob.
+    */
+  def ivfWith(spark: SparkSession, dir: String,
+      centroidMod: Int, nprobe: Int = NProbe): DataFrame = {
     val vecs = fixedVecs(spark, dir)
-    ivfFrom(vecs, seedCents(vecs))
+    topKFromCands(ivfCands(vecs, seedCentsEvery(vecs, centroidMod), nprobe))
   }
 
   /** IVF over an explicit `(c_id, cv, cn)` centroid frame. */
@@ -541,22 +578,37 @@ object Similarity {
 
   private val ivfSql: String = ivfSqlFrom(seedCentsCte)
 
-  /** Per-vector seed-quantizer assignment `(vec_id, c_id)` — the IVF
-    * inverted-list membership `sketch_occupancy` measures (list sizes ARE
-    * the scan-fraction dial).
+  /** Per-vector seed-quantizer assignment `(vec_id, c_id)` at an explicit
+    * centroid spacing — the IVF inverted-list membership
+    * `sketch_occupancy` measures (list sizes ARE the scan-fraction dial),
+    * parametric like [[lshTableSigsWith]].
     */
-  private[graft] def ivfAssignments(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def ivfAssignmentsWith(spark: SparkSession, dir: String,
+      centroidMod: Int): DataFrame = {
     val vecs = fixedVecs(spark, dir)
-    assignNearest(vecs, seedCents(vecs)).select("vec_id", "c_id")
+    assignNearest(vecs, seedCentsEvery(vecs, centroidMod)).select("vec_id", "c_id")
   }
 
-  /** CTE chain `{p}cents … {p}assigned(vec_id, c_id)` — the DuckDB mirror
-    * of [[ivfAssignments]] (expects `nv` in scope; prefixed like
-    * [[sigCtes]] for composition in the occupancy oracle). Identical
-    * argmax + c_id-asc tiebreak to the `ann_ivf` oracle's `assigned` CTE.
+  /** [[ivfAssignmentsWith]] at the shipped [[CentroidMod]]. */
+  private[graft] def ivfAssignments(spark: SparkSession, dir: String): DataFrame =
+    ivfAssignmentsWith(spark, dir, CentroidMod)
+
+  /** Per-cell inverted-list sizes `(c_id, occ)` for an arbitrary
+    * quantizer — the occupancy view `graft.IvfTune` reports next to
+    * recall for the seed/trained/balanced quantizers.
     */
-  private[graft] def ivfAssignCtes(p: String): String =
-    s"""${p}cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM nv WHERE vec_id % $CentroidMod = 1),
+  private[graft] def assignNearestOcc(vecs: DataFrame, cents: DataFrame): DataFrame =
+    assignNearest(vecs, cents).groupBy("c_id").agg(count(lit(1)).as("occ"))
+
+  /** CTE chain `{p}cents … {p}assigned(vec_id, c_id)` — the DuckDB mirror
+    * of [[ivfAssignmentsWith]] (expects `nv` in scope; prefixed like
+    * [[sigCtes]] for composition in the occupancy oracle, and
+    * parameterized by the same centroid spacing the Spark side takes).
+    * Identical argmax + c_id-asc tiebreak to the `ann_ivf` oracle's
+    * `assigned` CTE.
+    */
+  private[graft] def ivfAssignCtes(p: String, centroidMod: Int = CentroidMod): String =
+    s"""${p}cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM nv WHERE vec_id % $centroidMod = 1),
        |${p}cdist AS (
        |  SELECT n.vec_id, c.c_id,
        |         CAST(list_sum([n.v[i] * c.cv[i] for i in generate_series(1, len(n.v))]) AS BIGINT)
@@ -774,10 +826,188 @@ object Similarity {
   private val ivfTrainedSql: String =
     ivfSqlFrom(s"$kmeansIterCtes,\ncents AS (SELECT c_id, cv, cn FROM cents$TrainIters)")
 
+  // ----------------------------------------------- balanced IVF quantizer
+
+  /** Split-hot / merge-cold Lloyd variant: plain k-means minimizes
+    * distortion, not LIST BALANCE, and an IVF hot cell is scan-fraction
+    * skew (every probe that lands there scans n_hot, not n/k — the
+    * straggler partition of the ANN world), while an empty/cold cell is
+    * wasted quantizer capacity. ONE rebalance fires on the round-1 (seed)
+    * assignment — if the hottest-vs-coldest spread exceeds a quarter of
+    * the mean list length, the coldest centroid is dropped (its members
+    * scatter to neighbors) and the hottest cell is split by cloning its
+    * refined centroid nudged +1 in every fixed-point coordinate (FAISS's
+    * split step; the clone pair separates along the cell's own density in
+    * the next round) — then the remaining rounds are pure Lloyd polish.
+    * Every variant of MORE aggressive swapping measured WORSE on the
+    * sf0.1 fixture (graft.IvfTune, r9): per-round swaps thrash Lloyd's
+    * convergence (max_occ 148-149 vs 143), final-round swaps ship an
+    * unrefined split, and boundary seeding (farthest member as the new
+    * centroid) steals from neighboring cells. The shipped rule moves the
+    * seed quantizer's max list from 152 to 143 (mean 125) at equal
+    * nprobe=2 recall (0.350) and better nprobe=3 recall (0.470 vs
+    * 0.435). All in exact integer/IEEE arithmetic, so both engines walk
+    * identical centroid trajectories; new centroids get round-scoped
+    * labels `-(round·10^6 + vec_id-of-farthest-member)` so a label can
+    * never collide.
+    */
+  private[graft] def trainedCentsBalanced(spark: SparkSession, dir: String,
+      iters: Int = TrainIters, sharedVecs: Option[DataFrame] = None)
+      : Seq[(Long, Seq[Long])] = {
+    val owned = sharedVecs.isEmpty
+    val vecs = sharedVecs.getOrElse(fixedVecs(spark, dir).persist())
+    try {
+      var cents: Seq[(Long, Seq[Long])] = seedCents(vecs)
+        .select(col("c_id"), col("cv")).collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).sortBy(_._1)
+      (1 to iters).foreach { i =>
+        // ONE aggregation per round: counts + 64 dim-sums + farthest
+        // member, all riding the same partial aggregate (k rows collected)
+        val aggCols = (count(lit(1)).as("n") +:
+          (1 to Dim).map(j => sum(expr(s"element_at(v, $j)")).as(s"s$j"))) :+
+          min_by(struct(col("vec_id"), col("v")),
+            struct(col("ccos"), col("vec_id"))).as("far")
+        val sums = assignNearest(vecs, mkCentsDf(spark, cents))
+          .groupBy("c_id")
+          .agg(aggCols.head, aggCols.tail: _*)
+          .collect()
+        var refined = sums.map { r =>
+          val n = r.getLong(1)
+          (r.getLong(0), (0 until Dim).map(j => r.getLong(j + 2) / n): Seq[Long])
+        }.toSeq.sortBy(_._1)
+        val counts = sums.map(r => (r.getLong(0), r.getLong(1))).toSeq
+        val totalN = counts.map(_._2).sum
+        val k = counts.size
+        val hot = counts.minBy { case (c, n) => (-n, c) }
+        val cold = counts.minBy { case (c, n) => (n, c) }
+        // k >= 8: merging the coldest of k cells displaces ~n/k of the
+        // corpus; below 8 cells that is >12% and the swap measurably costs
+        // recall (sf0.01's 4-cell quantizer: 0.60 vs the seed's 0.72) —
+        // a tiny quantizer has no capacity to spare, so leave it to Lloyd
+        if (i == 1 && k >= 8 && hot._2 - cold._2 > math.max(1L, totalN / (4L * k))) {
+          // clone-split: the new centroid is the hot cell's REFINED centroid
+          // nudged +1 in every fixed-point coordinate (FAISS's split step) —
+          // the next Lloyd round separates the clone pair along the cell's
+          // own density, which measured strictly better than seeding at the
+          // farthest member (a boundary point steals from neighbors). The
+          // farthest member's vec_id only supplies the collision-free label.
+          val farRow = sums.find(_.getLong(0) == hot._1).get
+            .getStruct(Dim + 2)
+          val fv = farRow.getLong(0)
+          val hotCv = refined.find(_._1 == hot._1).get._2
+          refined = (refined.filterNot(_._1 == cold._1) :+
+            ((-(i.toLong * 1000000L + fv), hotCv.map(_ + 1L)))).sortBy(_._1)
+        }
+        cents = refined
+      }
+      cents
+    } finally if (owned) vecs.unpersist(blocking = true)
+  }
+
+  /** `ann_ivf_balanced`: [[ivf]] with the split-hot/merge-cold balanced
+    * quantizer — same probe shape as [[ivfTrained]], but the inverted
+    * lists it scans are the BALANCED ones (`graft.IvfTune` measures the
+    * max/mean list occupancy next to recall for all three quantizers).
+    */
+  def ivfBalanced(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = fixedVecs(spark, dir)
+    ivfFrom(vecs, mkCentsDf(spark, trainedCentsBalanced(spark, dir)))
+  }
+
+  /** The balanced Lloyd loop unrolled as CTE rounds — [[kmeansIterCtes]]'s
+    * refine plus the per-round hot/cold swap, every scalar (spread
+    * threshold, hot/cold pick, farthest member) computed relationally
+    * with the SAME integer-division and tiebreak rules the Scala loop
+    * applies.
+    */
+  private val balancedIterCtes: String = {
+    // ONLY round 1 rebalances (the `i == 1` guard the Scala loop applies);
+    // rounds 2..TrainIters are pure Lloyd polish
+    val iters = (1 to TrainIters).map { i =>
+      if (i > 1)
+        s"""bcd$i AS (
+           |  SELECT n.vec_id, n.v, c.c_id,
+           |         CAST(list_sum([n.v[j] * c.cv[j] for j in generate_series(1, len(n.v))]) AS BIGINT)
+           |           / (sqrt(n.nrm) * sqrt(c.cn)) AS ccos
+           |  FROM nv n CROSS JOIN bcents${i - 1} c
+           |),
+           |basg$i AS (
+           |  SELECT vec_id, v, c_id, ccos
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS crn
+           |        FROM bcd$i)
+           |  WHERE crn = 1
+           |),
+           |bcnt$i AS (SELECT c_id, CAST(count(*) AS BIGINT) AS n FROM basg$i GROUP BY 1),
+           |bdim$i AS (
+           |  SELECT a.c_id, g.j AS dim, CAST(sum(a.v[g.j]) AS BIGINT) AS s
+           |  FROM basg$i a, generate_series(1, $Dim) AS g(j)
+           |  GROUP BY 1, 2
+           |),
+           |bcents$i AS (
+           |  SELECT c_id, cv, CAST(list_sum([x * x for x in cv]) AS BIGINT) AS cn
+           |  FROM (SELECT d.c_id, list(d.s // c.n ORDER BY d.dim) AS cv
+           |        FROM bdim$i d JOIN bcnt$i c USING (c_id) GROUP BY d.c_id)
+           |)""".stripMargin
+      else
+      s"""bcd$i AS (
+         |  SELECT n.vec_id, n.v, c.c_id,
+         |         CAST(list_sum([n.v[j] * c.cv[j] for j in generate_series(1, len(n.v))]) AS BIGINT)
+         |           / (sqrt(n.nrm) * sqrt(c.cn)) AS ccos
+         |  FROM nv n CROSS JOIN bcents${i - 1} c
+         |),
+         |basg$i AS (
+         |  SELECT vec_id, v, c_id, ccos
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS crn
+         |        FROM bcd$i)
+         |  WHERE crn = 1
+         |),
+         |bcnt$i AS (SELECT c_id, CAST(count(*) AS BIGINT) AS n FROM basg$i GROUP BY 1),
+         |bdim$i AS (
+         |  SELECT a.c_id, g.j AS dim, CAST(sum(a.v[g.j]) AS BIGINT) AS s
+         |  FROM basg$i a, generate_series(1, $Dim) AS g(j)
+         |  GROUP BY 1, 2
+         |),
+         |bref$i AS (
+         |  SELECT c_id, cv, CAST(list_sum([x * x for x in cv]) AS BIGINT) AS cn
+         |  FROM (SELECT d.c_id, list(d.s // c.n ORDER BY d.dim) AS cv
+         |        FROM bdim$i d JOIN bcnt$i c USING (c_id) GROUP BY d.c_id)
+         |),
+         |bhot$i AS (SELECT c_id, n FROM bcnt$i ORDER BY n DESC, c_id ASC LIMIT 1),
+         |bcold$i AS (SELECT c_id, n FROM bcnt$i ORDER BY n ASC, c_id ASC LIMIT 1),
+         |bsw$i AS (
+         |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM bcnt$i) >= 8
+         |         AND h.n - c.n > greatest(
+         |           1, (SELECT CAST(count(*) AS BIGINT) FROM nv)
+         |              // (4 * (SELECT CAST(count(*) AS BIGINT) FROM bcnt$i))) AS sw,
+         |         c.c_id AS cold_c
+         |  FROM bhot$i h, bcold$i c
+         |),
+         |bfar$i AS (
+         |  SELECT CAST(-($i * 1000000 + a.vec_id) AS BIGINT) AS c_id,
+         |         [x + 1 for x in r.cv] AS cv
+         |  FROM basg$i a JOIN bhot$i h USING (c_id) JOIN bref$i r USING (c_id)
+         |  ORDER BY a.ccos ASC, a.vec_id ASC LIMIT 1
+         |),
+         |bcents$i AS (
+         |  SELECT c_id, cv, cn FROM bref$i
+         |  WHERE NOT ((SELECT sw FROM bsw$i) AND c_id = (SELECT cold_c FROM bsw$i))
+         |  UNION ALL
+         |  SELECT c_id, cv, CAST(list_sum([x * x for x in cv]) AS BIGINT) AS cn
+         |  FROM bfar$i WHERE (SELECT sw FROM bsw$i)
+         |)""".stripMargin
+    }
+    (s"bcents0 AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM nv WHERE vec_id % $CentroidMod = 1)"
+      +: iters).mkString(",\n")
+  }
+
+  private val ivfBalancedSql: String =
+    ivfSqlFrom(s"$balancedIterCtes,\ncents AS (SELECT c_id, cv, cn FROM bcents$TrainIters)")
+
   // ---------------------------------------------------------- recall harness
 
   /** Recall@k of the approximate ANN paths (multi-table LSH, seed-IVF,
-    * k-means-trained IVF) against the exact brute-force baseline — the
+    * k-means-trained IVF, balanced IVF) against the exact brute-force
+    * baseline — the
     * "measure, don't guess" harness a pipeline runs before trusting a
     * sketch at scale: the width dials (NumTables/PlanesPerTable/ProbeDist,
     * CentroidMod, NProbe, TrainIters) are only safe to turn if this number
@@ -785,7 +1015,7 @@ object Similarity {
     * the sweep drivers). One row per approximate method with its matched /
     * truth counts and recall fraction.
     *
-    * Plan shape: the truth and approximate top-k sub-plans are the three
+    * Plan shape: the truth and approximate top-k sub-plans are the four
     * ANN operators unchanged (each already ends in a tiny per-probe top-k
     * frame); the harness itself is a LEFT SEMI join on (query_id,
     * neighbor_id) — semi joins carry no payload and can't duplicate — plus
@@ -807,6 +1037,8 @@ object Similarity {
       val truth = cosineTopK(spark, dir).select(col("query_id"), col("neighbor_id"))
       val trained = mkCentsDf(spark,
         trainedCents(spark, dir, TrainIters, Some(vecs))._1)
+      val balanced = mkCentsDf(spark,
+        trainedCentsBalanced(spark, dir, TrainIters, Some(vecs)))
       val approx =
         lshBucketed(spark, dir).select(col("query_id"), col("neighbor_id"))
           .withColumn("method", lit("lsh_bucketed"))
@@ -814,6 +1046,8 @@ object Similarity {
             .withColumn("method", lit("ivf")))
           .union(ivfFrom(vecs, trained).select(col("query_id"), col("neighbor_id"))
             .withColumn("method", lit("ivf_trained")))
+          .union(ivfFrom(vecs, balanced).select(col("query_id"), col("neighbor_id"))
+            .withColumn("method", lit("ivf_balanced")))
       val matched = approx.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
         .groupBy("method").agg(count(lit(1)).as("n_matched"))
       val totals = approx.groupBy("method").agg(count(lit(1)).as("n_returned"))
@@ -836,6 +1070,8 @@ object Similarity {
        |  SELECT 'ivf' AS method, query_id, neighbor_id FROM ($ivfSql)
        |  UNION ALL
        |  SELECT 'ivf_trained' AS method, query_id, neighbor_id FROM ($ivfTrainedSql)
+       |  UNION ALL
+       |  SELECT 'ivf_balanced' AS method, query_id, neighbor_id FROM ($ivfBalancedSql)
        |),
        |m AS (
        |  SELECT method, CAST(count(*) AS BIGINT) AS n_matched
@@ -852,6 +1088,7 @@ object Similarity {
     Op("ann_lsh_bucketed", lshBucketed, Some(lshBucketedSql)),
     Op("ann_ivf", ivf, Some(ivfSql)),
     Op("ann_ivf_trained", ivfTrained, Some(ivfTrainedSql)),
+    Op("ann_ivf_balanced", ivfBalanced, Some(ivfBalancedSql)),
     Op("ann_recall", recall, Some(recallSql)),
     Op("dedup_embedding_cosine", embeddingNearDup, Some(embeddingNearDupSql)),
     Op("kmeans_step", kmeansStep, Some(kmeansStepSql)),

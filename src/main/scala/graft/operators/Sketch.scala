@@ -52,8 +52,9 @@ object Sketch {
       Dedup.simhashSigs(spark, dir), Dedup.SimhashPieceBits)
     val emb = Similarity.embBandSigs(spark, dir,
       Similarity.DupBands, Similarity.DupPlanesPerBand)
-    val lsh = Similarity.lshTableSigs(spark, dir)
-    val ivf = Similarity.ivfAssignments(spark, dir)
+    val lsh = Similarity.lshTableSigsWith(spark, dir,
+      Similarity.NumTables, Similarity.PlanesPerTable)
+    val ivf = Similarity.ivfAssignmentsWith(spark, dir, Similarity.CentroidMod)
     occupancyOf(mh, "minhash_band", Seq("band", "sig"))
       .unionByName(occupancyOf(sim, "simhash_piece", Seq("t", "piece")))
       .unionByName(occupancyOf(emb, "embcos_band", Seq("band", "sig")))
@@ -83,8 +84,9 @@ object Sketch {
        |${Similarity.fixedVecsCtes},
        |${Similarity.sigCtes("emb_",
             Similarity.dupPlanesFor(Similarity.DupBands, Similarity.DupPlanesPerBand))},
-       |${Similarity.sigCtes("lsh_", Similarity.tablePlanes)},
-       |${Similarity.ivfAssignCtes("ivf_")}
+       |${Similarity.sigCtes("lsh_",
+            Similarity.tablePlanesFor(Similarity.NumTables, Similarity.PlanesPerTable))},
+       |${Similarity.ivfAssignCtes("ivf_", Similarity.CentroidMod)}
        |${stats("minhash_band", "mh_sigs", "band, sig")}
        |UNION ALL
        |${stats("simhash_piece", "sh_pieces", "t, piece")}

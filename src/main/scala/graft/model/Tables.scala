@@ -20,15 +20,34 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    * as a timestamp; the legacy conf maps it to a bigint of epoch
-    * nanoseconds. Set at load time so the operators work under any caller's
-    * session. Downstream code sees `ts` as NANOSECONDS.
+  /** `events.ts` arrives in one of two on-disk flavors: parquet
+    * TIMESTAMP(NANOS) — which Spark 4 only reads via the legacy nanosAsLong
+    * conf, as a bigint of epoch nanoseconds — or plain TIMESTAMP(MICROS)
+    * (the regenerated fixtures), which loads as TIMESTAMP_NTZ. Normalize to
+    * an epoch-nanosecond BIGINT at load so every downstream contract
+    * (`ts DIV 1e9`, the LAST tiebreak key `ts * 2^24 + event_id`) sees one
+    * type. Downstream code sees `ts` as NANOSECONDS.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
+    normalizeTs(table(spark, dir, "events"))
   }
+
+  /** `ts` → epoch-nanosecond bigint whatever the on-disk flavor (see
+    * [[events]]). NTZ wall-clocks are interpreted as UTC via a
+    * timezone-independent diff against the epoch NTZ literal — the same
+    * reading DuckDB's `epoch_ns(ts)` gives the oracle side, immune to the
+    * caller's session timezone.
+    */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df // TIMESTAMP(NANOS) via nanosAsLong
+      case org.apache.spark.sql.types.TimestampType => // absolute instant
+        df.withColumn("ts", unix_micros(col("ts")) * 1000)
+      case _ => // TIMESTAMP_NTZ
+        df.withColumn("ts", expr(
+          "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000"))
+    }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 

@@ -86,13 +86,23 @@ object CarbonStream {
     out
   }
 
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // TIMESTAMP(NANOS) read as epoch nanos
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** File-source events stream with `ts` normalized to an epoch-nanosecond
+    * bigint — the [[Tables.events]] contract. The file stream source needs
+    * an explicit schema, and the on-disk flavor varies by fixture
+    * generation (TIMESTAMP(NANOS)-as-long vs TIMESTAMP(MICROS) — see
+    * [[Tables.normalizeTs]]), so infer it from a batch footer read with the
+    * same glob rather than hardcoding either flavor.
+    */
+  def eventsStream(spark: SparkSession, dir: String,
+      glob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val onDisk = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+    val rd = spark.readStream.schema(onDisk).option("pathGlobFilter", glob)
+    val withTrigger = maxFilesPerTrigger.fold(rd)(n =>
+      rd.option("maxFilesPerTrigger", n.toString))
+    Tables.normalizeTs(withTrigger.parquet(dir))
+  }
 
   /** Parse raw carbon plaintext lines (`path value ts`, the TCP/UDP
     * listener wire format — reference listener/carbon_plaintext.go:60-200)
@@ -140,11 +150,7 @@ object CarbonStream {
     * sink, complete mode), block until drained, return the result table.
     */
   def rollupQuery(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val events = eventsStream(spark, dir)
     val sink = "stream_rollup_" + UUID.randomUUID().toString.replace("-", "")
     withStreamPartitions(spark) {
       val q = windowedRollup(toMetrics(events))
@@ -190,11 +196,7 @@ object CarbonStream {
     * `terminating` forces statTime=now).
     */
   def rollupAppendQuery(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val events = eventsStream(spark, dir)
     // Harness-local BY DESIGN: this temp dir is the verification replay's
     // file-sink target for a single-process run, not operator state — a
     // real deployment points the file sink + checkpointLocation at shared
@@ -250,12 +252,8 @@ object CarbonStream {
     */
   def streamRollupsToStore(spark: SparkSession, srcDir: String, store: String,
       glob: String = "*.parquet"): Unit = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", glob)
-      .option("maxFilesPerTrigger", 1) // one flush cycle per staged file
-      .parquet(srcDir)
+    // one flush cycle per staged file
+    val events = eventsStream(spark, srcDir, glob, maxFilesPerTrigger = Some(1))
     // Tables.metrics' mapping plus event_id — the five-method mergeable
     // state needs it for the LAST tiebreak key ([[toMetrics]] serves the
     // average-only windowed forms and deliberately drops it).

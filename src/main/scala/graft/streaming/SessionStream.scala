@@ -73,36 +73,21 @@ object SessionStream {
   def sessionizeQuery(spark: SparkSession, dir: String): DataFrame = {
     implicit val se = Encoders.product[SessEvent]
     val sink = "stream_sessionize_" + UUID.randomUUID().toString.replace("-", "")
-    // The nanosAsLong conf is only needed while the stream executes (the
-    // parquet reader consults it per batch); restore the caller's setting
-    // once drained rather than leaking a session-wide mutation.
-    val prevNanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try {
-      val events = spark.readStream
-        .schema(CarbonStream.eventsSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .select(col("user_id"), expr("ts DIV 1000000000").as("ts_sec"), col("event_id"))
-        .as[SessEvent]
-      CarbonStream.withStreamPartitions(spark) {
-        val q = sessionize(events, graft.operators.Analytics.SessionGapSec)
-          .toDF()
-          .writeStream
-          .format("memory")
-          .queryName(sink)
-          .outputMode("append")
-          .start()
-        try {
-          q.processAllAvailable()
-        } finally {
-          q.stop()
-        }
-      }
-    } finally {
-      prevNanos match {
-        case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
-        case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    val events = CarbonStream.eventsStream(spark, dir)
+      .select(col("user_id"), expr("ts DIV 1000000000").as("ts_sec"), col("event_id"))
+      .as[SessEvent]
+    CarbonStream.withStreamPartitions(spark) {
+      val q = sessionize(events, graft.operators.Analytics.SessionGapSec)
+        .toDF()
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .start()
+      try {
+        q.processAllAvailable()
+      } finally {
+        q.stop()
       }
     }
     CarbonStream.drainMemorySink(spark, sink)

@@ -110,12 +110,39 @@ object RollupStore {
     * `_SUCCESS` absent means the staged WRITE itself crashed, the source
     * directories are untouched, and the garbage is dropped.
     */
-  def compact(spark: SparkSession, path: String): Unit = {
+  /** How long a compaction lease protects an in-flight `_compact` from
+    * concurrent recovery. A LIVE compactor finishes a staged write well
+    * inside this window; a lease older than it is a crashed compactor's
+    * orphan and recovery may take over. Tests override via the `leaseMs`
+    * parameters.
+    */
+  val CompactLeaseMs: Long = 15L * 60 * 1000
+
+  private def leasePath(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(root, "_compact.lease") // '_' prefix: invisible to parquet listing
+
+  private def leaseIsYoung(fs: org.apache.hadoop.fs.FileSystem,
+                           root: org.apache.hadoop.fs.Path,
+                           leaseMs: Long): Boolean = {
+    val l = leasePath(root)
+    try fs.exists(l) &&
+      System.currentTimeMillis() - fs.getFileStatus(l).getModificationTime < leaseMs
+    catch { case _: java.io.FileNotFoundException => false } // lost exists/stat race
+  }
+
+  def compact(spark: SparkSession, path: String): Unit =
+    compact(spark, path, CompactLeaseMs)
+
+  private[graft] def compact(spark: SparkSession, path: String, leaseMs: Long): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return // never-written store: nothing to fold
     val staged = new org.apache.hadoop.fs.Path(root, "_compact")
-    recover(fs, root, staged)
+    // another compactor's lease is live: skip this pass rather than race
+    // its staged write / swap. (The store stays correct un-compacted —
+    // compaction is lossless re-slicing, so "later" is always safe.)
+    if (leaseIsYoung(fs, root, leaseMs)) return
+    recover(fs, root, staged, leaseMs)
     def parquets(d: org.apache.hadoop.fs.Path) =
       fs.listStatus(d).filter(_.getPath.getName.endsWith(".parquet"))
     val multi = Option(fs
@@ -124,34 +151,40 @@ object RollupStore {
       .map(_.getPath)
       .filter(d => parquets(d).length > 1)
     if (multi.isEmpty) return
-    graft.operators.Rollups.mergeAll(
-        spark.read.option("basePath", path)
-          .parquet(multi.map(_.toString).toIndexedSeq: _*)
-          .drop("stat_date"))
-      .withColumn("stat_date", to_date(timestamp_seconds(col("stat_time"))))
-      .repartition(col("tbl"), col("stat_date")) // one file per directory
-      .write.mode("overwrite").option("maxRecordsPerFile", 5000000)
-      .partitionBy("tbl", "stat_date").parquet(staged.toString)
-    swapIn(fs, root, staged)
+    // take the lease BEFORE the staged write so every other entry point's
+    // recovery leaves the in-flight _compact alone until we finish or die
+    fs.create(leasePath(root), true).close()
+    try {
+      graft.operators.Rollups.mergeAll(
+          spark.read.option("basePath", path)
+            .parquet(multi.map(_.toString).toIndexedSeq: _*)
+            .drop("stat_date"))
+        .withColumn("stat_date", to_date(timestamp_seconds(col("stat_time"))))
+        .repartition(col("tbl"), col("stat_date")) // one file per directory
+        .write.mode("overwrite").option("maxRecordsPerFile", 5000000)
+        .partitionBy("tbl", "stat_date").parquet(staged.toString)
+      swapIn(fs, root, staged)
+    } finally fs.delete(leasePath(root), false)
   }
 
   /** Swap every staged partition directory into place, one delete+rename
     * at a time — the crash-vulnerable window is a single directory, never
     * the store — then drop the staging root.
     *
-    * CONCURRENCY CONTRACT (single maintenance writer): the store tolerates
-    * any number of crash/restart cycles (that is what [[recover]] heals)
-    * but NOT two live processes mutating it at once — a reader or
-    * appender racing an in-progress `compact` could observe `_compact`
-    * without `_SUCCESS` and discard the compactor's in-flight staged
-    * write, and two concurrent `swapIn`s could interleave delete+rename
-    * on the same directory. Run compaction from one scheduled maintenance
-    * job (the cassabon model: one metricmanager owns the store,
-    * datastore/metricmanager.go:127-180); ingest itself is safe because
-    * every entry point serializes through recovery BEFORE touching files
-    * and flush cycles come from one streaming query. Each rename/delete
-    * below is checked so a lost race (or a filesystem refusing the swap)
-    * fails LOUDLY instead of silently dropping a partition directory.
+    * CONCURRENCY CONTRACT: one maintenance writer at a time, now ENFORCED
+    * by the compaction lease rather than merely documented — readers and
+    * appenders racing an in-progress `compact` skip recovery while the
+    * lease is young (see [[recover]]), and a second `compact` bails out on
+    * a live lease instead of double-swapping. What the lease does NOT
+    * cover is two compactors starting inside the same lease-check window
+    * (no atomic create-if-absent on every Hadoop fs) — run compaction from
+    * one scheduled maintenance job (the cassabon model: one metricmanager
+    * owns the store, datastore/metricmanager.go:127-180). Ingest itself is
+    * safe because every entry point serializes through recovery BEFORE
+    * touching files and flush cycles come from one streaming query. Each
+    * rename/delete below is checked so a lost race (or a filesystem
+    * refusing the swap) fails LOUDLY instead of silently dropping a
+    * partition directory.
     */
   private[graft] def swapIn(fs: org.apache.hadoop.fs.FileSystem,
                             root: org.apache.hadoop.fs.Path,
@@ -176,14 +209,28 @@ object RollupStore {
   /** Finish (committed staged write → swap the leftovers in) or discard
     * (uncommitted → sources untouched, drop the garbage) a compaction a
     * crash interrupted. Idempotent; no-op when `_compact` is absent.
+    *
+    * LEASE GUARD (closes the r7/r8 concurrent-recover hazard): a `_compact`
+    * younger than the compactor's lease is an IN-FLIGHT compaction, not a
+    * crash — recovery leaves it (and the lease) completely alone. Reads
+    * stay correct against the un-swapped store (merge-on-read folds the
+    * very duplicates compaction would have folded), and the live compactor
+    * swaps in when its staged write commits. Only once the lease has aged
+    * out does recovery treat `_compact` as crash debt: finish it if
+    * `_SUCCESS` committed, discard it otherwise, and clear the orphan
+    * lease either way.
     */
   private[graft] def recover(fs: org.apache.hadoop.fs.FileSystem,
                              root: org.apache.hadoop.fs.Path,
-                             staged: org.apache.hadoop.fs.Path): Unit =
-    if (fs.exists(staged)) {
-      if (fs.exists(new org.apache.hadoop.fs.Path(staged, "_SUCCESS")))
-        swapIn(fs, root, staged)
-      else fs.delete(staged, true)
+                             staged: org.apache.hadoop.fs.Path,
+                             leaseMs: Long = CompactLeaseMs): Unit =
+    if (!leaseIsYoung(fs, root, leaseMs)) {
+      if (fs.exists(staged)) {
+        if (fs.exists(new org.apache.hadoop.fs.Path(staged, "_SUCCESS")))
+          swapIn(fs, root, staged)
+        else fs.delete(staged, true)
+      }
+      fs.delete(leasePath(root), false) // clear a stale orphan lease, if any
     }
 
   /** EVERY public entry point recovers before touching the store, not just

@@ -63,4 +63,92 @@ class Round10Spec extends AnyFunSuite with TestSpark {
     assert(st.schema("ts").dataType == LongType)
     assert(st.schema.fieldNames.sameElements(Tables.events(spark, Sf).schema.fieldNames))
   }
+
+  // ------------------------------------------------- compaction lease
+  // r8 advice item 6: before the lease, a reader racing an in-progress
+  // compact() observed `_compact` without `_SUCCESS` and DELETED the
+  // compactor's in-flight staged write (recover() treated in-flight and
+  // crashed identically). The lease distinguishes them by age.
+
+  private def ageOutLease(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit =
+    fs.setTimes(new org.apache.hadoop.fs.Path(root, "_compact.lease"),
+      System.currentTimeMillis() - graft.sources.RollupStore.CompactLeaseMs - 1000, -1)
+
+  test("compaction lease: concurrent reads leave an in-flight uncommitted _compact alone") {
+    import graft.operators.Rollups
+    import graft.sources.RollupStore
+    import org.apache.hadoop.fs.Path
+    val store = java.nio.file.Files.createTempDirectory("round10_lease").toString
+    val root = new Path(store)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val state = Rollups.rollupsMergeable(spark, Sf)
+    RollupStore.appendStateSlice(state, store)
+    RollupStore.appendStateSlice(state, store)
+    val want = Rollups.finalize(Rollups.mergeAll(state.unionByName(state)))
+      .collect().map(_.toString).sorted
+    // a live compactor mid-staged-write: partial _compact, no _SUCCESS, fresh lease
+    val staged = new Path(root, "_compact")
+    val partial = new Path(staged, "tbl=rollup_000007200/stat_date=2024-01-05")
+    fs.mkdirs(partial)
+    fs.createNewFile(new Path(partial, "part-inflight.parquet"))
+    fs.create(new Path(root, "_compact.lease"), true).close()
+    // concurrent reader: correct answer off the un-swapped store, staged SURVIVES
+    assert(RollupStore.readFinalized(spark, store)
+      .collect().map(_.toString).sorted.sameElements(want))
+    assert(fs.exists(staged), "reader discarded the live compactor's staged write")
+    // concurrent second compactor: bails out instead of racing the swap
+    RollupStore.compact(spark, store)
+    assert(fs.exists(staged), "second compactor raced a live lease")
+    // the compactor dies without committing: lease ages out, next read heals
+    ageOutLease(fs, root)
+    assert(RollupStore.readFinalized(spark, store)
+      .collect().map(_.toString).sorted.sameElements(want))
+    assert(!fs.exists(staged), "stale uncommitted staging not discarded")
+    assert(!fs.exists(new Path(root, "_compact.lease")), "orphan lease not cleared")
+  }
+
+  test("compaction lease: committed staged write defers to the live compactor, then finishes") {
+    import graft.operators.Rollups
+    import graft.sources.RollupStore
+    import org.apache.spark.sql.functions.{col, timestamp_seconds, to_date}
+    import org.apache.hadoop.fs.Path
+    val store = java.nio.file.Files.createTempDirectory("round10_lease2").toString
+    val root = new Path(store)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val state = Rollups.rollupsMergeable(spark, Sf)
+    RollupStore.appendStateSlice(state, store)
+    RollupStore.appendStateSlice(state, store)
+    val want = Rollups.finalize(Rollups.mergeAll(state.unionByName(state)))
+      .collect().map(_.toString).sorted
+    // commit a real staged compaction (the writer shape compact() uses),
+    // with the compactor still holding a fresh lease, not yet swapped in
+    val staged = new Path(root, "_compact")
+    val multi = fs.globStatus(new Path(root, "tbl=*/stat_date=*")).map(_.getPath)
+      .filter(d => fs.listStatus(d).count(_.getPath.getName.endsWith(".parquet")) > 1)
+    assert(multi.nonEmpty)
+    Rollups.mergeAll(spark.read.option("basePath", store)
+        .parquet(multi.map(_.toString).toIndexedSeq: _*).drop("stat_date"))
+      .withColumn("stat_date", to_date(timestamp_seconds(col("stat_time"))))
+      .repartition(col("tbl"), col("stat_date"))
+      .write.mode("overwrite").partitionBy("tbl", "stat_date")
+      .parquet(staged.toString)
+    assert(fs.exists(new Path(staged, "_SUCCESS")))
+    fs.create(new Path(root, "_compact.lease"), true).close()
+    // a reader while the lease is live must NOT run the swap under the
+    // compactor's feet — and still answers correctly off the sources
+    assert(RollupStore.readFinalized(spark, store)
+      .collect().map(_.toString).sorted.sameElements(want))
+    assert(fs.exists(staged), "reader swapped in a live compactor's staging")
+    // compactor dies post-commit pre-swap: stale lease, recovery finishes it
+    ageOutLease(fs, root)
+    assert(RollupStore.readFinalized(spark, store)
+      .collect().map(_.toString).sorted.sameElements(want))
+    assert(!fs.exists(staged), "committed staging not swapped in after lease expiry")
+    assert(!fs.exists(new Path(root, "_compact.lease")))
+    // post-swap store is compacted: every directory is back to one file
+    val remaining = fs.globStatus(new Path(root, "tbl=*/stat_date=*")).map(_.getPath)
+      .filter(d => fs.listStatus(d).count(_.getPath.getName.endsWith(".parquet")) > 1)
+    assert(remaining.isEmpty, "swap finished but slices were not folded")
+  }
 }

@@ -16,20 +16,23 @@ import graft.model.Tables
   */
 object Index {
 
-  /** All prefix nodes: (node, depth, tenant, leaf) — the reference's index
+  /** All prefix nodes: (node, depth, leaf, tenant) — the reference's index
     * document shape (indexmanager.go:219-224 IndexResponse). A node is a
     * leaf iff some full path equals it (indexmanager.go:225-236:
     * isLeaf=true for the full path, false for every shorter prefix; a node
-    * seen both ways stays a leaf). `tenant` is the multi-tenancy dimension;
-    * the reference populates it as "" on every PUT (indexmanager.go:241-245)
-    * — single-tenant — and this engine mirrors that, keeping the column so
-    * a multi-tenant deployment only swaps the literal for a real source.
+    * seen both ways stays a leaf). `tenant` is the multi-tenancy dimension
+    * the reference carries as a slot but populates as "" on every PUT
+    * (indexmanager.go:241-245 — its deployments are single-tenant); here it
+    * is REAL: the node's first path segment, the graphite convention of a
+    * per-tenant top-level namespace. Since every node string starts with
+    * its tenant segment, tenant is a projection of the grouped node —
+    * deriving it after the groupBy keeps the prefix dedup the ONE shuffle
+    * and makes the two engines' derivations trivially identical. On the
+    * single-namespace driver fixture every row reads tenant='servers';
+    * the 2-tenant semantics (tenant-tagged nodes, tenant-scoped glob and
+    * delete) are gated by Round10Spec's cross-tenant fixture.
     */
-  /** The prefix-node construction over any `(path)` frame — the ONE
-    * definition [[build]] and [[delete]] both apply (delete to the
-    * survivors of its glob filter).
-    */
-  private def indexFrom(paths: DataFrame): DataFrame =
+  private[graft] def indexFrom(paths: DataFrame): DataFrame =
     paths
       .withColumn("p", split(col("path"), "\\."))
       .select(col("p"), explode(expr("sequence(1, size(p))")).as("depth"))
@@ -39,7 +42,7 @@ object Index {
         (col("depth") === size(col("p"))).as("leaf"))
       .groupBy("node")
       .agg(max("depth").as("depth"), max("leaf").as("leaf"))
-      .withColumn("tenant", lit(""))
+      .withColumn("tenant", expr("split(node, '\\\\.')[0]"))
 
   def build(spark: SparkSession, dir: String): DataFrame =
     indexFrom(Tables.metrics(spark, dir).select("path").distinct())
@@ -59,7 +62,8 @@ object Index {
        |  FROM sp, unnest(generate_series(1, len(p))) AS g(d)
        |),
        |index_nodes AS (
-       |  SELECT node, max(depth) AS depth, max(leaf) AS leaf, '' AS tenant
+       |  SELECT node, max(depth) AS depth, max(leaf) AS leaf,
+       |         string_split(node, '.')[1] AS tenant
        |  FROM nodes GROUP BY 1
        |)""".stripMargin
 
@@ -83,37 +87,57 @@ object Index {
     "^" + glob.replace(".", "\\.").replace("*", ".*") + "$"
 
   val GlobQuery = "servers.*.u3"
-  private val globDepth = GlobQuery.split("\\.").length
+  val GlobTenant = "servers"
+
+  /** Tenant-scoped glob over a built index: a query executes AS a tenant
+    * and can only see that tenant's namespace, even when the glob's first
+    * segment is a wildcard that would lexically match other tenants'
+    * nodes (Round10Spec drives exactly that cross-tenant case). The
+    * registered op queries as [[GlobTenant]], the fixture's namespace.
+    */
+  private[graft] def globNodes(index: DataFrame, glob: String, tenant: String): DataFrame =
+    index
+      .filter(col("tenant") === tenant &&
+        col("depth") === glob.split("\\.").length &&
+        col("node").rlike(globToRegex(glob)))
+      .orderBy("node")
 
   def glob(spark: SparkSession, dir: String): DataFrame =
-    build(spark, dir)
-      .filter(col("depth") === globDepth && col("node").rlike(globToRegex(GlobQuery)))
-      .orderBy("node")
+    globNodes(build(spark, dir), GlobQuery, GlobTenant)
 
   private val globSql: String =
     s"""WITH $buildCtes
        |SELECT * FROM index_nodes
-       |WHERE depth = $globDepth AND regexp_matches(node, '${globToRegex(GlobQuery)}')
+       |WHERE tenant = '$GlobTenant'
+       |  AND depth = ${GlobQuery.split("\\.").length}
+       |  AND regexp_matches(node, '${globToRegex(GlobQuery)}')
        |ORDER BY node""".stripMargin
 
   /** `DELETE /paths?query=glob` (reference api/api.go:124-147; the backend
     * delete is an open TODO in indexmanager.go — semantics defined here):
-    * drop the glob-matched leaf paths, then rebuild the prefix set from the
-    * survivors so orphaned prefixes disappear too. Returns the remaining
-    * index.
+    * drop the glob-matched leaf paths OF THE REQUESTING TENANT, then
+    * rebuild the prefix set from the survivors so orphaned prefixes
+    * disappear too — a tenant's delete can never reach under another
+    * tenant's identical sub-paths. Returns the remaining index.
     */
   val DeleteGlob = "servers.error.*"
+  val DeleteTenant = "servers"
+
+  private[graft] def deleteFrom(paths: DataFrame, glob: String, tenant: String): DataFrame =
+    indexFrom(paths
+      .filter(!(col("path").rlike(globToRegex(glob)) &&
+        split(col("path"), "\\.")(0) === tenant)))
 
   def delete(spark: SparkSession, dir: String): DataFrame =
-    indexFrom(Tables.metrics(spark, dir)
-      .select("path").distinct()
-      .filter(!col("path").rlike(globToRegex(DeleteGlob))))
+    deleteFrom(Tables.metrics(spark, dir).select("path").distinct(),
+      DeleteGlob, DeleteTenant)
 
   private val deleteSql: String =
     s"""WITH ${indexSqlFrom(
         s"""paths AS (
            |  SELECT DISTINCT path FROM metrics
-           |  WHERE NOT regexp_matches(path, '${globToRegex(DeleteGlob)}')
+           |  WHERE NOT (regexp_matches(path, '${globToRegex(DeleteGlob)}')
+           |             AND string_split(path, '.')[1] = '$DeleteTenant')
            |)""".stripMargin)}
        |SELECT * FROM index_nodes""".stripMargin
 

@@ -64,6 +64,33 @@ class Round10Spec extends AnyFunSuite with TestSpark {
     assert(st.schema.fieldNames.sameElements(Tables.events(spark, Sf).schema.fieldNames))
   }
 
+  // ------------------------------------------------- multi-tenant index
+
+  test("index tenants: nodes carry their namespace tenant; glob and delete are tenant-scoped") {
+    import spark.implicits._
+    import graft.operators.Index
+    val paths = Seq(
+      "acme.error.u3", "acme.click.u3",
+      "globex.error.u3", "globex.error.u7").toDF("path")
+    val idx = Index.indexFrom(paths)
+    // every node is tagged with its top-level segment, including the
+    // depth-1 tenant roots themselves
+    assert(idx.filter($"tenant" === "acme").count() == 5)   // acme, acme.error, acme.click, 2 leaves
+    assert(idx.filter($"tenant" === "globex").count() == 4) // globex, globex.error, 2 leaves
+    // a wildcard-first-segment glob would lexically match BOTH tenants'
+    // nodes — scoping to the querying tenant must keep it inside acme
+    val g = Index.globNodes(idx, "*.error.u3", "acme").collect()
+    assert(g.map(_.getString(0)).sameElements(Array("acme.error.u3")), g.mkString(","))
+    // acme's delete of *.error.* reaches only acme's namespace: globex's
+    // identical sub-paths survive, acme's orphaned prefix disappears,
+    // acme's root survives via its remaining click path
+    val d = Index.deleteFrom(paths, "*.error.*", "acme")
+    assert(d.filter($"node" === "acme.error.u3").count() == 0)
+    assert(d.filter($"node" === "acme.error").count() == 0, "orphaned prefix survived the delete")
+    assert(d.filter($"node" === "acme").count() == 1)
+    assert(d.filter($"tenant" === "globex").count() == 4, "delete leaked into another tenant")
+  }
+
   // ------------------------------------------------- compaction lease
   // r8 advice item 6: before the lease, a reader racing an in-progress
   // compact() observed `_compact` without `_SUCCESS` and DELETED the

@@ -13,10 +13,12 @@ import graft.streaming.CarbonStream
   */
 class Round3Spec extends AnyFunSuite with TestSpark {
 
-  test("index carries the reference's tenant dimension, empty for single-tenant") {
+  test("index carries the reference's tenant dimension, derived from the namespace") {
     val idx = Index.build(spark, Sf)
     assert(idx.columns.toSet === Set("node", "depth", "leaf", "tenant"))
-    assert(idx.filter(col("tenant") =!= "").count() === 0)
+    // single-namespace fixture: every node's tenant is its top-level segment
+    // (r10 made the reference's always-"" slot a real derived column)
+    assert(idx.filter(col("tenant") =!= "servers").count() === 0)
     // delete keeps the same document shape
     assert(Index.delete(spark, Sf).columns.toSet === Set("node", "depth", "leaf", "tenant"))
   }

@@ -53,7 +53,14 @@ object Index {
     */
   private def indexSqlFrom(pathsCte: String): String =
     s"""${Tables.metricsSql},
-       |$pathsCte,
+       |${indexNodesCtes(pathsCte)}""".stripMargin
+
+  /** The node-chain CTEs WITHOUT the leading `metrics` CTE, for oracles
+    * (OpsStats.runtime_stats) that already carry `metrics` in their own
+    * chain and only need `index_nodes` on top of it.
+    */
+  private[graft] def indexNodesCtes(pathsCte: String): String =
+    s"""$pathsCte,
        |sp AS (SELECT path, string_split(path, '.') AS p FROM paths),
        |nodes AS (
        |  SELECT array_to_string(p[1:CAST(d AS INT)], '.') AS node,

@@ -77,7 +77,84 @@ object OpsStats {
        |UNION ALL
        |SELECT 'path.count', CAST(count(DISTINCT path) AS BIGINT) FROM metrics""".stripMargin
 
+  /** The daemon's per-second runtime self-telemetry
+    * (logging/stats.go:82-107), split by its two natures.
+    *
+    * This is the LIVE half: the same gauge vocabulary stats.go emits,
+    * read off this engine's JVM/Spark runtime — inherently
+    * nondeterministic (heap, GC, thread counts), so it is a library call
+    * with a response-shape spec (Round10Spec), like the HTTP API, not an
+    * oracle-gated operator. `goroutines` maps to live JVM threads (the
+    * scheduler/worker population of a Spark driver), `executors` is the
+    * Spark-native addition a cluster dashboard needs; the memory.* names
+    * follow stats.go:83-91 over the JVM heap, and memory.gc /
+    * memory.gc_pause are cumulative collector count/time (the reference
+    * derives per-second deltas from exactly these cumulative MemStats
+    * fields — delta-ing is the emitter's job, here left to the scraper).
+    */
+  def liveGauges(spark: SparkSession): Seq[(String, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val heap = java.lang.management.ManagementFactory.getMemoryMXBean.getHeapMemoryUsage
+    val gcs = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+    Seq(
+      "goroutines" -> Thread.activeCount().toLong,
+      "executors" -> spark.sparkContext.getExecutorMemoryStatus.size.toLong,
+      "memory.alloc" -> heap.getUsed,
+      "memory.heap.size" -> heap.getCommitted,
+      "memory.heap.in_use" -> heap.getUsed,
+      "memory.heap.idle" -> (heap.getCommitted - heap.getUsed),
+      "memory.sys" -> Runtime.getRuntime.totalMemory(),
+      "memory.gc" -> gcs.map(_.getCollectionCount).sum,
+      "memory.gc_pause" -> gcs.map(_.getCollectionTime).sum)
+  }
+
+  /** The DETERMINISTIC half of the daemon's self-telemetry: the workload
+    * ledger the runtime gauges converge to on a given corpus — per-
+    * subsystem row counts (listener points, path catalog, index nodes and
+    * leaves, open rollup windows) plus the config-derived table count.
+    * These are exactly the numbers a cassabon dashboard derives from its
+    * counters after draining the same input, so they CAN be oracle-gated,
+    * and are. Each count folds map-side to one row before the 1-row
+    * crossJoins, so the frame costs one pass over each subsystem's
+    * already-audited plan.
+    */
+  def runtimeStats(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.metrics(spark, dir)
+      .agg(count(lit(1)).as("points"), countDistinct("path").as("paths"))
+    val idx = Index.build(spark, dir)
+      .agg(count(lit(1)).as("nodes"), sum(col("leaf").cast("long")).as("leaves"))
+    val win = Rollups.rollups(spark, dir).agg(count(lit(1)).as("windows"))
+    m.crossJoin(idx).crossJoin(win).select(explode(array(
+      struct(lit("points.received").as("stat"), col("points").as("value")),
+      struct(lit("path.count").as("stat"), col("paths").as("value")),
+      struct(lit("index.nodes").as("stat"), col("nodes").as("value")),
+      struct(lit("index.leaves").as("stat"), col("leaves").as("value")),
+      struct(lit("rollup.windows").as("stat"), col("windows").as("value")),
+      struct(lit("rollup.tables").as("stat"),
+        lit(graft.model.RollupConfig.tables.size.toLong).as("value")))).as("s"))
+      .select(col("s.stat").as("stat"), col("s.value").as("value"))
+  }
+
+  /** Oracle: the same ledger off the shared CTE chains — `rollups` (which
+    * carries `metrics`) plus the index node chain — as scalar subqueries.
+    */
+  private val runtimeStatsSql: String =
+    s"""WITH ${Rollups.rollupsCtes},
+       |${Index.indexNodesCtes("paths AS (SELECT DISTINCT path FROM metrics)")}
+       |SELECT 'points.received' AS stat, CAST(count(*) AS BIGINT) AS value FROM metrics
+       |UNION ALL
+       |SELECT 'path.count', CAST(count(DISTINCT path) AS BIGINT) FROM metrics
+       |UNION ALL
+       |SELECT 'index.nodes', CAST(count(*) AS BIGINT) FROM index_nodes
+       |UNION ALL
+       |SELECT 'index.leaves', CAST(sum(CAST(leaf AS BIGINT)) AS BIGINT) FROM index_nodes
+       |UNION ALL
+       |SELECT 'rollup.windows', CAST(count(*) AS BIGINT) FROM rollups
+       |UNION ALL
+       |SELECT 'rollup.tables', ${graft.model.RollupConfig.tables.size}""".stripMargin
+
   def ops: Seq[Op] = Seq(
-    Op("write_stats", writeStats, Some(writeStatsSql))
+    Op("write_stats", writeStats, Some(writeStatsSql)),
+    Op("runtime_stats", runtimeStats, Some(runtimeStatsSql))
   )
 }

@@ -64,6 +64,27 @@ class Round10Spec extends AnyFunSuite with TestSpark {
     assert(st.schema.fieldNames.sameElements(Tables.events(spark, Sf).schema.fieldNames))
   }
 
+  // ------------------------------------------------- self-telemetry
+
+  test("runtime_stats: live gauges speak stats.go's vocabulary; the ledger matches its subsystems") {
+    import graft.operators.{Index, OpsStats, Rollups}
+    val g = OpsStats.liveGauges(spark).toMap
+    assert(g.keySet == Set("goroutines", "executors", "memory.alloc",
+      "memory.heap.size", "memory.heap.in_use", "memory.heap.idle",
+      "memory.sys", "memory.gc", "memory.gc_pause"))
+    assert(g("goroutines") > 0 && g("executors") > 0)
+    assert(g("memory.alloc") > 0 && g("memory.alloc") <= g("memory.heap.size"))
+    assert(g.values.forall(_ >= 0L))
+    val led = OpsStats.runtimeStats(spark, Sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(led("points.received") == Tables.metrics(spark, Sf).count())
+    assert(led("index.nodes") == Index.build(spark, Sf).count())
+    assert(led("index.leaves") ==
+      Index.build(spark, Sf).filter(col("leaf")).count())
+    assert(led("rollup.windows") == Rollups.rollups(spark, Sf).count())
+    assert(led("rollup.tables") == graft.model.RollupConfig.tables.size.toLong)
+  }
+
   // ------------------------------------------------- multi-tenant index
 
   test("index tenants: nodes carry their namespace tenant; glob and delete are tenant-scoped") {

@@ -86,6 +86,18 @@ object MetricsApi {
       .toSeq
   }
 
+  /** `DELETE /paths?query=glob` (api/api.go:124-147; backend semantics =
+    * the `index_delete` operator): drop the glob-matched leaf paths of the
+    * glob's tenant (its first segment — a delete must NAME its tenant, so
+    * a wildcard first segment matches no tenant and deletes nothing) and
+    * rebuild the prefix set from the survivors. Returns the remaining
+    * node count — the payload a caller needs to confirm the prune.
+    */
+  def deletePaths(spark: SparkSession, dir: String, glob: String): Long =
+    Index.deleteFrom(
+      Tables.metrics(spark, dir).select("path").distinct(),
+      glob, glob.split("\\.")(0)).count()
+
   /** `DELETE /metrics` (metricquery.go:25-84): per-path, per-table
     * approximate counts; when not a dry run the store row set after the
     * anti-filter is returned alongside (the caller persists it).

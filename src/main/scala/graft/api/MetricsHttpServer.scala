@@ -1,0 +1,171 @@
+package graft.api
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+
+/** The daemon's live HTTP face (reference api/api.go:44-51), served for
+  * real: the same six routes Goji mounts, over the JDK's built-in
+  * `com.sun.net.httpserver` (zero added dependencies), delegating every
+  * query to [[MetricsApi]] — so the HTTP layer is a thin faithful shell
+  * and all semantics stay in the spec'd, oracle-adjacent library calls.
+  *
+  *   GET    /            info document (api.go rootHandler's shape)
+  *   GET    /paths       ?query=glob       → index entries, sorted
+  *   DELETE /paths       ?query=glob       → orphan-prune rebuild summary
+  *   GET    /metrics     ?path=..&path=..&from=&to= → series on step grid
+  *   DELETE /metrics     ?path=..&from=&to=&dryrun= → per-(path,table) counts
+  *   GET    /healthcheck                   → ALIVE / DEAD plain text
+  *   anything else                         → 404 JSON error (notFoundHandler)
+  *
+  * Serving model: queries the daemon answers from its in-memory rollup
+  * accumulator are answered here by Spark jobs over the store — the API
+  * collects only the final small payload (MetricsApi's contract). One
+  * request at a time per server instance, matching the reference's
+  * channel-serialized index/metric managers; a production deployment
+  * fronts the engine with whatever pool it needs, the routes don't change.
+  */
+final class MetricsHttpServer(spark: SparkSession, dir: String) {
+
+  private var server: HttpServer = _
+
+  /** Bind (port 0 = ephemeral) and serve; returns the bound port. */
+  def start(port: Int = 0): Int = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/", handle _)
+    server.setExecutor(null) // caller-thread dispatch: serialized, like the reference's channels
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  // ------------------------------------------------------------ routing
+
+  private def handle(ex: HttpExchange): Unit = {
+    val (method, path) = (ex.getRequestMethod, ex.getRequestURI.getPath)
+    try {
+      (method, path) match {
+        case ("GET", "/")            => root(ex)
+        case ("GET", "/healthcheck") => health(ex)
+        case ("GET", "/paths")       => getPaths(ex)
+        case ("DELETE", "/paths")    => deletePaths(ex)
+        case ("GET", "/metrics")     => getMetrics(ex)
+        case ("DELETE", "/metrics")  => deleteMetrics(ex)
+        case _ => send(ex, 404,
+          Json.obj("status" -> Json.str("not found"),
+            "request" -> Json.str(ex.getRequestURI.toString)))
+      }
+    } catch {
+      case e: Throwable =>
+        send(ex, 500, Json.obj("status" -> Json.str("error"),
+          "message" -> Json.str(Option(e.getMessage).getOrElse(e.getClass.getName))))
+    } finally ex.close()
+  }
+
+  private def root(ex: HttpExchange): Unit =
+    // rootHandler's document shape (message/github/version fields)
+    send(ex, 200, Json.obj(
+      "message" -> Json.str("graft. cassabon's queries, Spark's engine."),
+      "github" -> Json.str("https://github.com/jeffpierce/cassabon"),
+      "version" -> Json.str("r10")))
+
+  private def health(ex: HttpExchange): Unit = {
+    // healthHandler: plain-text ALIVE/DEAD for the load balancer
+    val body = (if (MetricsApi.healthcheck(spark, dir)) "ALIVE" else "DEAD").getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "text/plain; charset=utf-8")
+    ex.sendResponseHeaders(200, body.length)
+    ex.getResponseBody.write(body)
+  }
+
+  private def getPaths(ex: HttpExchange): Unit = {
+    val q = params(ex)
+    val entries = MetricsApi.getPaths(spark, dir, q.firstOr("query", "*"))
+    send(ex, 200, Json.arr(entries.map(e => Json.obj(
+      "path" -> Json.str(e.path),
+      "depth" -> Json.num(e.depth.toLong),
+      "tenant" -> Json.str(e.path.split("\\.")(0)),
+      "leaf" -> Json.bool(e.leaf)))))
+  }
+
+  private def deletePaths(ex: HttpExchange): Unit = {
+    val q = params(ex)
+    val remaining = MetricsApi.deletePaths(spark, dir, q.firstOr("query", ""))
+    send(ex, 200, Json.obj("remaining_nodes" -> Json.num(remaining)))
+  }
+
+  private def getMetrics(ex: HttpExchange): Unit = {
+    val q = params(ex)
+    val r = MetricsApi.getMetrics(spark, dir, q.all("path"),
+      q.firstOr("from", "0").toLong, q.firstOr("to", "0").toLong)
+    send(ex, 200, Json.obj(
+      "from" -> Json.num(r.from),
+      "to" -> Json.num(r.to),
+      "step" -> Json.num(r.step),
+      "series" -> Json.objOf(r.series.toSeq.sortBy(_._1).map { case (p, vs) =>
+        p -> Json.arr(vs.map(v => v.map(Json.dbl).getOrElse(Json.nul)))
+      })))
+  }
+
+  private def deleteMetrics(ex: HttpExchange): Unit = {
+    val q = params(ex)
+    // dryrun default TRUE; only explicit false/no disarms (api.go:186-190)
+    val dr = q.firstOr("dryrun", "")
+    val dryRun = !(dr.equalsIgnoreCase("false") || dr.equalsIgnoreCase("no"))
+    val (resp, _) = MetricsApi.deleteMetrics(spark, dir, q.all("path"),
+      q.firstOr("from", "0").toLong, q.firstOr("to", "0").toLong, dryRun)
+    send(ex, 200, Json.obj(
+      "dryrun" -> Json.bool(resp.dryrun),
+      "total_deleted" -> Json.num(resp.totalDeleted),
+      "by_path_table" -> Json.objOf(resp.byPathTable.toSeq
+        .sortBy { case ((p, t), _) => (p, t) }
+        .map { case ((p, t), n) => s"$p|$t" -> Json.num(n) })))
+  }
+
+  // ------------------------------------------------------------ plumbing
+
+  private final case class Params(m: Map[String, Seq[String]]) {
+    def all(k: String): Seq[String] = m.getOrElse(k, Nil)
+    def firstOr(k: String, d: String): String = all(k).headOption.getOrElse(d)
+  }
+
+  private def params(ex: HttpExchange): Params = Params(
+    Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      .split("&").toSeq.filter(_.nonEmpty)
+      .map { kv =>
+        val i = kv.indexOf('=')
+        val (k, v) = if (i < 0) (kv, "") else (kv.take(i), kv.drop(i + 1))
+        java.net.URLDecoder.decode(k, "UTF-8") -> java.net.URLDecoder.decode(v, "UTF-8")
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap)
+
+  private def send(ex: HttpExchange, code: Int, json: String): Unit = {
+    val body = json.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json; charset=utf-8")
+    ex.sendResponseHeaders(code, body.length)
+    ex.getResponseBody.write(body)
+  }
+
+  /** Minimal JSON writer — the payloads are flat and small, and the repo
+    * adds no dependencies; strings are escaped per RFC 8259 minimum.
+    */
+  private object Json {
+    def str(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    def num(n: Long): String = n.toString
+    def dbl(d: Double): String =
+      if (d == d.floor && !d.isInfinite) f"$d%.1f" else d.toString
+    def bool(b: Boolean): String = b.toString
+    val nul: String = "null"
+    def arr(xs: Seq[String]): String = xs.mkString("[", ",", "]")
+    def obj(kvs: (String, String)*): String = objOf(kvs)
+    def objOf(kvs: Seq[(String, String)]): String =
+      kvs.map { case (k, v) => s"${str(k)}:$v" }.mkString("{", ",", "}")
+  }
+}

@@ -64,6 +64,52 @@ class Round10Spec extends AnyFunSuite with TestSpark {
     assert(st.schema.fieldNames.sameElements(Tables.events(spark, Sf).schema.fieldNames))
   }
 
+  // ------------------------------------------------- live HTTP serving
+
+  test("HTTP server: the daemon's six routes serve live over real sockets") {
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val srv = new graft.api.MetricsHttpServer(spark, Sf)
+    val port = srv.start()
+    val http = HttpClient.newHttpClient()
+    def req(method: String, pathAndQuery: String): HttpResponse[String] =
+      http.send(
+        HttpRequest.newBuilder(java.net.URI.create(s"http://127.0.0.1:$port$pathAndQuery"))
+          .method(method, HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofString())
+    try {
+      // GET / — the info document shape (message/github/version)
+      val root = req("GET", "/")
+      assert(root.statusCode() == 200 && root.body().contains("\"version\""))
+      // GET /healthcheck — plain-text liveness
+      assert(req("GET", "/healthcheck").body() == "ALIVE")
+      // GET /paths?query= — same rows as the library call, as JSON
+      val glob = graft.operators.Index.GlobQuery
+      val paths = req("GET", s"/paths?query=$glob")
+      val viaApi = graft.api.MetricsApi.getPaths(spark, Sf, glob)
+      assert(paths.statusCode() == 200)
+      assert("\"path\"".r.findAllIn(paths.body()).size == viaApi.size)
+      assert(viaApi.forall(e => paths.body().contains("\"" + e.path + "\"")))
+      // GET /metrics — series on the step grid for two fixture paths
+      val ps = viaApi.take(2).map(e => s"path=${e.path}").mkString("&")
+      val m = req("GET", s"/metrics?$ps&from=1704067200&to=1704070800")
+      assert(m.statusCode() == 200)
+      assert(m.body().contains("\"step\":") && m.body().contains("\"series\":"))
+      // DELETE /metrics — dry-run by DEFAULT, totals match the library
+      val del = req("DELETE", s"/metrics?${ps}&from=1704067200&to=1704070800")
+      assert(del.statusCode() == 200 && del.body().contains("\"dryrun\":true"))
+      val (resp, _) = graft.api.MetricsApi.deleteMetrics(spark, Sf,
+        viaApi.take(2).map(_.path), 1704067200L, 1704070800L, dryRun = true)
+      assert(del.body().contains(s""""total_deleted":${resp.totalDeleted}"""))
+      // DELETE /paths — orphan-prune rebuild, remaining count matches index_delete
+      val dp = req("DELETE", s"/paths?query=${graft.operators.Index.DeleteGlob}")
+      assert(dp.statusCode() == 200)
+      assert(dp.body() ==
+        s"""{"remaining_nodes":${graft.operators.Index.delete(spark, Sf).count()}}""")
+      // anything else — the 404 handler
+      assert(req("GET", "/nope").statusCode() == 404)
+    } finally srv.stop()
+  }
+
   // ------------------------------------------------- self-telemetry
 
   test("runtime_stats: live gauges speak stats.go's vocabulary; the ledger matches its subsystems") {

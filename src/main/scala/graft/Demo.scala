@@ -89,6 +89,24 @@ object Demo {
     val (dry, _) = MetricsApi.deleteMetrics(spark, dir,
       Seq("servers.error.u1"), now - 604800, now - 86400, dryRun = true)
     println(s"[demo] DELETE /metrics dry-run: ${dry.totalDeleted} rows would go")
+    // ...and the same surface served LIVE over a real socket (r10)
+    val httpd = new graft.api.MetricsHttpServer(spark, dir)
+    val port = httpd.start()
+    try {
+      val http = java.net.http.HttpClient.newHttpClient()
+      def get(p: String) = http.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:$port$p")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+      println(s"[demo] live HTTP on :$port — /healthcheck=${get("/healthcheck")}, " +
+        s"/paths?query=servers.*.u3 -> ${"\"path\"".r.findAllIn(get("/paths?query=servers.*.u3")).size} entries")
+    } finally httpd.stop()
+    val ledger = graft.operators.OpsStats.runtimeStats(spark, dir).collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" ")
+    println(s"[demo] self-telemetry ledger: $ledger")
+    val gauges = graft.operators.OpsStats.liveGauges(spark).toMap
+    println(f"[demo] live gauges: heap ${gauges("memory.alloc") / 1048576}%d MiB used, " +
+      s"${gauges("memory.gc")} GCs, ${gauges("executors")} executor(s)")
 
     // 4. the training-data pipeline over documents
     val nearDups = Dedup.minhashLsh(spark, dir).count()

@@ -50,6 +50,8 @@ object Carbon {
           format_string(" %s\t%.3f  %d", col("path"), col("value"), col("ts")))
         .when(col("event_id") % 29 === 0,
           format_string("%s %.3f %d.75", col("path"), col("value"), col("ts")))
+        .when(col("event_id") % 31 === 0, // a peer wire command on the same socket
+          lit("""<<peerlist={"10.0.0.1:2003":"1","10.0.0.2:2003":"1"}>>"""))
         .otherwise(format_string("%s %.3f %d", col("path"), col("value"), col("ts")))
         .as("line"))
 
@@ -62,6 +64,7 @@ object Carbon {
        |              WHEN event_id % 19 = 0 THEN printf('%s %.3f notatime', path, value)
        |              WHEN event_id % 23 = 0 THEN printf(' %s' || chr(9) || '%.3f  %d', path, value, ts)
        |              WHEN event_id % 29 = 0 THEN printf('%s %.3f %d.75', path, value, ts)
+       |              WHEN event_id % 31 = 0 THEN '<<peerlist={"10.0.0.1:2003":"1","10.0.0.2:2003":"1"}>>'
        |              ELSE printf('%s %.3f %d', path, value, ts) END AS line
        |  FROM metrics
        |)""".stripMargin
@@ -75,6 +78,11 @@ object Carbon {
     */
   private[graft] def withParsedLine(df: DataFrame, lineCol: String): DataFrame =
     df
+      // peer wire commands are inspected FIRST, on the RAW line — no trim
+      // (metricHandler, carbon_plaintext.go:210-216: `^<<([a-z]+)=(.*)>>$`,
+      // lowercase command names only). A command line is neither a metric
+      // nor a malformed metric: it bumps NEITHER receive counter.
+      .withColumn("peer_cmd", regexp_extract(col(lineCol), "^<<([a-z]+)=(.*)>>$", 1))
       // the reference tokenizes with strings.Fields — ANY whitespace runs,
       // leading/trailing blanks ignored (carbon_plaintext.go:218): trim +
       // regex split, NOT a single-space split, or tab-separated lines and
@@ -87,7 +95,8 @@ object Carbon {
       // non-finite or out-of-int64-range float invalid rather than throwing.
       .withColumn("t", expr("try_cast(floor(try_cast(try_element_at(p, 3) AS DOUBLE)) AS BIGINT)"))
       .withColumn("valid",
-        size(col("p")) === 3 && col("v").isNotNull && col("t").isNotNull)
+        col("peer_cmd") === "" &&
+          size(col("p")) === 3 && col("v").isNotNull && col("t").isNotNull)
 
   /** Parse + validate the triplet. Invalid lines keep null fields and
     * `valid=false` (the listener drops them and bumps a counter; here
@@ -96,27 +105,31 @@ object Carbon {
   private def parsedFull(spark: SparkSession, dir: String): DataFrame =
     withParsedLine(lines(spark, dir), "line")
       .select(
-        col("line_id"), col("arrival_ts"), col("valid"),
+        col("line_id"), col("arrival_ts"), col("valid"), col("peer_cmd"),
         when(col("valid"), expr("try_element_at(p, 1)")).as("path"),
         when(col("valid"), col("v")).as("value"),
         when(col("valid"), col("t")).as("ts"))
 
   private val parsedFullSql: String =
     s"""$linesSql,
-       |sp AS (SELECT line_id, arrival_ts, regexp_split_to_array(trim(line), '\\s+') AS p FROM lines),
+       |sp AS (SELECT line_id, arrival_ts, line,
+       |              regexp_split_to_array(trim(line), '\\s+') AS p FROM lines),
        |cast_try AS (
        |  SELECT line_id, arrival_ts, p,
+       |         CASE WHEN regexp_matches(line, '^<<[a-z]+=.*>>$$')
+       |              THEN regexp_extract(line, '^<<([a-z]+)=(.*)>>$$', 1)
+       |              ELSE '' END AS peer_cmd,
        |         try_cast(p[2] AS DOUBLE) AS v,
        |         try_cast(floor(try_cast(p[3] AS DOUBLE)) AS BIGINT) AS t
        |  FROM sp
        |),
        |flagged AS (
-       |  SELECT line_id, arrival_ts, p, v, t,
-       |         (len(p) = 3 AND v IS NOT NULL AND t IS NOT NULL) AS valid
+       |  SELECT line_id, arrival_ts, p, v, t, peer_cmd,
+       |         (peer_cmd = '' AND len(p) = 3 AND v IS NOT NULL AND t IS NOT NULL) AS valid
        |  FROM cast_try
        |),
        |parsed AS (
-       |  SELECT line_id, arrival_ts, valid,
+       |  SELECT line_id, arrival_ts, valid, peer_cmd,
        |         CASE WHEN valid THEN p[1] END AS path,
        |         CASE WHEN valid THEN v END AS value,
        |         CASE WHEN valid THEN t END AS ts
@@ -127,7 +140,7 @@ object Carbon {
     parsedFull(spark, dir).drop("arrival_ts")
 
   private val parseSql: String =
-    s"WITH $parsedFullSql SELECT line_id, valid, path, value, ts FROM parsed"
+    s"WITH $parsedFullSql SELECT line_id, valid, peer_cmd, path, value, ts FROM parsed"
 
   /** received-ok / received-fail counters per minute — the statsd events the
     * listener emits (carbon_plaintext.go:219-243, logging/stats.go).
@@ -137,13 +150,19 @@ object Carbon {
       .groupBy((col("arrival_ts") - col("arrival_ts") % 60).as("minute_ts"))
       .agg(
         sum(when(col("valid"), 1L).otherwise(0L)).as("received_ok"),
-        sum(when(col("valid"), 0L).otherwise(1L)).as("received_fail"))
+        // a peer command bumps NEITHER receive counter (metricHandler
+        // returns before the Fields split, carbon_plaintext.go:211-216);
+        // it is surfaced as its own column instead
+        sum(when(!col("valid") && col("peer_cmd") === "", 1L).otherwise(0L))
+          .as("received_fail"),
+        sum(when(col("peer_cmd") =!= "", 1L).otherwise(0L)).as("peer_cmds"))
 
   private val receiveStatsSql: String =
     s"""WITH $parsedFullSql
        |SELECT arrival_ts - arrival_ts % 60 AS minute_ts,
        |       CAST(sum(CASE WHEN valid THEN 1 ELSE 0 END) AS BIGINT) AS received_ok,
-       |       CAST(sum(CASE WHEN valid THEN 0 ELSE 1 END) AS BIGINT) AS received_fail
+       |       CAST(sum(CASE WHEN NOT valid AND peer_cmd = '' THEN 1 ELSE 0 END) AS BIGINT) AS received_fail,
+       |       CAST(sum(CASE WHEN peer_cmd <> '' THEN 1 ELSE 0 END) AS BIGINT) AS peer_cmds
        |FROM parsed GROUP BY 1""".stripMargin
 
   /** Peer ownership: `pearson_hash8(path) % N` (peerlist.go:112-119) with the

@@ -15,17 +15,24 @@ class CarbonAnalyticsSpec extends AnyFunSuite with TestSpark {
     assert(rows.length === total)
     rows.foreach { case (id, valid) =>
       val corrupted = id % 17 == 0 || id % 13 == 0 || id % 19 == 0
-      assert(valid === !corrupted, s"line $id")
+      // a peer wire command is not a metric either (but it's also not a
+      // receive failure — see the stats test); it only reaches the %31
+      // branch when no earlier line variant claimed the id
+      val peerCmd = id % 31 == 0 &&
+        !(id % 17 == 0 || id % 13 == 0 || id % 19 == 0 || id % 23 == 0 || id % 29 == 0)
+      assert(valid === !(corrupted || peerCmd), s"line $id")
     }
   }
 
-  test("receive stats: ok + fail == line count per minute and overall") {
+  test("receive stats: ok + fail + peer commands == line count overall") {
     val stats = Carbon.receiveStats(spark, Sf)
-      .agg(sum("received_ok").as("ok"), sum("received_fail").as("fail"))
+      .agg(sum("received_ok").as("ok"), sum("received_fail").as("fail"),
+        sum("peer_cmds").as("peer"))
       .collect().head
     val total = Tables.events(spark, Sf).count()
-    assert(stats.getLong(0) + stats.getLong(1) === total)
+    assert(stats.getLong(0) + stats.getLong(1) + stats.getLong(2) === total)
     assert(stats.getLong(1) > 0, "fixture must contain malformed lines")
+    assert(stats.getLong(2) > 0, "fixture must contain peer wire commands")
   }
 
   test("peer route: all points accounted for, every peer in range") {

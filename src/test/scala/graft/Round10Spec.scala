@@ -64,6 +64,23 @@ class Round10Spec extends AnyFunSuite with TestSpark {
     assert(st.schema.fieldNames.sameElements(Tables.events(spark, Sf).schema.fieldNames))
   }
 
+  // ------------------------------------------------- peer wire commands
+
+  test("carbon wire: peer commands classify as commands, not failed metrics") {
+    import spark.implicits._
+    val parsed = graft.operators.Carbon.withParsedLine(Seq(
+      """<<peerlist={"h:1":"1"}>>""", // a peer command (carbon_plaintext.go:30 regex)
+      "<<PEERLIST=x>>",               // uppercase: [a-z]+ does NOT match -> malformed metric
+      """ <<peerlist={}>>""",         // leading blank: the RAW line is matched, no trim -> malformed
+      "a.b 1.0 100").toDF("line"), "line")
+      .select("line", "peer_cmd", "valid").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    assert(parsed("""<<peerlist={"h:1":"1"}>>""") == (("peerlist", false)))
+    assert(parsed("<<PEERLIST=x>>") == (("", false)))
+    assert(parsed(""" <<peerlist={}>>""") == (("", false)))
+    assert(parsed("a.b 1.0 100") == (("", true)))
+  }
+
   // ------------------------------------------------- live HTTP serving
 
   test("HTTP server: the daemon's six routes serve live over real sockets") {

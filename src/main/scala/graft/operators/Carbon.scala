@@ -271,6 +271,61 @@ object Carbon {
        |       round(CAST(sum(moved) AS BIGINT) / count(*), 6) AS moved_frac
        |FROM flagged GROUP BY 1""".stripMargin
 
+  /** The peer-list RELOAD path, wire-commanded: processPeerCommand
+    * (carbon_plaintext.go:258-283) parses a `<<peerlist={json}>>` command's
+    * payload, and a CHANGED list flushes and re-dispatches every path onto
+    * the new ring. Here the new peer count comes from the fixture's own
+    * embedded wire commands (the id%31 lines) — payload entry count, taken
+    * lexically (entries are comma-separated) so both engines derive it
+    * without a JSON library — and the output is the same per-peer movement
+    * frame as [[peerRebalance]], but against the DATA-DRIVEN new ring size
+    * instead of the configured [[NewPeerCount]]. The 1-row command frame
+    * broadcasts; the path catalog is the only shuffle.
+    */
+  def peerReload(spark: SparkSession, dir: String): DataFrame = {
+    Pearson.register(spark)
+    val cmd = withParsedLine(lines(spark, dir), "line")
+      .filter(col("peer_cmd") === "peerlist")
+      .select(regexp_extract(col("line"), "^<<peerlist=(.*)>>$", 1).as("payload"))
+      .agg(max("payload").as("payload")) // fixture commands are identical; max = deterministic
+      .select(size(split(col("payload"), ",")).as("new_peers"))
+    Tables.metrics(spark, dir)
+      .groupBy("path").agg(count(lit(1)).as("pts"))
+      .withColumn("h", expr("pearson_hash8(path)"))
+      .crossJoin(broadcast(cmd))
+      .withColumn("peer", col("h") % PeerCount)
+      .withColumn("moved", (col("h") % col("new_peers") =!= col("peer")).cast("long"))
+      .groupBy("peer")
+      .agg(
+        count(lit(1)).as("paths"),
+        sum("moved").as("moved_paths"),
+        sum(col("moved") * col("pts")).as("moved_points"))
+      .withColumn("moved_frac", round(col("moved_paths") / col("paths"), 6))
+  }
+
+  private val peerReloadSql: String =
+    s"""WITH $linesSql,
+       |cmd AS (
+       |  SELECT max(regexp_extract(line, '^<<peerlist=(.*)>>$$', 1)) AS payload
+       |  FROM lines WHERE regexp_matches(line, '^<<peerlist=.*>>$$')
+       |),
+       |newn AS (SELECT len(string_split(payload, ',')) AS new_peers FROM cmd),
+       |counts AS (SELECT path, count(*) AS pts FROM metrics GROUP BY 1),
+       |hashed AS (
+       |  SELECT path, pts, ${Pearson.hash8Sql("path")} AS h FROM counts
+       |),
+       |flagged AS (
+       |  SELECT CAST(h % $PeerCount AS INT) AS peer, pts,
+       |         CASE WHEN h % new_peers <> h % $PeerCount THEN 1 ELSE 0 END AS moved
+       |  FROM hashed, newn
+       |)
+       |SELECT peer,
+       |       CAST(count(*) AS BIGINT) AS paths,
+       |       CAST(sum(moved) AS BIGINT) AS moved_paths,
+       |       CAST(sum(moved * pts) AS BIGINT) AS moved_points,
+       |       round(CAST(sum(moved) AS BIGINT) / count(*), 6) AS moved_frac
+       |FROM flagged GROUP BY 1""".stripMargin
+
   /** Latency-style percentiles per metric family — the p50/p95/p99 view a
     * metrics engine serves beside rollups. Spark's exact `percentile` and
     * DuckDB's `quantile_cont` share the linear-interpolation definition.
@@ -313,6 +368,7 @@ object Carbon {
     Op("peer_route", peerRoute, Some(peerRouteSql)),
     Op("peer_route64", peerRoute64, Some(peerRoute64Sql)),
     Op("peer_rebalance", peerRebalance, Some(peerRebalanceSql)),
+    Op("peer_reload", peerReload, Some(peerReloadSql)),
     Op("value_quantiles", valueQuantiles, Some(valueQuantilesSql)),
     Op("top_paths", topPaths, Some(topPathsSql))
   )

@@ -13,9 +13,10 @@ object Explain {
       .map(_.split(",").toSeq)
       .getOrElse(Seq("rollup_multi", "rollup_redispatch", "q3_shipping", "q5_region",
         "ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf", "ann_ivf_trained",
-        "kmeans_step", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+        "ann_ivf_balanced", "kmeans_step", "dedup_minhash_lsh", "dedup_ngram_jaccard",
         "dedup_embedding_cosine", "dedup_cluster",
-        "peer_rebalance", "metric_fetch", "sessionize", "index_build"))
+        "peer_rebalance", "peer_reload", "metric_fetch", "sessionize", "index_build",
+        "sketch_occupancy", "store_lifecycle", "runtime_stats"))
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -76,11 +76,19 @@ object MetricsApi {
     */
   case class PathEntry(path: String, depth: Int, leaf: Boolean)
 
-  def getPaths(spark: SparkSession, dir: String, glob: String): Seq[PathEntry] = {
+  /** `tenant=None` reproduces the reference endpoint exactly (the daemon
+    * ships the glob to its search backend with no tenant notion — a
+    * wildcard first segment matches lexically across namespaces). Pass
+    * `Some(tenant)` to execute AS a tenant (the r10 index model,
+    * `Index.globNodes`): the query then cannot see other tenants' nodes.
+    */
+  def getPaths(spark: SparkSession, dir: String, glob: String,
+      tenant: Option[String] = None): Seq[PathEntry] = {
     val depth = glob.split("\\.").length
-    Index.build(spark, dir)
-      .filter(col("depth") === depth && col("node").rlike(Index.globToRegex(glob)))
-      .orderBy("node")
+    val idx = Index.build(spark, dir)
+    tenant.fold(
+      idx.filter(col("depth") === depth && col("node").rlike(Index.globToRegex(glob)))
+        .orderBy("node"))(t => Index.globNodes(idx, glob, t))
       .collect()
       .map(r => PathEntry(r.getString(0), r.getInt(1), r.getBoolean(2)))
       .toSeq

@@ -82,7 +82,9 @@ final class MetricsHttpServer(spark: SparkSession, dir: String) {
 
   private def getPaths(ex: HttpExchange): Unit = {
     val q = params(ex)
-    val entries = MetricsApi.getPaths(spark, dir, q.firstOr("query", "*"))
+    // &tenant= opts into tenant-scoped execution (see MetricsApi.getPaths)
+    val entries = MetricsApi.getPaths(spark, dir, q.firstOr("query", "*"),
+      q.all("tenant").headOption.filter(_.nonEmpty))
     send(ex, 200, Json.arr(entries.map(e => Json.obj(
       "path" -> Json.str(e.path),
       "depth" -> Json.num(e.depth.toLong),
@@ -160,7 +162,10 @@ final class MetricsHttpServer(spark: SparkSession, dir: String) {
     } + "\""
     def num(n: Long): String = n.toString
     def dbl(d: Double): String =
-      if (d == d.floor && !d.isInfinite) f"$d%.1f" else d.toString
+      if (d.isNaN || d.isInfinite) nul // NaN/Infinity are not JSON
+      else if (d == d.floor)
+        String.format(java.util.Locale.ROOT, "%.1f", Double.box(d))
+      else d.toString // Double.toString is locale-independent by spec
     def bool(b: Boolean): String = b.toString
     val nul: String = "null"
     def arr(xs: Seq[String]): String = xs.mkString("[", ",", "]")

@@ -288,7 +288,12 @@ object Carbon {
       .filter(col("peer_cmd") === "peerlist")
       .select(regexp_extract(col("line"), "^<<peerlist=(.*)>>$", 1).as("payload"))
       .agg(max("payload").as("payload")) // fixture commands are identical; max = deterministic
-      .select(size(split(col("payload"), ",")).as("new_peers"))
+      // no command on the feed = no list change: the ring stays at
+      // PeerCount and every moved_* reads 0 — coalesced EXPLICITLY so the
+      // no-command corpus doesn't diverge cross-engine (Spark null
+      // arithmetic vs SQL CASE-on-null)
+      .select(coalesce(size(split(col("payload"), ",")),
+        lit(PeerCount)).as("new_peers"))
     Tables.metrics(spark, dir)
       .groupBy("path").agg(count(lit(1)).as("pts"))
       .withColumn("h", expr("pearson_hash8(path)"))
@@ -309,7 +314,7 @@ object Carbon {
        |  SELECT max(regexp_extract(line, '^<<peerlist=(.*)>>$$', 1)) AS payload
        |  FROM lines WHERE regexp_matches(line, '^<<peerlist=.*>>$$')
        |),
-       |newn AS (SELECT len(string_split(payload, ',')) AS new_peers FROM cmd),
+       |newn AS (SELECT coalesce(len(string_split(payload, ',')), $PeerCount) AS new_peers FROM cmd),
        |counts AS (SELECT path, count(*) AS pts FROM metrics GROUP BY 1),
        |hashed AS (
        |  SELECT path, pts, ${Pearson.hash8Sql("path")} AS h FROM counts

@@ -152,8 +152,21 @@ object RollupStore {
       .filter(d => parquets(d).length > 1)
     if (multi.isEmpty) return
     // take the lease BEFORE the staged write so every other entry point's
-    // recovery leaves the in-flight _compact alone until we finish or die
+    // recovery leaves the in-flight _compact alone until we finish or die —
+    // and HEARTBEAT it while the write runs: a staged write's duration is
+    // unbounded by store size, so a once-written lease would silently age
+    // out mid-flight on a big compaction and hand the hazard right back.
+    // The heartbeat dies with the process (daemon thread), so a crashed
+    // compactor's lease stops refreshing and ages out as intended.
     fs.create(leasePath(root), true).close()
+    val heartbeat = new Thread(() => {
+      try while (!Thread.interrupted()) {
+        Thread.sleep(math.max(leaseMs / 3, 1L))
+        fs.setTimes(leasePath(root), System.currentTimeMillis(), -1)
+      } catch { case _: InterruptedException => () }
+    }, "graft-compact-lease-heartbeat")
+    heartbeat.setDaemon(true)
+    heartbeat.start()
     try {
       graft.operators.Rollups.mergeAll(
           spark.read.option("basePath", path)
@@ -164,7 +177,10 @@ object RollupStore {
         .write.mode("overwrite").option("maxRecordsPerFile", 5000000)
         .partitionBy("tbl", "stat_date").parquet(staged.toString)
       swapIn(fs, root, staged)
-    } finally fs.delete(leasePath(root), false)
+    } finally {
+      heartbeat.interrupt()
+      fs.delete(leasePath(root), false)
+    }
   }
 
   /** Swap every staged partition directory into place, one delete+rename
@@ -226,6 +242,11 @@ object RollupStore {
                              leaseMs: Long = CompactLeaseMs): Unit =
     if (!leaseIsYoung(fs, root, leaseMs)) {
       if (fs.exists(staged)) {
+        // re-check the lease IMMEDIATELY before acting: a compactor may
+        // have taken it between our first check and the exists() above
+        // (this host's documented steal spikes can park a thread for
+        // many seconds) — the destructive branch must see a fresh view
+        if (leaseIsYoung(fs, root, leaseMs)) return
         if (fs.exists(new org.apache.hadoop.fs.Path(staged, "_SUCCESS")))
           swapIn(fs, root, staged)
         else fs.delete(staged, true)

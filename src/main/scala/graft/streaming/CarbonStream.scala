@@ -86,18 +86,53 @@ object CarbonStream {
     out
   }
 
+  /** The canonical events schema with `ts` ALREADY in the epoch-nanos
+    * bigint contract — what a TIMESTAMP(NANOS) file reads as under
+    * nanosAsLong, and what [[graft.sources.RollupStore]]-style staged
+    * slices written from normalized frames carry on disk. Used when
+    * schema inference has no files to look at (below).
+    */
+  private val eventsNanosSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private val streamSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), StructType]()
+
   /** File-source events stream with `ts` normalized to an epoch-nanosecond
     * bigint — the [[Tables.events]] contract. The file stream source needs
     * an explicit schema, and the on-disk flavor varies by fixture
     * generation (TIMESTAMP(NANOS)-as-long vs TIMESTAMP(MICROS) — see
     * [[Tables.normalizeTs]]), so infer it from a batch footer read with the
-    * same glob rather than hardcoding either flavor.
+    * same glob rather than hardcoding either flavor. The inference is
+    * cached per (dir, glob) — fixtures don't change flavor mid-session —
+    * and an EMPTY source (the continuous-ingest pattern: start the stream,
+    * slices land later) falls back to [[eventsNanosSchema]] instead of
+    * failing at stream construction, since files staged later by this
+    * engine carry normalized nanos columns.
+    *
+    * Like [[Tables.events]], sets the session-wide nanosAsLong conf and
+    * leaves it set — the streaming parquet reader consults it on every
+    * micro-batch, so restoring it mid-query would corrupt a NANOS read.
     */
   def eventsStream(spark: SparkSession, dir: String,
       glob: String = "events.parquet",
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val onDisk = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+    // only SUCCESSFUL inference is cached: an empty-dir fallback must be
+    // re-tried next call, so a raw fixture landing later is re-inferred
+    // with its true flavor instead of silently read through the fallback
+    val onDisk = Option(streamSchemaCache.get((dir, glob))).getOrElse {
+      try {
+        val s = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+        streamSchemaCache.put((dir, glob), s)
+        s
+      } catch { case _: org.apache.spark.sql.AnalysisException => eventsNanosSchema }
+    }
     val rd = spark.readStream.schema(onDisk).option("pathGlobFilter", glob)
     val withTrigger = maxFilesPerTrigger.fold(rd)(n =>
       rd.option("maxFilesPerTrigger", n.toString))

@@ -106,6 +106,9 @@ class Round10Spec extends AnyFunSuite with TestSpark {
       assert(paths.statusCode() == 200)
       assert("\"path\"".r.findAllIn(paths.body()).size == viaApi.size)
       assert(viaApi.forall(e => paths.body().contains("\"" + e.path + "\"")))
+      // &tenant= opts into tenant-scoped execution; a wrong tenant sees nothing
+      assert(req("GET", s"/paths?query=$glob&tenant=servers").body() == paths.body())
+      assert(req("GET", s"/paths?query=$glob&tenant=acme").body() == "[]")
       // GET /metrics — series on the step grid for two fixture paths
       val ps = viaApi.take(2).map(e => s"path=${e.path}").mkString("&")
       val m = req("GET", s"/metrics?$ps&from=1704067200&to=1704070800")

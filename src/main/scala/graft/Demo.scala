@@ -78,6 +78,11 @@ object Demo {
       .agg(coalesce(sum("paths"), lit(0L))).collect().head.getLong(0)
     println(s"[demo] config reload from file: clean=${loaded.clean}, " +
       s"${loaded.defs.size} defs, $moved paths would re-dispatch")
+    val wirePeers = graft.model.PeerList
+      .parseWirePayload(graft.operators.Carbon.PeerlistWirePayload).get
+    val peerCheck = graft.model.PeerList.validate("10.0.0.1:2003", wirePeers)
+    println(s"[demo] wire peerlist command: ${wirePeers.size} peers, " +
+      s"validate-as-10.0.0.1:2003=${peerCheck.isRight}")
 
     // 3. the query API
     val paths = MetricsApi.getPaths(spark, dir, "servers.*.u3")

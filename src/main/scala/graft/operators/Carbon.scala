@@ -36,6 +36,16 @@ object Carbon {
     * decimal. Formatting from the exact cents representation would lift the
     * precondition if the fixture ever gains full-precision values.
     */
+  /** The fixture's embedded peer wire command payload, in the reference's
+    * actual map shape — NAMES to host:port VALUES (PropagatePeerList
+    * marshals the config peers map, peerlist.go:123-129, and
+    * ValidatePeerList / sortedMapToArray consume the VALUES as the ring,
+    * config_parser.go:170-188). Also consumed by `graft.model.PeerList`'s
+    * front-door validation (Demo) and the `peer_reload` operator.
+    */
+  val PeerlistWirePayload: String =
+    """{"a":"10.0.0.1:2003","b":"10.0.0.2:2003"}"""
+
   private def lines(spark: SparkSession, dir: String): DataFrame =
     Tables.metrics(spark, dir).select(
       col("event_id").as("line_id"),
@@ -51,7 +61,7 @@ object Carbon {
         .when(col("event_id") % 29 === 0,
           format_string("%s %.3f %d.75", col("path"), col("value"), col("ts")))
         .when(col("event_id") % 31 === 0, // a peer wire command on the same socket
-          lit("""<<peerlist={"10.0.0.1:2003":"1","10.0.0.2:2003":"1"}>>"""))
+          lit("<<peerlist=" + PeerlistWirePayload + ">>"))
         .otherwise(format_string("%s %.3f %d", col("path"), col("value"), col("ts")))
         .as("line"))
 
@@ -64,7 +74,7 @@ object Carbon {
        |              WHEN event_id % 19 = 0 THEN printf('%s %.3f notatime', path, value)
        |              WHEN event_id % 23 = 0 THEN printf(' %s' || chr(9) || '%.3f  %d', path, value, ts)
        |              WHEN event_id % 29 = 0 THEN printf('%s %.3f %d.75', path, value, ts)
-       |              WHEN event_id % 31 = 0 THEN '<<peerlist={"10.0.0.1:2003":"1","10.0.0.2:2003":"1"}>>'
+       |              WHEN event_id % 31 = 0 THEN '<<peerlist=$PeerlistWirePayload>>'
        |              ELSE printf('%s %.3f %d', path, value, ts) END AS line
        |  FROM metrics
        |)""".stripMargin

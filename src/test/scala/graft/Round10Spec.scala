@@ -81,6 +81,31 @@ class Round10Spec extends AnyFunSuite with TestSpark {
     assert(parsed("a.b 1.0 100") == (("", true)))
   }
 
+  // ------------------------------------------------- peer-list front door
+
+  test("PeerList.validate mirrors ValidatePeerList's edges") {
+    import graft.model.PeerList
+    val good = Map("a" -> "10.0.0.1:2003", "b" -> "10.0.0.2:2003")
+    // empty list rejected (config_parser.go:172-174)
+    assert(PeerList.validate("10.0.0.1:2003", Map.empty) == Left("No peers in peer list"))
+    // every VALUE must be tcp4 host:port (175-179)
+    assert(PeerList.validate("10.0.0.1:2003", good + ("c" -> "10.0.0.3")).isLeft)   // no port
+    assert(PeerList.validate("10.0.0.1:2003", good + ("c" -> "10.0.0.3:99999")).isLeft) // port range
+    assert(PeerList.validate("10.0.0.1:2003", good + ("c" -> "300.0.0.1:2003")).isLeft) // octet range
+    // the local address must be IN the list (183-185)
+    assert(PeerList.validate("10.0.0.9:2003", good).isLeft)
+    assert(PeerList.validate("10.0.0.1:2003", good) == Right(()))
+    // hostnames accepted syntactically (documented offline deviation)
+    assert(PeerList.validate("peer-1.internal:2003",
+      Map("a" -> "peer-1.internal:2003")) == Right(()))
+    // the fixture's wire payload parses and validates as peer 'a'
+    val wire = PeerList.parseWirePayload(graft.operators.Carbon.PeerlistWirePayload)
+    assert(wire.contains(Map("a" -> "10.0.0.1:2003", "b" -> "10.0.0.2:2003")))
+    assert(PeerList.validate("10.0.0.1:2003", wire.get) == Right(()))
+    assert(PeerList.parseWirePayload("not json").isEmpty)
+    assert(PeerList.parseWirePayload("{}").contains(Map.empty[String, String]))
+  }
+
   // ------------------------------------------------- live HTTP serving
 
   test("HTTP server: the daemon's six routes serve live over real sockets") {

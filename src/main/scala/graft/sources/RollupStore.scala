@@ -121,6 +121,31 @@ object RollupStore {
   private def leasePath(root: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(root, "_compact.lease") // '_' prefix: invisible to parquet listing
 
+  /** The fold manifest: the exact source parquet files a staged maintenance
+    * write folded, recorded BEFORE the staged write starts (so `_SUCCESS`
+    * present implies the manifest is present). The swap deletes ONLY these
+    * files — a slice `appendStateSlice` lands in a partition AFTER the
+    * compactor's staged read survives the swap untouched (it simply gets
+    * folded by a later compaction). '_' prefix: invisible to parquet listing.
+    */
+  private[graft] def manifestPath(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(root, "_compact.manifest")
+
+  /** Relative `tbl=T/stat_date=D/file.parquet` paths, one per line. */
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+                            root: org.apache.hadoop.fs.Path,
+                            files: Seq[String]): Unit = {
+    val out = fs.create(manifestPath(root), true)
+    try out.write(files.mkString("\n").getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+                           root: org.apache.hadoop.fs.Path): Seq[String] = {
+    val in = fs.open(manifestPath(root))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
   private def leaseIsYoung(fs: org.apache.hadoop.fs.FileSystem,
                            root: org.apache.hadoop.fs.Path,
                            leaseMs: Long): Boolean = {
@@ -158,49 +183,153 @@ object RollupStore {
     // out mid-flight on a big compaction and hand the hazard right back.
     // The heartbeat dies with the process (daemon thread), so a crashed
     // compactor's lease stops refreshing and ages out as intended.
-    fs.create(leasePath(root), true).close()
-    val heartbeat = new Thread(() => {
-      try while (!Thread.interrupted()) {
-        Thread.sleep(math.max(leaseMs / 3, 1L))
-        fs.setTimes(leasePath(root), System.currentTimeMillis(), -1)
-      } catch { case _: InterruptedException => () }
-    }, "graft-compact-lease-heartbeat")
-    heartbeat.setDaemon(true)
-    heartbeat.start()
+    if (!acquireLease(fs, root)) return // lost a same-window race: one compactor bails
+    val heartbeat = startHeartbeat(fs, root, leaseMs)
     try {
+      // record the fold set FIRST: every parquet file the staged read will
+      // fold, by store-relative path. The swap deletes only these, so a
+      // slice appended mid-compaction (ingest keeps running) is never lost.
+      // The staged read consumes EXACTLY these files (not the directories):
+      // directory reads re-list at scan time, so a slice landing between
+      // the manifest listing and the scan would be folded into the staged
+      // output AND survive the swap — a double count. One listing, one
+      // truth.
+      val folded = multi.flatMap(d => parquets(d).map(f =>
+        s"${d.getParent.getName}/${d.getName}/${f.getPath.getName}")).toSeq
+      writeManifest(fs, root, folded)
       graft.operators.Rollups.mergeAll(
           spark.read.option("basePath", path)
-            .parquet(multi.map(_.toString).toIndexedSeq: _*)
+            .parquet(folded.map(f => new org.apache.hadoop.fs.Path(root, f).toString): _*)
             .drop("stat_date"))
         .withColumn("stat_date", to_date(timestamp_seconds(col("stat_time"))))
         .repartition(col("tbl"), col("stat_date")) // one file per directory
         .write.mode("overwrite").option("maxRecordsPerFile", 5000000)
         .partitionBy("tbl", "stat_date").parquet(staged.toString)
-      swapIn(fs, root, staged)
+      swapInAdditive(fs, root, staged)
     } finally {
       heartbeat.interrupt()
       fs.delete(leasePath(root), false)
     }
   }
 
-  /** Swap every staged partition directory into place, one delete+rename
-    * at a time — the crash-vulnerable window is a single directory, never
-    * the store — then drop the staging root.
+  /** Atomic-where-supported lease acquisition: `createNewFile` goes through
+    * `create(overwrite = false)`, so on filesystems with atomic
+    * create-if-absent (HDFS, local) two compactors passing the same
+    * `leaseIsYoung` window resolve to exactly one winner — the loser bails
+    * (compaction is lossless re-slicing; "later" is always safe). On stores
+    * without the primitive the failure mode degrades to the documented
+    * single-maintenance-job contract, no worse than before.
+    */
+  private[graft] def acquireLease(fs: org.apache.hadoop.fs.FileSystem,
+                           root: org.apache.hadoop.fs.Path): Boolean =
+    try fs.createNewFile(leasePath(root))
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.nio.file.FileAlreadyExistsException => false
+    }
+
+  /** Keep the lease young for as long as the maintenance write runs. A
+    * transient `setTimes` failure (object stores that don't support mtime
+    * updates, or the release delete racing a mid-flight touch) must NOT
+    * kill the thread — a dead heartbeat lets the lease age out mid-write
+    * and re-opens the concurrent-recovery hazard it exists to close — so
+    * IOExceptions fall back to delete+recreate of the lease file and the
+    * loop continues; only interrupt (the owner finishing) exits.
+    */
+  private[graft] def startHeartbeat(fs: org.apache.hadoop.fs.FileSystem,
+                             root: org.apache.hadoop.fs.Path,
+                             leaseMs: Long): Thread = {
+    val t = new Thread(() => {
+      var warned = false
+      try while (!Thread.interrupted()) {
+        Thread.sleep(math.max(leaseMs / 3, 1L))
+        try fs.setTimes(leasePath(root), System.currentTimeMillis(), -1)
+        catch {
+          case e: java.io.IOException =>
+            try { fs.delete(leasePath(root), false); fs.create(leasePath(root), true).close() }
+            catch { case _: java.io.IOException =>
+              if (!warned) { warned = true
+                System.err.println(s"[graft] compact-lease heartbeat degraded on $root: $e") }
+            }
+        }
+      } catch { case _: InterruptedException => () }
+    }, "graft-compact-lease-heartbeat")
+    t.setDaemon(true)
+    t.start()
+    t
+  }
+
+  /** ADDITIVE swap: per staged partition directory, delete exactly the
+    * manifest-recorded fold sources, then rename the staged files in
+    * beside anything NEWER — a slice `appendStateSlice` landed after the
+    * compactor's staged read is left in place (un-folded, still mergeable,
+    * picked up by the next compaction). This is what makes SERVING WHILE
+    * INGESTING safe: live flush cycles target exactly the recently-written
+    * partitions compaction folds, and wholesale directory replacement
+    * would silently destroy a slice appended mid-compaction.
     *
-    * CONCURRENCY CONTRACT: one maintenance writer at a time, now ENFORCED
-    * by the compaction lease rather than merely documented — readers and
-    * appenders racing an in-progress `compact` skip recovery while the
-    * lease is young (see [[recover]]), and a second `compact` bails out on
-    * a live lease instead of double-swapping. What the lease does NOT
-    * cover is two compactors starting inside the same lease-check window
-    * (no atomic create-if-absent on every Hadoop fs) — run compaction from
-    * one scheduled maintenance job (the cassabon model: one metricmanager
-    * owns the store, datastore/metricmanager.go:127-180). Ingest itself is
-    * safe because every entry point serializes through recovery BEFORE
-    * touching files and flush cycles come from one streaming query. Each
-    * rename/delete below is checked so a lost race (or a filesystem
-    * refusing the swap) fails LOUDLY instead of silently dropping a
-    * partition directory.
+    * CONCURRENCY CONTRACT: one maintenance writer at a time, enforced by
+    * the lease ([[acquireLease]] is atomic create-if-absent where the fs
+    * supports it; a second `compact` bails). Appenders never need to
+    * quiesce: their new files are not in the manifest, so the swap cannot
+    * touch them. Readers racing the per-directory swap see a partition
+    * transiently missing its folded slices (bounded to one directory, same
+    * exposure as a mid-swap crash) — never a double-count, because sources
+    * are deleted BEFORE their staged fold is renamed in. Crash anywhere:
+    * idempotent re-run via [[recover]] (deletes are exists-checked, renames
+    * consume their staged source). Each rename/delete is checked so a lost
+    * race fails LOUDLY instead of silently dropping files.
+    */
+  private[graft] def swapInAdditive(fs: org.apache.hadoop.fs.FileSystem,
+                                    root: org.apache.hadoop.fs.Path,
+                                    staged: org.apache.hadoop.fs.Path): Unit = {
+    val folded = readManifest(fs, root)
+    val byDir = folded.groupBy(f => f.substring(0, f.lastIndexOf('/')))
+    def dropFolded(relDir: String): Unit =
+      byDir.getOrElse(relDir, Nil).foreach { rel =>
+        val src = new org.apache.hadoop.fs.Path(root, rel)
+        if (fs.exists(src))
+          require(fs.delete(src, false), s"compact swap: cannot delete $src")
+      }
+    val stagedDirs = fs.listStatus(staged).filter(_.getPath.getName.startsWith("tbl="))
+      .flatMap(t => fs.listStatus(t.getPath).filter(_.getPath.getName.startsWith("stat_date=")))
+      .map(_.getPath)
+    val covered = stagedDirs.map(d => s"${d.getParent.getName}/${d.getName}").toSet
+    stagedDirs.foreach { d =>
+      val relDir = s"${d.getParent.getName}/${d.getName}"
+      val destDir = new org.apache.hadoop.fs.Path(root, relDir)
+      require(fs.mkdirs(destDir) || fs.exists(destDir),
+        s"compact swap: cannot create $destDir")
+      dropFolded(relDir) // sources out first: a racing reader may undercount, never double-count
+      fs.listStatus(d).filter(_.getPath.getName.endsWith(".parquet")).foreach { f =>
+        val dest = new org.apache.hadoop.fs.Path(destDir, f.getPath.getName)
+        if (fs.exists(dest))
+          require(fs.delete(dest, false), s"compact swap: cannot clear $dest")
+        require(fs.rename(f.getPath, dest),
+          s"compact swap: rename ${f.getPath} -> $dest failed (concurrent writer?)")
+      }
+    }
+    // fold sources whose partition vanished from the staged output (a TTL
+    // rewrite can filter a boundary partition down to zero rows): still
+    // deleted, and an emptied directory is tidied away
+    byDir.keys.filterNot(covered).foreach { relDir =>
+      dropFolded(relDir)
+      val dir = new org.apache.hadoop.fs.Path(root, relDir)
+      if (fs.exists(dir) && fs.listStatus(dir).isEmpty) fs.delete(dir, false)
+    }
+    require(fs.delete(staged, true),
+      s"compact swap: cannot drop staging root $staged")
+    fs.delete(manifestPath(root), false)
+  }
+
+  /** LEGACY whole-directory swap, kept for recovery of a committed staged
+    * write that carries no fold manifest (a pre-manifest store, or the
+    * narrow crash window between the spark job's `_SUCCESS` and nothing —
+    * the manifest is written BEFORE the staged write, so that window does
+    * not exist for this engine's own compactions; hand-staged maintenance
+    * is the remaining caller). Replaces each partition directory wholesale:
+    * correct when nothing appended since staging, which recovery of a
+    * CRASHED compactor can assume (its ingest died with it).
     */
   private[graft] def swapIn(fs: org.apache.hadoop.fs.FileSystem,
                             root: org.apache.hadoop.fs.Path,
@@ -247,11 +376,16 @@ object RollupStore {
         // (this host's documented steal spikes can park a thread for
         // many seconds) — the destructive branch must see a fresh view
         if (leaseIsYoung(fs, root, leaseMs)) return
-        if (fs.exists(new org.apache.hadoop.fs.Path(staged, "_SUCCESS")))
-          swapIn(fs, root, staged)
-        else fs.delete(staged, true)
+        if (fs.exists(new org.apache.hadoop.fs.Path(staged, "_SUCCESS"))) {
+          // manifest present = this engine's own additive maintenance
+          // (manifest committed before the staged write, so `_SUCCESS`
+          // implies it); absent = hand-staged legacy swap
+          if (fs.exists(manifestPath(root))) swapInAdditive(fs, root, staged)
+          else swapIn(fs, root, staged)
+        } else fs.delete(staged, true)
       }
       fs.delete(leasePath(root), false) // clear a stale orphan lease, if any
+      fs.delete(manifestPath(root), false) // and an orphan manifest (staged write crashed)
     }
 
   /** EVERY public entry point recovers before touching the store, not just
@@ -295,5 +429,81 @@ object RollupStore {
       }
       lit(nowSec) - retentionOf
     })
+  }
+
+  /** PHYSICAL TTL expiry — the `default_time_to_live` half of the
+    * reference's retention model (datastore/metricmanager.go:166-171:
+    * Cassandra physically removes expired rows) that [[readRetained]]'s
+    * read-time filter doesn't cover: without it a 100 TB store grows
+    * without bound. Two-grained, matching the partition layout:
+    *
+    *  1. every `(tbl, stat_date)` directory STRICTLY older than its
+    *     table's cutoff date is dropped wholesale — a directory delete per
+    *     expired day, no data read (the no-tombstone promise of the layout);
+    *  2. each table's BOUNDARY directory (`stat_date` == the cutoff's own
+    *     date) can hold both expired and live rows, so it is rewritten
+    *     through the same manifest + staged `_compact` + additive-swap
+    *     machinery compaction uses — crash anywhere and [[recover]]
+    *     finishes or discards it, and a slice appended mid-rewrite
+    *     survives (it is not in the manifest).
+    *
+    * Maintenance cost scales with days crossing the retention horizon
+    * since the last run (one dir delete each) plus |tables| boundary
+    * rewrites of one day's rows — independent of store size. Takes the
+    * compaction lease (directory deletes racing a compactor's staged read
+    * would resurrect dropped rows at swap time); a live lease skips the
+    * pass, like `compact`. After this, `read` == `readRetained(nowSec)`
+    * row-for-row: the filter has nothing left to remove.
+    */
+  def dropExpired(spark: SparkSession, path: String, nowSec: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val staged = new org.apache.hadoop.fs.Path(root, "_compact")
+    if (leaseIsYoung(fs, root, CompactLeaseMs)) return
+    recover(fs, root, staged, CompactLeaseMs)
+    if (!acquireLease(fs, root)) return
+    val heartbeat = startHeartbeat(fs, root, CompactLeaseMs)
+    try {
+      val cutoffs = RollupConfig.tables.map { t =>
+        t -> (nowSec - RollupConfig.reference.flatMap(_.windows)
+          .find(_.table == t).get.retentionSec)
+      }.toMap
+      var boundaries = List.empty[org.apache.hadoop.fs.Path]
+      cutoffs.foreach { case (t, cutoffSec) =>
+        val cutoffDate = java.time.LocalDate.ofInstant(
+          java.time.Instant.ofEpochSecond(cutoffSec), java.time.ZoneOffset.UTC)
+        Option(fs.globStatus(new org.apache.hadoop.fs.Path(root, s"tbl=$t/stat_date=*")))
+          .getOrElse(Array.empty).map(_.getPath).foreach { d =>
+            val date = java.time.LocalDate.parse(d.getName.stripPrefix("stat_date="))
+            if (date.isBefore(cutoffDate))
+              require(fs.delete(d, true), s"ttl drop: cannot delete $d")
+            else if (date == cutoffDate &&
+              fs.listStatus(d).exists(_.getPath.getName.endsWith(".parquet")))
+              boundaries ::= d
+          }
+      }
+      if (boundaries.nonEmpty) {
+        val folded = boundaries.flatMap(d =>
+          fs.listStatus(d).filter(_.getPath.getName.endsWith(".parquet"))
+            .map(f => s"${d.getParent.getName}/${d.getName}/${f.getPath.getName}"))
+        writeManifest(fs, root, folded)
+        val rowCutoff = RollupConfig.tables.foldLeft(lit(0L)) { (acc, t) =>
+          when(col("tbl") === t, cutoffs(t)).otherwise(acc)
+        }
+        // read exactly the manifest files (see compact: a slice landing
+        // between listing and scan must not be rewritten AND survive)
+        spark.read.option("basePath", path)
+          .parquet(folded.map(f => new org.apache.hadoop.fs.Path(root, f).toString): _*)
+          .filter(col("stat_time") > rowCutoff)
+          .repartition(col("tbl"), col("stat_date"))
+          .write.mode("overwrite").option("maxRecordsPerFile", 5000000)
+          .partitionBy("tbl", "stat_date").parquet(staged.toString)
+        swapInAdditive(fs, root, staged)
+      }
+    } finally {
+      heartbeat.interrupt()
+      fs.delete(leasePath(root), false)
+    }
   }
 }

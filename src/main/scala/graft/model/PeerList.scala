@@ -62,9 +62,15 @@ object PeerList {
     if (body.isEmpty) return Some(Map.empty)
     val pair = """"([^"]*)"\s*:\s*"([^"]*)"""".r
     val pairs = pair.findAllMatchIn(body).map(m => m.group(1) -> m.group(2)).toSeq
-    // reject payloads with non-pair residue (malformed JSON): rebuild and
-    // compare the comma-separated pair count against what we matched
-    if (pairs.isEmpty || pairs.size != body.split(",").length) None
+    // reject payloads with non-pair residue (malformed JSON): blank out the
+    // matched pairs and require the residue to be exactly pair-separating
+    // commas. A comma INSIDE a quoted value is consumed by the pair match
+    // (legal), while a trailing comma leaves an empty residue token
+    // (malformed) — `split(",", -1)` keeps that trailing token, where the
+    // default split would drop it and wave the payload through.
+    val sentinel = "\u0001" // not Unicode whitespace: `strip` keeps it (trim would eat any char <= 0x20)
+    val residue = pair.replaceAllIn(body, sentinel).split(",", -1).map(_.strip())
+    if (pairs.isEmpty || residue.length != pairs.size || residue.exists(_ != sentinel)) None
     else Some(pairs.toMap)
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Op
@@ -285,25 +285,38 @@ object Carbon {
     * (carbon_plaintext.go:258-283) parses a `<<peerlist={json}>>` command's
     * payload, and a CHANGED list flushes and re-dispatches every path onto
     * the new ring. Here the new peer count comes from the fixture's own
-    * embedded wire commands (the id%31 lines) — payload entry count, taken
-    * lexically (entries are comma-separated) so both engines derive it
-    * without a JSON library — and the output is the same per-peer movement
-    * frame as [[peerRebalance]], but against the DATA-DRIVEN new ring size
-    * instead of the configured [[NewPeerCount]]. The 1-row command frame
-    * broadcasts; the path catalog is the only shuffle.
+    * embedded wire commands (the id%31 lines) — ENTRY count, i.e. the
+    * number of `"key":` occurrences (the rule `PeerList.parseWirePayload`
+    * applies; a comma-split would miscount any payload with a comma inside
+    * a quoted value, and read `{}` as one peer where ValidatePeerList
+    * rejects an empty list, config_parser.go:170-188) — portable to both
+    * engines as a regex match count, no JSON library. An EMPTY map (0
+    * entries) is "no change": the reference's validation would refuse it,
+    * so the ring stays at [[PeerCount]], same as a feed with no command at
+    * all. Output is the same per-peer movement frame as [[peerRebalance]],
+    * against the DATA-DRIVEN new ring size instead of the configured
+    * [[NewPeerCount]]. The 1-row command frame broadcasts; the path
+    * catalog is the only shuffle.
     */
+  private val PayloadEntryRe = """"[^"]+"\s*:"""
+
+  /** Ring size a wire payload implies: entry count when > 0, else the
+    * current ring (no-command feeds and rejected empty maps alike) —
+    * coalesced EXPLICITLY so the no-command corpus doesn't diverge
+    * cross-engine (Spark null arithmetic vs SQL CASE-on-null).
+    */
+  private[graft] def newPeersFromPayload(payload: Column): Column = {
+    val entries = size(regexp_extract_all(payload, lit(PayloadEntryRe), lit(0)))
+    coalesce(when(entries > 0, entries), lit(PeerCount))
+  }
+
   def peerReload(spark: SparkSession, dir: String): DataFrame = {
     Pearson.register(spark)
     val cmd = withParsedLine(lines(spark, dir), "line")
       .filter(col("peer_cmd") === "peerlist")
       .select(regexp_extract(col("line"), "^<<peerlist=(.*)>>$", 1).as("payload"))
       .agg(max("payload").as("payload")) // fixture commands are identical; max = deterministic
-      // no command on the feed = no list change: the ring stays at
-      // PeerCount and every moved_* reads 0 — coalesced EXPLICITLY so the
-      // no-command corpus doesn't diverge cross-engine (Spark null
-      // arithmetic vs SQL CASE-on-null)
-      .select(coalesce(size(split(col("payload"), ",")),
-        lit(PeerCount)).as("new_peers"))
+      .select(newPeersFromPayload(col("payload")).as("new_peers"))
     Tables.metrics(spark, dir)
       .groupBy("path").agg(count(lit(1)).as("pts"))
       .withColumn("h", expr("pearson_hash8(path)"))
@@ -324,7 +337,10 @@ object Carbon {
        |  SELECT max(regexp_extract(line, '^<<peerlist=(.*)>>$$', 1)) AS payload
        |  FROM lines WHERE regexp_matches(line, '^<<peerlist=.*>>$$')
        |),
-       |newn AS (SELECT coalesce(len(string_split(payload, ',')), $PeerCount) AS new_peers FROM cmd),
+       |newn AS (SELECT coalesce(
+       |  CASE WHEN len(regexp_extract_all(payload, '"[^"]+"\\s*:')) > 0
+       |       THEN len(regexp_extract_all(payload, '"[^"]+"\\s*:')) END,
+       |  $PeerCount) AS new_peers FROM cmd),
        |counts AS (SELECT path, count(*) AS pts FROM metrics GROUP BY 1),
        |hashed AS (
        |  SELECT path, pts, ${Pearson.hash8Sql("path")} AS h FROM counts

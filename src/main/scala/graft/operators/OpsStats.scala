@@ -97,7 +97,12 @@ object OpsStats {
     val heap = java.lang.management.ManagementFactory.getMemoryMXBean.getHeapMemoryUsage
     val gcs = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
     Seq(
-      "goroutines" -> Thread.activeCount().toLong,
+      // JVM-WIDE live thread count: Thread.activeCount() only estimates the
+      // CURRENT thread group, and a Spark driver's scheduler/netty threads
+      // live in other groups — the MX bean counts the population this
+      // gauge documents
+      "goroutines" -> java.lang.management.ManagementFactory
+        .getThreadMXBean.getThreadCount.toLong,
       "executors" -> spark.sparkContext.getExecutorMemoryStatus.size.toLong,
       "memory.alloc" -> heap.getUsed,
       "memory.heap.size" -> heap.getCommitted,
@@ -106,6 +111,29 @@ object OpsStats {
       "memory.sys" -> Runtime.getRuntime.totalMemory(),
       "memory.gc" -> gcs.map(_.getCollectionCount).sum,
       "memory.gc_pause" -> gcs.map(_.getCollectionTime).sum)
+  }
+
+  /** Push the live gauges to a statsd sink — the reference's emission
+    * transport (logging/stats.go:24-41 opens a statsd client against
+    * `host:port` with a name prefix; sendMemoryStats Gauges through it
+    * every second). Wire format is statsd's gauge line
+    * `prefix.name:value|g`, one UDP datagram per gauge
+    * (go-statsd-client's unbatched default), fire-and-forget: statsd's
+    * contract is that loss is acceptable and blocking is not, so send
+    * errors are swallowed — the deterministic ledger (`runtime_stats`)
+    * is the auditable half, this is the best-effort dashboard feed.
+    */
+  def emit(spark: SparkSession, host: String, port: Int,
+      prefix: String = "cassabon"): Unit = {
+    val socket = new java.net.DatagramSocket()
+    try {
+      val addr = java.net.InetAddress.getByName(host)
+      liveGauges(spark).foreach { case (name, value) =>
+        val line = s"$prefix.$name:$value|g".getBytes("UTF-8")
+        try socket.send(new java.net.DatagramPacket(line, line.length, addr, port))
+        catch { case _: java.io.IOException => () }
+      }
+    } finally socket.close()
   }
 
   /** The DETERMINISTIC half of the daemon's self-telemetry: the workload

@@ -162,4 +162,55 @@ class Round11Spec extends AnyFunSuite with TestSpark {
     RollupStore.dropExpired(spark, store, now)
     assert(rows(spark.read.parquet(store).drop("stat_date")).size < allBefore.size)
   }
+
+  // --------------------------------------------- peer wire payload (r10 advice)
+
+  test("parseWirePayload: comma-in-value is legal, trailing comma is malformed") {
+    import graft.model.PeerList
+    assert(PeerList.parseWirePayload("""{"a":"x,y:1","b":"10.0.0.2:2003"}""")
+      == Some(Map("a" -> "x,y:1", "b" -> "10.0.0.2:2003")),
+      "a comma inside a quoted value must not be read as a pair separator")
+    assert(PeerList.parseWirePayload("""{"a":"10.0.0.1:2003",}""").isEmpty,
+      "a trailing comma is malformed JSON (String.split used to drop the empty token)")
+    assert(PeerList.parseWirePayload("{}") == Some(Map.empty))
+    assert(PeerList.parseWirePayload("""{"a":"1" junk}""").isEmpty)
+    assert(PeerList.parseWirePayload("""{"a":"1"; "b":"2"}""").isEmpty)
+  }
+
+  test("peer_reload derives the ring from entry count, not comma count; empty map = no change") {
+    import spark.implicits._
+    import graft.operators.Carbon
+    val cases = Seq(
+      ("""{"a":"10.0.0.1:2003","b":"10.0.0.2:2003"}""", 2),
+      ("""{"a":"a,b:1","b":"c:2"}""", 2), // comma-splitting would read 3 peers
+      ("{}", Carbon.PeerCount),          // ValidatePeerList rejects empty: ring unchanged
+      (null.asInstanceOf[String], Carbon.PeerCount)) // feed with no command at all
+    cases.foreach { case (p, want) =>
+      val got = Seq(Tuple1(p)).toDF("payload")
+        .select(Carbon.newPeersFromPayload(col("payload"))).head().getInt(0)
+      assert(got == want, s"payload: $p")
+    }
+  }
+
+  // ------------------------------------------------- statsd push emitter
+
+  test("OpsStats.emit pushes every live gauge as a statsd UDP gauge line") {
+    import graft.operators.OpsStats
+    val sink = new java.net.DatagramSocket(0, java.net.InetAddress.getByName("127.0.0.1"))
+    sink.setSoTimeout(5000)
+    try {
+      val wanted = OpsStats.liveGauges(spark).map(_._1).toSet
+      OpsStats.emit(spark, "127.0.0.1", sink.getLocalPort, prefix = "cassabon")
+      val gaugeLine = """cassabon\.([a-z_.]+):(-?\d+)\|g""".r
+      val got = (1 to wanted.size).map { _ =>
+        val buf = new Array[Byte](512)
+        val pkt = new java.net.DatagramPacket(buf, buf.length)
+        sink.receive(pkt)
+        new String(pkt.getData, 0, pkt.getLength, "UTF-8")
+      }
+      got.foreach(l => assert(gaugeLine.matches(l), s"not a statsd gauge line: $l"))
+      assert(got.map { case gaugeLine(n, _) => n }.toSet == wanted,
+        "every liveGauges name must arrive exactly once")
+    } finally sink.close()
+  }
 }

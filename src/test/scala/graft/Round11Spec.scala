@@ -192,6 +192,18 @@ class Round11Spec extends AnyFunSuite with TestSpark {
     }
   }
 
+  // ------------------------------------------------- IVF train-once cache
+
+  test("IVF training memoizes per (dir, iters): callers share one trajectory") {
+    import graft.operators.Similarity
+    val a = Similarity.trainedCents(spark, Sf)
+    val b = Similarity.trainedCents(spark, Sf)
+    assert(a eq b, "second trainedCents call must return the cached instance")
+    val c = Similarity.trainedCentsBalanced(spark, Sf)
+    val d = Similarity.trainedCentsBalanced(spark, Sf)
+    assert(c eq d, "second trainedCentsBalanced call must return the cached instance")
+  }
+
   // ------------------------------------------------- statsd push emitter
 
   test("OpsStats.emit pushes every live gauge as a statsd UDP gauge line") {

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.api.MetricsHttpServer
+import graft.sources.RollupStore
+import graft.streaming.CarbonStream
+
+/** The full cassabon daemon composition, CONCURRENT like the reference:
+  * cassabon.go's main wiring runs listener → accumulator → store and the
+  * query API at the same time (listener/carbon_plaintext.go:65-120 feeding
+  * the rollup accumulator while api/api.go:30-51 serves). Here the three
+  * arms are:
+  *
+  *  - INGEST: `CarbonStream.startRollupFlush` — a live Structured
+  *    Streaming query, one mergeable state slice appended to the store
+  *    per flush cycle;
+  *  - SERVE: `MetricsHttpServer` over a `StoreBackend` — every HTTP
+  *    answer is merge-on-read over whatever ingest has flushed so far;
+  *  - MAINTAIN: `RollupStore.compact` (fold accumulated slices) and
+  *    `RollupStore.dropExpired` (physical TTL), safe to fire while the
+  *    other two arms run: the compaction lease makes readers/appenders
+  *    skip recovery, and the additive swap cannot touch a slice it
+  *    didn't fold.
+  *
+  * No cross-arm locks — the store's own contracts (append-only slices,
+  * lease, manifest swap) are the synchronization, exactly the property
+  * Round11Spec drives over real sockets.
+  */
+final class Daemon(spark: SparkSession, store: String,
+    nowSec: Option[Long] = None) {
+
+  private val httpd = new MetricsHttpServer(
+    new MetricsHttpServer.StoreBackend(spark, store, nowSec))
+  @volatile private var ingestQ: StreamingQuery = _
+
+  /** Bind the API (port 0 = ephemeral); returns the bound port. */
+  def startHttp(port: Int = 0): Int = httpd.start(port)
+
+  /** Start the live flush query over `srcDir` (the file-stream stand-in
+    * for the carbon socket). Caller may `processAllAvailable()` to drain
+    * deterministically; the daemon keeps serving while it runs.
+    */
+  def startIngest(srcDir: String, glob: String = "*.parquet"): StreamingQuery = {
+    ingestQ = CarbonStream.startRollupFlush(spark, srcDir, store, glob)
+    ingestQ
+  }
+
+  /** One maintenance pass: fold flush slices; optionally expire by TTL.
+    * Fire-and-forget beside live ingest+serve (see class doc).
+    */
+  def maintain(ttlNowSec: Option[Long] = None): Unit = {
+    RollupStore.compact(spark, store)
+    ttlNowSec.foreach(RollupStore.dropExpired(spark, store, _))
+  }
+
+  def stop(): Unit = {
+    if (ingestQ != null) ingestQ.stop()
+    httpd.stop()
+  }
+}
+
+object Daemon {
+
+  /** Stage one events slice as a single parquet FILE in `srcDir` — the
+    * unit the flush query turns into one micro-batch (one file = one
+    * flush cycle, `maxFilesPerTrigger = 1`).
+    */
+  def stageSlice(slice: DataFrame, srcDir: String, name: String): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_slice")
+    slice.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp).iterator()
+    var moved = false
+    while (part.hasNext && !moved) {
+      val f = part.next()
+      if (f.getFileName.toString.endsWith(".parquet")) {
+        java.nio.file.Files.move(f,
+          java.nio.file.Paths.get(srcDir, name),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        moved = true
+      }
+    }
+    require(moved, s"no parquet part produced for slice $name")
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
+  /** `runMain graft.Daemon [sfDir]`: the serve-while-ingesting lifecycle
+    * on real sockets — three flush cycles dripped into a live daemon,
+    * HTTP queries between and DURING a mid-ingest compaction, and a final
+    * equivalence check: the daemon's `GET /metrics` answer must be
+    * byte-identical to a fixture-backed server's answer for the same
+    * query once all slices have flushed (store_lifecycle's gate, served
+    * over HTTP).
+    */
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val store = java.nio.file.Files.createTempDirectory("graft_daemon_store").toString
+    val src = java.nio.file.Files.createTempDirectory("graft_daemon_src").toString
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val now = graft.model.Tables.metrics(spark, dir).agg(max("ts")).head().getLong(0)
+    val daemon = new Daemon(spark, store, Some(now))
+    val port = daemon.startHttp()
+    val http = java.net.http.HttpClient.newHttpClient()
+    def get(p: String): String = http.send(
+      java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"http://127.0.0.1:$port$p")).GET().build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+
+    println(s"[daemon] serving on :$port — pre-flush /healthcheck=${get("/healthcheck")}")
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    (0 until 3).foreach(i => stageSlice(
+      events.filter(pmod(col("event_id"), lit(3)) === i), src, s"slice$i.parquet"))
+
+    val q = daemon.startIngest(src)
+    q.processAllAvailable() // three flush cycles land while the API serves
+    println(s"[daemon] 3 flush cycles in — /healthcheck=${get("/healthcheck")}")
+    val metricsQ = s"/metrics?path=servers.view.u5&from=${now - 172800}&to=$now"
+    val live = get(metricsQ)
+    println(s"[daemon] live GET /metrics bytes=${live.length}")
+    // compaction mid-serve: queries keep answering while slices fold
+    val t = new Thread(() => daemon.maintain(ttlNowSec = Some(now)))
+    t.start()
+    val during = get(metricsQ)
+    t.join()
+    val after = get(metricsQ)
+    println(s"[daemon] query during maintenance ok=${during == live}, after=${after == live}")
+
+    // equivalence: a fixture-backed server must produce the same bytes
+    val fixtureHttpd = new MetricsHttpServer(spark, dir)
+    val fp = fixtureHttpd.start()
+    val want = http.send(
+      java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"http://127.0.0.1:$fp$metricsQ")).GET().build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+    fixtureHttpd.stop()
+    println(s"[daemon] store-served == fixture-served: ${after == want}")
+
+    daemon.stop()
+    spark.stop()
+  }
+}

@@ -31,12 +31,6 @@ object MetricsApi {
   def getMetrics(spark: SparkSession, dir: String,
       paths: Seq[String], from: Long, to: Long,
       nowSec: Option[Long] = None): MetricsResponse = {
-    val rollups = Rollups.rollups(spark, dir)
-      .filter(col("path").isin(paths: _*))
-      .collect() // tiny: only the requested paths' rollup rows
-      .groupBy(r => (r.getString(0), r.getString(1))) // (tbl, path)
-      .map { case (k, rs) => k -> rs.map(r => r.getLong(2) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap }
-
     // table selection keys on the AGE of the oldest requested point —
     // `time.Since(q.From)` in the reference (metricquery.go:103), i.e.
     // now - from, NOT the range length: a historic 1 h slice 30 days back
@@ -57,6 +51,22 @@ object MetricsApi {
         else { val n = r.getLong(0); nowCache.put(dir, n); n }
       }
     }
+    getMetricsFrom(Rollups.rollups(spark, dir), paths, from, to, now)
+  }
+
+  /** The query body over ANY rollup frame `(tbl, path, stat_time, stat)` —
+    * the fixture-derived write set above, or a live store's merge-on-read
+    * view (`Daemon`'s serving path). Columns are selected by NAME so the
+    * two sources' physical column orders can't skew the positional reads.
+    */
+  def getMetricsFrom(rollupsDf: DataFrame, paths: Seq[String],
+      from: Long, to: Long, now: Long): MetricsResponse = {
+    val rollups = rollupsDf
+      .filter(col("path").isin(paths: _*))
+      .select(col("tbl"), col("path"), col("stat_time"), col("stat"))
+      .collect() // tiny: only the requested paths' rollup rows
+      .groupBy(r => (r.getString(0), r.getString(1))) // (tbl, path)
+      .map { case (k, rs) => k -> rs.map(r => r.getLong(2) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap }
     var step = 0L
     var normalFrom = 0L
     val series = paths.map { path =>
@@ -83,9 +93,15 @@ object MetricsApi {
     * `Index.globNodes`): the query then cannot see other tenants' nodes.
     */
   def getPaths(spark: SparkSession, dir: String, glob: String,
+      tenant: Option[String] = None): Seq[PathEntry] =
+    getPathsFrom(Index.build(spark, dir), glob, tenant)
+
+  /** Glob over ANY prebuilt index frame — shared by the fixture endpoint
+    * above and `Daemon`'s store-fed index.
+    */
+  def getPathsFrom(idx: DataFrame, glob: String,
       tenant: Option[String] = None): Seq[PathEntry] = {
     val depth = glob.split("\\.").length
-    val idx = Index.build(spark, dir)
     tenant.fold(
       idx.filter(col("depth") === depth && col("node").rlike(Index.globToRegex(glob)))
         .orderBy("node"))(t => Index.globNodes(idx, glob, t))
@@ -114,8 +130,13 @@ object MetricsApi {
       byPathTable: Map[(String, String), Long], totalDeleted: Long)
 
   def deleteMetrics(spark: SparkSession, dir: String, paths: Seq[String],
+      from: Long, to: Long, dryRun: Boolean): (DeleteResponse, Option[DataFrame]) =
+    deleteMetricsFrom(Rollups.rollups(spark, dir), paths, from, to, dryRun)
+
+  /** Delete body over ANY rollup frame (see [[getMetricsFrom]]). */
+  def deleteMetricsFrom(rollupsDf: DataFrame, paths: Seq[String],
       from: Long, to: Long, dryRun: Boolean): (DeleteResponse, Option[DataFrame]) = {
-    val counts = Rollups.rollups(spark, dir)
+    val counts = rollupsDf
       .filter(col("path").isin(paths: _*) &&
         col("stat_time") >= from && col("stat_time") <= to)
       .groupBy("path", "tbl").count()
@@ -125,7 +146,7 @@ object MetricsApi {
       yield (p, t) -> counts.getOrElse((p, t), 0L)).toMap
     val resp = DeleteResponse(dryRun, full, full.values.sum)
     val remaining = if (dryRun) None else Some(
-      Rollups.rollups(spark, dir).filter(
+      rollupsDf.filter(
         !(col("path").isin(paths: _*) &&
           col("stat_time") >= from && col("stat_time") <= to)))
     (resp, remaining)

@@ -27,7 +27,11 @@ import org.apache.spark.sql.SparkSession
   * channel-serialized index/metric managers; a production deployment
   * fronts the engine with whatever pool it needs, the routes don't change.
   */
-final class MetricsHttpServer(spark: SparkSession, dir: String) {
+final class MetricsHttpServer(backend: MetricsHttpServer.Backend) {
+
+  /** The r10 shape: every route answered from the fixture-derived frames. */
+  def this(spark: SparkSession, dir: String) =
+    this(new MetricsHttpServer.FixtureBackend(spark, dir))
 
   private var server: HttpServer = _
 
@@ -70,11 +74,11 @@ final class MetricsHttpServer(spark: SparkSession, dir: String) {
     send(ex, 200, Json.obj(
       "message" -> Json.str("graft. cassabon's queries, Spark's engine."),
       "github" -> Json.str("https://github.com/jeffpierce/cassabon"),
-      "version" -> Json.str("r10")))
+      "version" -> Json.str("r11")))
 
   private def health(ex: HttpExchange): Unit = {
     // healthHandler: plain-text ALIVE/DEAD for the load balancer
-    val body = (if (MetricsApi.healthcheck(spark, dir)) "ALIVE" else "DEAD").getBytes(UTF_8)
+    val body = (if (backend.healthcheck()) "ALIVE" else "DEAD").getBytes(UTF_8)
     ex.getResponseHeaders.set("Content-Type", "text/plain; charset=utf-8")
     ex.sendResponseHeaders(200, body.length)
     ex.getResponseBody.write(body)
@@ -83,7 +87,7 @@ final class MetricsHttpServer(spark: SparkSession, dir: String) {
   private def getPaths(ex: HttpExchange): Unit = {
     val q = params(ex)
     // &tenant= opts into tenant-scoped execution (see MetricsApi.getPaths)
-    val entries = MetricsApi.getPaths(spark, dir, q.firstOr("query", "*"),
+    val entries = backend.getPaths(q.firstOr("query", "*"),
       q.all("tenant").headOption.filter(_.nonEmpty))
     send(ex, 200, Json.arr(entries.map(e => Json.obj(
       "path" -> Json.str(e.path),
@@ -94,13 +98,13 @@ final class MetricsHttpServer(spark: SparkSession, dir: String) {
 
   private def deletePaths(ex: HttpExchange): Unit = {
     val q = params(ex)
-    val remaining = MetricsApi.deletePaths(spark, dir, q.firstOr("query", ""))
+    val remaining = backend.deletePaths(q.firstOr("query", ""))
     send(ex, 200, Json.obj("remaining_nodes" -> Json.num(remaining)))
   }
 
   private def getMetrics(ex: HttpExchange): Unit = {
     val q = params(ex)
-    val r = MetricsApi.getMetrics(spark, dir, q.all("path"),
+    val r = backend.getMetrics(q.all("path"),
       q.firstOr("from", "0").toLong, q.firstOr("to", "0").toLong)
     send(ex, 200, Json.obj(
       "from" -> Json.num(r.from),
@@ -116,7 +120,7 @@ final class MetricsHttpServer(spark: SparkSession, dir: String) {
     // dryrun default TRUE; only explicit false/no disarms (api.go:186-190)
     val dr = q.firstOr("dryrun", "")
     val dryRun = !(dr.equalsIgnoreCase("false") || dr.equalsIgnoreCase("no"))
-    val (resp, _) = MetricsApi.deleteMetrics(spark, dir, q.all("path"),
+    val resp = backend.deleteMetrics(q.all("path"),
       q.firstOr("from", "0").toLong, q.firstOr("to", "0").toLong, dryRun)
     send(ex, 200, Json.obj(
       "dryrun" -> Json.bool(resp.dryrun),
@@ -172,5 +176,69 @@ final class MetricsHttpServer(spark: SparkSession, dir: String) {
     def obj(kvs: (String, String)*): String = objOf(kvs)
     def objOf(kvs: Seq[(String, String)]): String =
       kvs.map { case (k, v) => s"${str(k)}:$v" }.mkString("{", ",", "}")
+  }
+}
+
+object MetricsHttpServer {
+
+  /** What a route needs, source-agnostic: the five query surfaces. The
+    * HTTP shell stays identical whichever backend answers — the
+    * reference's api.go likewise doesn't care which manager goroutine
+    * serves a channel request.
+    */
+  trait Backend {
+    def healthcheck(): Boolean
+    def getPaths(glob: String, tenant: Option[String]): Seq[MetricsApi.PathEntry]
+    def deletePaths(glob: String): Long
+    def getMetrics(paths: Seq[String], from: Long, to: Long): MetricsApi.MetricsResponse
+    def deleteMetrics(paths: Seq[String], from: Long, to: Long,
+        dryRun: Boolean): MetricsApi.DeleteResponse
+  }
+
+  /** Every answer derived from the raw fixture tables (the r10 server). */
+  final class FixtureBackend(spark: SparkSession, dir: String) extends Backend {
+    def healthcheck(): Boolean = MetricsApi.healthcheck(spark, dir)
+    def getPaths(glob: String, tenant: Option[String]): Seq[MetricsApi.PathEntry] =
+      MetricsApi.getPaths(spark, dir, glob, tenant)
+    def deletePaths(glob: String): Long = MetricsApi.deletePaths(spark, dir, glob)
+    def getMetrics(paths: Seq[String], from: Long, to: Long): MetricsApi.MetricsResponse =
+      MetricsApi.getMetrics(spark, dir, paths, from, to)
+    def deleteMetrics(paths: Seq[String], from: Long, to: Long,
+        dryRun: Boolean): MetricsApi.DeleteResponse =
+      MetricsApi.deleteMetrics(spark, dir, paths, from, to, dryRun)._1
+  }
+
+  /** The DAEMON's serving path: every answer comes from a live
+    * [[graft.sources.RollupStore]] — merge-on-read over whatever ingest
+    * has flushed SO FAR, correct before/during/after any maintenance by
+    * the store's contracts (readers under a young compaction lease skip
+    * recovery and fold the not-yet-compacted slices themselves; the
+    * additive swap never destroys a mid-flight append). `nowSec` defaults
+    * to wall clock, the live daemon's table-selection age; tests pin it.
+    *
+    * healthcheck reports the SERVICE, like the reference's healthHandler:
+    * ALIVE whenever the store read path works (an empty, pre-first-flush
+    * store answers queries with empty series), DEAD only when the session
+    * or filesystem is broken.
+    */
+  final class StoreBackend(spark: SparkSession, store: String,
+      nowSec: Option[Long] = None) extends Backend {
+    private def finalized: org.apache.spark.sql.DataFrame =
+      graft.sources.RollupStore.readFinalizedResilient(spark, store)
+    private def pathCatalog = finalized.select("path").distinct()
+    def healthcheck(): Boolean =
+      try finalized.limit(1).count() >= 0 catch { case _: Throwable => false }
+    def getPaths(glob: String, tenant: Option[String]): Seq[MetricsApi.PathEntry] =
+      MetricsApi.getPathsFrom(
+        graft.operators.Index.indexFrom(pathCatalog), glob, tenant)
+    def deletePaths(glob: String): Long =
+      graft.operators.Index.deleteFrom(
+        pathCatalog, glob, glob.split("\\.")(0)).count()
+    def getMetrics(paths: Seq[String], from: Long, to: Long): MetricsApi.MetricsResponse =
+      MetricsApi.getMetricsFrom(finalized, paths, from, to,
+        nowSec.getOrElse(System.currentTimeMillis() / 1000))
+    def deleteMetrics(paths: Seq[String], from: Long, to: Long,
+        dryRun: Boolean): MetricsApi.DeleteResponse =
+      MetricsApi.deleteMetricsFrom(finalized, paths, from, to, dryRun)._1
   }
 }

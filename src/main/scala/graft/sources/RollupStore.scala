@@ -82,6 +82,37 @@ object RollupStore {
       graft.operators.Rollups.mergeAll(
         read(spark, path).drop("stat_date")))
 
+  /** The SERVING-PATH variant of [[readFinalized]]: tolerant of the
+    * per-directory swap window. A query racing a live maintenance swap can
+    * list a fold source an instant before the swap deletes it — a strict
+    * read then fails the whole query on FileNotFound, where the documented
+    * semantics of that window are "the folded slices are transiently
+    * absent from this one directory". `ignoreMissingFiles` turns the crash
+    * into exactly that transient view. Batch/oracle paths keep the STRICT
+    * [[readFinalized]]: outside live serving, a vanished file is
+    * corruption and must fail loudly.
+    */
+  def readFinalizedResilient(spark: SparkSession, path: String): DataFrame = {
+    recoverIfNeeded(spark, path)
+    graft.operators.Rollups.finalize(
+      graft.operators.Rollups.mergeAll(
+        spark.read.schema(StateSchema)
+          .option("ignoreMissingFiles", "true").parquet(path)
+          .drop("stat_date")))
+  }
+
+  /** The on-disk mergeable-state schema (`Rollups.mergeableFrom`'s columns
+    * plus the two partition columns), supplied EXPLICITLY on the serving
+    * read: schema inference opens parquet footers OUTSIDE the
+    * `ignoreMissingFiles` guard, so a footer vanishing in the swap window
+    * would fail the query at plan time — with the schema pinned, planning
+    * never opens a file at all (cheaper per request, too).
+    */
+  private val StateSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "path STRING, stat_time BIGINT, expr STRING, s_cents BIGINT, " +
+      "s_count BIGINT, s_max DOUBLE, s_min DOUBLE, s_last DOUBLE, " +
+      "s_lastkey BIGINT, tbl STRING, stat_date DATE")
+
   /** Compaction: fold each key's accumulated slices to ONE row — the
     * same associative `mergeAll` the reader applies, run once so
     * subsequent reads don't re-pay it. State stays MERGEABLE (compaction

@@ -285,8 +285,18 @@ object CarbonStream {
     * cycle is a map-side-combined aggregation of just that cycle's points,
     * and the store stays partition-pruned on (tbl, stat_date).
     */
-  def streamRollupsToStore(spark: SparkSession, srcDir: String, store: String,
-      glob: String = "*.parquet"): Unit = {
+  /** Start (and return) the LIVE flush query — the daemon's ingest arm:
+    * each staged source file becomes one micro-batch, reduced to its
+    * mergeable rollup state and appended to the store as one slice. The
+    * caller owns the query's lifetime (`graft.Daemon` runs it CONCURRENTLY
+    * with the HTTP server and store maintenance; [[streamRollupsToStore]]
+    * is the drain-and-stop batch harness). Safe beside a live `compact`:
+    * appends under a young lease skip recovery, and the additive swap
+    * cannot touch files it didn't fold.
+    */
+  def startRollupFlush(spark: SparkSession, srcDir: String, store: String,
+      glob: String = "*.parquet")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     // one flush cycle per staged file
     val events = eventsStream(spark, srcDir, glob, maxFilesPerTrigger = Some(1))
     // Tables.metrics' mapping plus event_id — the five-method mergeable
@@ -298,21 +308,25 @@ object CarbonStream {
       col("value"),
       expr("ts DIV 1000000000").as("ts"),
       col("event_id"))
+    metrics.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.RollupStore.appendStateSlice(
+          graft.operators.Rollups.mergeableFrom(batch), store)
+      }
+      .start()
+  }
+
+  def streamRollupsToStore(spark: SparkSession, srcDir: String, store: String,
+      glob: String = "*.parquet"): Unit =
     withStreamPartitions(spark) {
-      val q = metrics.writeStream
-        .outputMode("append")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          graft.sources.RollupStore.appendStateSlice(
-            graft.operators.Rollups.mergeableFrom(batch), store)
-        }
-        .start()
+      val q = startRollupFlush(spark, srcDir, store, glob)
       try {
         q.processAllAvailable()
       } finally {
         q.stop()
       }
     }
-  }
 
   def ops: Seq[Op] = Seq(
     Op("stream_rollup", rollupQuery, Some(rollupSql)),

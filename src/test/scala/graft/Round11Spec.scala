@@ -192,6 +192,79 @@ class Round11Spec extends AnyFunSuite with TestSpark {
     }
   }
 
+  // ------------------------------- the daemon: serve while ingesting (r10 item 1)
+
+  test("daemon: flush cycles, mid-serve maintenance and HTTP queries interleave on real sockets") {
+    import org.apache.spark.sql.functions.{max => smax, pmod, lit => slit}
+    val store = Files.createTempDirectory("round11_daemon_store").toString
+    val src = Files.createTempDirectory("round11_daemon_src").toString
+    val now = graft.model.Tables.metrics(spark, Sf).agg(smax("ts")).head().getLong(0)
+    val daemon = new graft.Daemon(spark, store, Some(now))
+    val port = daemon.startHttp()
+    val http = java.net.http.HttpClient.newHttpClient()
+    def getR(p: String): (Int, String) = {
+      val r = http.send(java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"http://127.0.0.1:$port$p")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(), r.body())
+    }
+    // the API is up BEFORE any data: ALIVE (service healthy, store empty —
+    // the reference's healthHandler reports the service, not the data),
+    // and a query against the empty store answers with an empty series
+    assert(getR("/healthcheck") == ((200, "ALIVE")))
+    val (c0, b0) = getR(s"/metrics?path=servers.view.u5&from=${now - 7200}&to=$now")
+    assert(c0 == 200 && b0.contains("\"series\""), s"empty-store query: $c0 $b0")
+    val events = spark.read.parquet(s"$Sf/events.parquet")
+    def slice(i: Int) = events.filter(pmod(col("event_id"), slit(3)) === i)
+    graft.Daemon.stageSlice(slice(0), src, "s0.parquet")
+    val q = daemon.startIngest(src)
+    try {
+      q.processAllAvailable() // flush cycle 1
+      assert(getR("/healthcheck") == ((200, "ALIVE")))
+      val metricsQ = s"/metrics?path=servers.view.u5&from=${now - 172800}&to=$now"
+      val (c1, b1) = getR(metricsQ)
+      assert(c1 == 200 && b1.contains("\"series\""), s"live query after cycle 1: $c1 $b1")
+      val (cp, bp) = getR("/paths?query=servers.*.u3")
+      assert(cp == 200 && bp.startsWith("["), s"live /paths: $cp $bp")
+
+      graft.Daemon.stageSlice(slice(1), src, "s1.parquet")
+      q.processAllAvailable() // flush cycle 2: server stayed up throughout
+
+      // maintenance (compaction + physical TTL) fires MID-SERVE; queries
+      // keep answering, none may error — the lease + additive swap +
+      // resilient read close every crash window a racing reader had
+      val compactor = new Thread(() => daemon.maintain(ttlNowSec = Some(now)))
+      compactor.start()
+      var served = 0
+      while (compactor.isAlive || served < 3) {
+        val (c, b) = getR(if (served % 2 == 0) metricsQ else "/paths?query=servers.*.u3")
+        assert(c == 200, s"query #$served errored mid-maintenance: $c $b")
+        served += 1
+      }
+      compactor.join()
+
+      graft.Daemon.stageSlice(slice(2), src, "s2.parquet")
+      q.processAllAvailable() // flush cycle 3, AFTER the compaction
+
+      // the gate: the daemon's HTTP answer over the sliced+compacted store
+      // is BYTE-IDENTICAL to a fixture-backed server's answer (the
+      // store_lifecycle equivalence, served over real sockets)
+      val fixture = new graft.api.MetricsHttpServer(spark, Sf)
+      val fport = fixture.start()
+      def want(p: String): String = http.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:$fport$p")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+      try {
+        assert(getR(metricsQ) == ((200, want(metricsQ))),
+          "store-served GET /metrics diverged from the batch-oracle series")
+        val pathsQ = "/paths?query=servers.*.u3"
+        assert(getR(pathsQ) == ((200, want(pathsQ))),
+          "store-served GET /paths diverged from the fixture index")
+      } finally fixture.stop()
+    } finally daemon.stop()
+  }
+
   // ------------------------------------------------- IVF train-once cache
 
   test("IVF training memoizes per (dir, iters): callers share one trajectory") {
@@ -202,6 +275,30 @@ class Round11Spec extends AnyFunSuite with TestSpark {
     val c = Similarity.trainedCentsBalanced(spark, Sf)
     val d = Similarity.trainedCentsBalanced(spark, Sf)
     assert(c eq d, "second trainedCentsBalanced call must return the cached instance")
+  }
+
+  // ------------------- adversarial inputs through the five streaming paths
+
+  test("streaming five pass the DuckDB oracle gate on the adversarial fixture") {
+    // Round9 gated the BATCH text/doc ops on non-ASCII/empty/missing-key
+    // inputs; this replays the same fixture through every Structured
+    // Streaming path (r10 advice item 7). The fixture's shape also forces
+    // an EMPTY micro-batch through stream_dedup_watermark: its replay file
+    // selects doc_id % 10 == 0 and the fixture has none, so batch2 is a
+    // zero-row parquet the watermark machinery must cross without emitting
+    // or crashing. Gate = Verify.dump + the REAL oracle_check pipeline, so
+    // any cross-engine divergence on these inputs fails `sbt test`.
+    import scala.sys.process._
+    val fixtureDir = AdversarialFixture.dir(spark)
+    val out = "/root/repo/target/round11_stream_verify"
+    Verify.dump(spark, fixtureDir, out, Some(Set(
+      "stream_rollup", "stream_rollup_append", "stream_dedup_exact",
+      "stream_dedup_watermark", "stream_sessionize")))
+    val log = new StringBuilder
+    val exit = Process(
+      Seq("python3", "tools/oracle_check.py", fixtureDir, out),
+      new java.io.File("/root/repo")).!(ProcessLogger(s => log.append(s).append('\n')))
+    assert(exit == 0, s"oracle_check failed on the adversarial streaming gate:\n$log")
   }
 
   // ------------------------------------------------- statsd push emitter

@@ -26,61 +26,11 @@ import graft.operators.{Analytics, TextOps}
 class Round9Spec extends AnyFunSuite with TestSpark {
 
   // ---- adversarial fixture -------------------------------------------------
+  // (shared with Round11Spec's streaming gate — see AdversarialFixture)
 
-  // doc 1: stopwords ONLY in sentence-initial capitalized position ("The",
-  //        "It") — raw-case matching counts zero of them.
-  // doc 2: empty text — 0-char division and 1-token split edge.
-  // doc 3: non-ASCII — € (8364), CJK (20013+), Devanagari >= U+0915 (2325+),
-  //        and a non-BMP emoji (U+1F600 = 128512); every gram hash overflows
-  //        INT32.
-  // doc 4: plain-ASCII control — values must be unchanged by any widening.
-  private val FixtureDocs = Seq(
-    (1L, "The Cat Sat On My Mat. It Was Quite Nice Here."),
-    (2L, ""),
-    (3L, "€ 中文 हिन्दी 😀 emoji"),
-    (4L, "plain ascii control words stay the same for this doc"))
+  private val FixtureDocs = AdversarialFixture.Docs.map(_._2)
 
-  // event type "alpha" carries k in three JSON spacing/sign variants; type
-  // "beta" has NO k key at all (regex extract yields '' pre-NULLIF).
-  private val FixtureEvents = Seq(
-    (1L, 1000000000L, 10L, "alpha", 1.0, """{"k": 5}"""),
-    (2L, 2000000000L, 11L, "alpha", 2.0, """{"k":  -7}"""),
-    (3L, 3000000000L, 12L, "alpha", 3.0, """{"k":12}"""),
-    (4L, 4000000000L, 13L, "beta", 4.0, """{}"""),
-    (5L, 5000000000L, 14L, "beta", 5.0, """{"x": 3}"""))
-
-  private def rmRf(f: File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(rmRf)
-    f.delete(): Unit
-  }
-
-  /** Spark writes a part-file directory; the driver layout (and
-    * oracle_check's DuckDB views) want a single `<name>.parquet` FILE.
-    */
-  private def writeSingleParquet(df: DataFrame, dir: String, name: String): Unit = {
-    val tmp = s"$dir/_tmp_$name"
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = new File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
-    Files.move(part.toPath, Paths.get(s"$dir/$name.parquet"),
-      StandardCopyOption.REPLACE_EXISTING)
-    rmRf(new File(tmp))
-  }
-
-  private lazy val fixtureDir: String = {
-    val dir = new File("/root/repo/target/round9_fixture")
-    rmRf(dir)
-    dir.mkdirs()
-    import spark.implicits._
-    writeSingleParquet(
-      FixtureDocs.toDF("doc_id", "text")
-        .withColumn("lang", lit("en")).withColumn("source", lit("fixture"))
-        .withColumn("n_chars", length(col("text")).cast("long")),
-      dir.getPath, "documents")
-    writeSingleParquet(
-      FixtureEvents.toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
-      dir.getPath, "events")
-    dir.getPath
-  }
+  private lazy val fixtureDir: String = AdversarialFixture.dir(spark)
 
   // ---- the cross-engine gate ----------------------------------------------
 
@@ -117,7 +67,7 @@ class Round9Spec extends AnyFunSuite with TestSpark {
     // REGRESSION (pre-4f2dc29): stopword matching was case-sensitive, so a
     // doc whose only stopwords are sentence-initial ("The ... It ...")
     // scored stop_ratio = 0.
-    val nTok = FixtureDocs.head._2.split(" ").length
+    val nTok = FixtureDocs.head.split(" ").length
     assert(rows(1L).getAs[Double]("stop_ratio") ===
       BigDecimal(2.0 / nTok).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
@@ -138,8 +88,8 @@ class Round9Spec extends AnyFunSuite with TestSpark {
     // REGRESSION (pre-4f2dc29): ascii(c) stayed INT32, so doc 3's first gram
     // (8364 * 923521) overflowed and ANSI Spark threw ARITHMETIC_OVERFLOW
     // instead of producing any fingerprint.
-    assert(got(3L) === expected(FixtureDocs(2)._2))
-    assert(got(4L) === expected(FixtureDocs(3)._2))
+    assert(got(3L) === expected(FixtureDocs(2)))
+    assert(got(4L) === expected(FixtureDocs(3)))
     assert(got(2L) === "") // shorter than one gram
   }
 

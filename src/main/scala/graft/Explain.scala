@@ -16,7 +16,8 @@ object Explain {
         "ann_ivf_balanced", "kmeans_step", "dedup_minhash_lsh", "dedup_ngram_jaccard",
         "dedup_embedding_cosine", "dedup_cluster",
         "peer_rebalance", "peer_reload", "metric_fetch", "sessionize", "index_build",
-        "sketch_occupancy", "store_lifecycle", "runtime_stats"))
+        "sketch_occupancy", "store_lifecycle", "runtime_stats",
+        "carbon_reassemble", "peer_forward"))
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

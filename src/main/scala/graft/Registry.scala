@@ -16,6 +16,7 @@ object Registry {
   def ops: Seq[Op] =
     graft.operators.Rollups.ops ++
       graft.operators.Carbon.ops ++
+      graft.operators.Wire.ops ++
       graft.operators.Index.ops ++
       graft.operators.MetricQuery.ops ++
       graft.operators.OpsStats.ops ++

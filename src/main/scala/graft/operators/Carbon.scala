@@ -46,7 +46,7 @@ object Carbon {
   val PeerlistWirePayload: String =
     """{"a":"10.0.0.1:2003","b":"10.0.0.2:2003"}"""
 
-  private def lines(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def lines(spark: SparkSession, dir: String): DataFrame =
     Tables.metrics(spark, dir).select(
       col("event_id").as("line_id"),
       col("ts").as("arrival_ts"),
@@ -65,7 +65,7 @@ object Carbon {
         .otherwise(format_string("%s %.3f %d", col("path"), col("value"), col("ts")))
         .as("line"))
 
-  private val linesSql: String =
+  private[operators] val linesSql: String =
     s"""${Tables.metricsSql},
        |lines AS (
        |  SELECT event_id AS line_id, ts AS arrival_ts,
@@ -112,7 +112,7 @@ object Carbon {
     * `valid=false` (the listener drops them and bumps a counter; here
     * they stay observable).
     */
-  private def parsedFull(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def parsedFull(spark: SparkSession, dir: String): DataFrame =
     withParsedLine(lines(spark, dir), "line")
       .select(
         col("line_id"), col("arrival_ts"), col("valid"), col("peer_cmd"),
@@ -120,12 +120,19 @@ object Carbon {
         when(col("valid"), col("v")).as("value"),
         when(col("valid"), col("t")).as("ts"))
 
-  private val parsedFullSql: String =
-    s"""$linesSql,
-       |sp AS (SELECT line_id, arrival_ts, line,
-       |              regexp_split_to_array(trim(line), '\\s+') AS p FROM lines),
+  /** The DuckDB rendering of [[withParsedLine]] as a CTE chain, parameterized
+    * over the source CTE (must expose `line` plus `keyCols`) so carbon_parse's
+    * oracle and any oracle that re-derives a line stream (the UDP reassembly
+    * in [[Wire]]) share ONE rendering of the wire-format parse — same
+    * prefix-parameterized-builder pattern the sketch-family oracles use.
+    * Produces a final CTE named `parsed` with (keyCols, valid, peer_cmd,
+    * path, value, ts).
+    */
+  private[operators] def parsedCtesSql(src: String, keyCols: String): String =
+    s"""sp AS (SELECT $keyCols, line,
+       |              regexp_split_to_array(trim(line), '\\s+') AS p FROM $src),
        |cast_try AS (
-       |  SELECT line_id, arrival_ts, p,
+       |  SELECT $keyCols, line, p,
        |         CASE WHEN regexp_matches(line, '^<<[a-z]+=.*>>$$')
        |              THEN regexp_extract(line, '^<<([a-z]+)=(.*)>>$$', 1)
        |              ELSE '' END AS peer_cmd,
@@ -134,17 +141,21 @@ object Carbon {
        |  FROM sp
        |),
        |flagged AS (
-       |  SELECT line_id, arrival_ts, p, v, t, peer_cmd,
+       |  SELECT $keyCols, p, v, t, peer_cmd,
        |         (peer_cmd = '' AND len(p) = 3 AND v IS NOT NULL AND t IS NOT NULL) AS valid
        |  FROM cast_try
        |),
        |parsed AS (
-       |  SELECT line_id, arrival_ts, valid, peer_cmd,
+       |  SELECT $keyCols, valid, peer_cmd,
        |         CASE WHEN valid THEN p[1] END AS path,
        |         CASE WHEN valid THEN v END AS value,
        |         CASE WHEN valid THEN t END AS ts
        |  FROM flagged
        |)""".stripMargin
+
+  private[operators] val parsedFullSql: String =
+    s"""$linesSql,
+       |${parsedCtesSql("lines", "line_id, arrival_ts")}""".stripMargin
 
   def parse(spark: SparkSession, dir: String): DataFrame =
     parsedFull(spark, dir).drop("arrival_ts")

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** PQ dial-sweep harness: recall@k of `ann_pq` (ADC shortlist + exact
+  * re-rank) across codebook sizes and shortlist widths, next to the mean
+  * quantization error each codebook leaves — the dials `PqCodebookK` and
+  * `PqShortlist` are set from. `rerank_frac` is the fraction of the corpus
+  * the exact re-rank touches per probe (the fetch cost the compressed scan
+  * is buying down). Run:
+  *
+  *   runMain graft.PqTune [sfDir]
+  */
+object PqTune {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-pq-tune")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val truth = Similarity.cosineTopK(spark, dir)
+      .select(col("query_id"), col("neighbor_id")).cache()
+    val nTruth = truth.count()
+    val corpus = graft.model.Tables.embeddings(spark, dir).count()
+
+    for (k <- Seq(8, 16, 32); shortlist <- Seq(10, 25, 50, 100)) {
+      val vecs = Similarity.fixedVecs(spark, dir)
+      val meanQerr = Similarity.pqCodesFrom(vecs, Similarity.pqCodebook(vecs, k))
+        .agg(avg("qerr")).head().getDouble(0)
+      val matched = Similarity.annPqWith(spark, dir, shortlist, k)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi").count()
+      println(f"PQTUNE k=$k shortlist=$shortlist " +
+        f"recall@${Similarity.TopK}=${matched.toDouble / nTruth}%.3f " +
+        f"rerank_frac=${shortlist / (corpus - 1).toDouble}%.4f " +
+        f"mean_qerr=$meanQerr%.3e")
+    }
+    spark.stop()
+  }
+}

@@ -1027,11 +1027,239 @@ object Similarity {
   private val ivfBalancedSql: String =
     ivfSqlFrom(s"$balancedIterCtes,\ncents AS (SELECT c_id, cv, cn FROM bcents$TrainIters)")
 
+  // ---------------------------------------------- product quantization (PQ)
+
+  /** PQ geometry: the 64-dim embedding splits into [[PqSubs]] contiguous
+    * sub-vectors of [[PqSubDim]] dims; each subspace gets its own
+    * [[PqCodebookK]]-entry codebook, so a vector compresses to 8 small
+    * codes (8 bytes vs 256 — the FAISS-style memory path that makes ANN
+    * over 100 TB of embeddings fit a cluster's RAM). Codebook seeds are a
+    * HASH-RANKED sample of the corpus (the K vectors with the smallest
+    * portable md5-derived hash of vec_id): deterministic, engine-portable,
+    * and — unlike the IVF family's every-Nth spacing — FIXED-SIZE in the
+    * corpus, which is what a real PQ codebook is (k=256 per subspace at
+    * any scale; training sees a sample, never the corpus).
+    */
+  val PqSubs = 8
+  val PqSubDim: Int = Dim / PqSubs
+  val PqCodebookK = 32
+
+  private val pqSlices =
+    s"transform(sequence(0, ${PqSubs - 1}), m -> slice(v, m * $PqSubDim + 1, $PqSubDim))"
+
+  /** Per-subspace codebook `(sub, code, cv, cn)`: the hash-ranked seed
+    * sample's sub-vectors, `code` = rank in the sample. The global sort is
+    * a `TakeOrderedAndProject` top-K (distributed partial top-k per
+    * partition, K rows to the driver side of the plan), and the
+    * rank window then runs over the K-row frame only — the corpus never
+    * single-partitions.
+    */
+  private[graft] def pqCodebook(vecs: DataFrame, k: Int = PqCodebookK): DataFrame = {
+    import graft.model.Portable.hash60
+    val seeds = vecs
+      .withColumn("h", hash60(col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id")).limit(k)
+      .withColumn("code",
+        (row_number().over(Window.orderBy(col("h"), col("vec_id"))) - 1).cast("int"))
+    seeds
+      .select(col("code"), posexplode(expr(pqSlices)).as(Seq("sub", "cv")))
+      .withColumn("cn", expr(dotExpr("cv", "cv")))
+      .select(col("sub"), col("code"), col("cv"), col("cn"))
+  }
+
+  /** Corpus (or probe) rows exploded to `(vec_id, sub, x, xn)` sub-vector
+    * form — one map-only projection, [[PqSubs]] rows per vector.
+    */
+  private def pqSubVecs(vecs: DataFrame): DataFrame =
+    vecs
+      .select(col("vec_id"), posexplode(expr(pqSlices)).as(Seq("sub", "x")))
+      .withColumn("xn", expr(dotExpr("x", "x")))
+
+  /** Codes for every (vector, subspace): nearest codebook entry by exact
+    * integer L2 (`|x|^2 - 2 x.c + |c|^2`), ties to the lower code. Same
+    * sort-free shape as [[assignNearest]]: after the broadcast join each
+    * sub-vector's K scored rows are co-resident, so the `min_by` partial
+    * aggregation collapses them map-side — the exchange carries n x M code
+    * rows (the PQ-compressed corpus itself), never n x M x K.
+    */
+  private[graft] def pqCodesFrom(vecs: DataFrame, cb: DataFrame): DataFrame =
+    pqSubVecs(vecs).join(broadcast(cb), Seq("sub"))
+      .withColumn("d2",
+        col("xn") - lit(2L) * expr(dotExpr("x", "cv")) + col("cn"))
+      .groupBy("vec_id", "sub")
+      .agg(min_by(struct(col("code"), col("d2")), struct(col("d2"), col("code"))).as("b"))
+      .select(col("vec_id"), col("sub"), col("b.code").as("code"), col("b.d2").as("qerr"))
+
+  /** `pq_encode`: the PQ compression stage as an audited operator — one row
+    * per (vector, subspace) with the assigned code and `qerr`, the exact
+    * integer quantization error that cell contributes (the watched number:
+    * rising qerr at a new corpus scale means the codebook needs retraining,
+    * exactly as `sketch_occupancy` watches bucket skew).
+    */
+  def pqEncode(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = fixedVecs(spark, dir)
+    pqCodesFrom(vecs, pqCodebook(vecs))
+  }
+
+  private def pqCbCtes(p: String): String =
+    s"""${p}h AS (SELECT vec_id, v, ${graft.model.Portable.hex2bigSql("md5(CAST(vec_id AS VARCHAR))")} AS h FROM nv),
+       |${p}seedrows AS (SELECT vec_id, v, h FROM ${p}h ORDER BY h, vec_id LIMIT $PqCodebookK),
+       |${p}seed AS (
+       |  SELECT v, CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS code
+       |  FROM ${p}seedrows
+       |),
+       |${p}grid AS (SELECT CAST(unnest(generate_series(0, ${PqSubs - 1})) AS INT) AS sub),
+       |${p}cbraw AS (
+       |  SELECT g.sub, s.code,
+       |         s.v[g.sub * $PqSubDim + 1 : g.sub * $PqSubDim + $PqSubDim] AS cv
+       |  FROM ${p}seed s CROSS JOIN ${p}grid g
+       |),
+       |${p}cb AS (
+       |  SELECT sub, code, cv, CAST(list_sum([c * c for c in cv]) AS BIGINT) AS cn
+       |  FROM ${p}cbraw
+       |)""".stripMargin
+
+  private def pqCodesCtes(p: String): String =
+    s"""${pqCbCtes(p)},
+       |${p}sx AS (
+       |  SELECT n.vec_id, g.sub,
+       |         n.v[g.sub * $PqSubDim + 1 : g.sub * $PqSubDim + $PqSubDim] AS x
+       |  FROM nv n CROSS JOIN ${p}grid g
+       |),
+       |${p}sxn AS (
+       |  SELECT vec_id, sub, x, CAST(list_sum([e * e for e in x]) AS BIGINT) AS xn
+       |  FROM ${p}sx
+       |),
+       |${p}dist AS (
+       |  SELECT s.vec_id, s.sub, c.code,
+       |         s.xn - 2 * CAST(list_sum([s.x[i] * c.cv[i] for i in generate_series(1, len(s.x))]) AS BIGINT) + c.cn AS d2
+       |  FROM ${p}sxn s JOIN ${p}cb c USING (sub)
+       |),
+       |${p}coded AS (
+       |  SELECT vec_id, sub, code, d2,
+       |         row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+       |  FROM ${p}dist
+       |)""".stripMargin
+
+  private val pqEncodeSql: String =
+    s"""WITH $fixedVecsCtes,
+       |${pqCodesCtes("pq_")}
+       |SELECT vec_id, sub, code, d2 AS qerr FROM pq_coded WHERE rn = 1""".stripMargin
+
+  /** ADC shortlist width: the compressed scan keeps this many candidates
+    * per probe for the exact re-rank. The dial trades re-rank fetches for
+    * recall; (PqCodebookK=32, PqShortlist=100) is the `graft.PqTune`-swept
+    * knee — recall@5 = 0.70 at 5.0% re-ranked at sf0.1, 0.84 at sf0.01
+    * (docs/TUNING.md). Codebook size is the cheaper dial (it costs encode
+    * work, not re-rank fetches): mean qerr drops 1.22e13 -> 7.9e12 from
+    * k=8 -> 32, and recall at equal shortlist rises with it; at real scale
+    * the standing FAISS setting is k=256 per subspace with Lloyd-trained
+    * codebooks — here the hash-ranked sample is capped by the fixture.
+    */
+  val PqShortlist = 100
+
+  /** `ann_pq`: asymmetric-distance (ADC) search over the PQ codes with an
+    * exact re-rank — the FAISS-style pipeline. The probe stays EXACT; per
+    * probe a (subspace, code) -> partial-dot lookup table is precomputed
+    * against the codebook (|probes| x M x K rows — tiny, the broadcast
+    * side), a compressed vector's approximate dot is the sum of its M table
+    * hits (pure bigint, bit-stable), the top-[[PqShortlist]] by ADC score
+    * form the shortlist, and only the shortlist is re-scored with true
+    * vectors. At 100 TB the division of labor is the point: the full-corpus
+    * scan touches ONLY the 8-byte code rows (never the 256-byte vectors),
+    * the LUT join is map-side, the per-(probe, vector) partial sums combine
+    * before the exchange (n x |probes| score rows), and the exact re-rank
+    * fetches |probes| x shortlist vectors — a point-lookup against the
+    * vector store (here a broadcast semi-join on vec_id), not a scan.
+    */
+  def annPq(spark: SparkSession, dir: String): DataFrame =
+    annPqWith(spark, dir, PqShortlist)
+
+  /** [[annPq]] at an explicit ADC shortlist width — the recall dial
+    * `graft.PqTune` sweeps.
+    */
+  def annPqWith(spark: SparkSession, dir: String, shortlist: Int,
+      codebookK: Int = PqCodebookK): DataFrame = {
+    val vecs = fixedVecs(spark, dir)
+    val cb = pqCodebook(vecs, codebookK)
+    val codes = pqCodesFrom(vecs, cb).select("vec_id", "sub", "code")
+    val probeVecs = vecs.filter(col("vec_id") % ProbeMod === 0)
+    val probes = probeVecs
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val probeSubs = pqSubVecs(probeVecs)
+      .select(col("vec_id").as("q_id"), col("sub"), col("x").as("qx"))
+    val lut = probeSubs.join(cb, Seq("sub"))
+      .select(col("q_id"), col("sub"), col("code"),
+        expr(dotExpr("qx", "cv")).as("pdot"))
+    val scored = codes.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id").agg(sum(col("pdot")).as("adot"))
+    val short = scored
+      .withColumn("arn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("adot").desc, col("vec_id"))))
+      .filter(col("arn") <= shortlist)
+      .select("q_id", "vec_id")
+    vecs.join(broadcast(short), Seq("vec_id"))
+      .join(broadcast(probes), Seq("q_id"))
+      .withColumn("cos",
+        expr(dotExpr("v", "qv")) / (sqrt(col("nrm")) * sqrt(col("qn"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), round(col("cos"), 6).as("cosine"))
+  }
+
+  private val annPqSql: String =
+    s"""WITH $fixedVecsCtes,
+       |${pqCodesCtes("pq_")},
+       |codes AS (SELECT vec_id, sub, code FROM pq_coded WHERE rn = 1),
+       |psub AS (
+       |  SELECT n.vec_id AS q_id, g.sub,
+       |         n.v[g.sub * $PqSubDim + 1 : g.sub * $PqSubDim + $PqSubDim] AS qx
+       |  FROM nv n CROSS JOIN pq_grid g
+       |  WHERE n.vec_id % $ProbeMod = 0
+       |),
+       |lut AS (
+       |  SELECT p.q_id, p.sub, c.code,
+       |         CAST(list_sum([p.qx[i] * c.cv[i] for i in generate_series(1, len(p.qx))]) AS BIGINT) AS pdot
+       |  FROM psub p JOIN pq_cb c USING (sub)
+       |),
+       |scored AS (
+       |  SELECT l.q_id, k.vec_id, CAST(sum(l.pdot) AS BIGINT) AS adot
+       |  FROM codes k JOIN lut l ON k.sub = l.sub AND k.code = l.code
+       |  WHERE k.vec_id <> l.q_id
+       |  GROUP BY 1, 2
+       |),
+       |short AS (
+       |  SELECT q_id, vec_id
+       |  FROM (SELECT q_id, vec_id,
+       |               row_number() OVER (PARTITION BY q_id ORDER BY adot DESC, vec_id) AS arn
+       |        FROM scored)
+       |  WHERE arn <= $PqShortlist
+       |),
+       |rerank AS (
+       |  SELECT s.q_id, s.vec_id,
+       |         CAST(list_sum([n.v[i] * p.v[i] for i in generate_series(1, len(n.v))]) AS BIGINT)
+       |           / (sqrt(n.nrm) * sqrt(p.nrm)) AS cos
+       |  FROM short s
+       |  JOIN nv n ON n.vec_id = s.vec_id
+       |  JOIN nv p ON p.vec_id = s.q_id
+       |),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM rerank
+       |)
+       |SELECT q_id AS query_id, vec_id AS neighbor_id, CAST(rank AS INT) AS rank,
+       |       round(cos, 6) AS cosine
+       |FROM ranked WHERE rank <= $TopK""".stripMargin
+
   // ---------------------------------------------------------- recall harness
 
   /** Recall@k of the approximate ANN paths (multi-table LSH, seed-IVF,
-    * k-means-trained IVF, balanced IVF) against the exact brute-force
-    * baseline — the
+    * k-means-trained IVF, balanced IVF, PQ-ADC) against the exact
+    * brute-force baseline — the
     * "measure, don't guess" harness a pipeline runs before trusting a
     * sketch at scale: the width dials (NumTables/PlanesPerTable/ProbeDist,
     * CentroidMod, NProbe, TrainIters) are only safe to turn if this number
@@ -1039,15 +1267,15 @@ object Similarity {
     * the sweep drivers). One row per approximate method with its matched /
     * truth counts and recall fraction.
     *
-    * Plan shape: the truth and approximate top-k sub-plans are the four
+    * Plan shape: the truth and approximate top-k sub-plans are the five
     * ANN operators unchanged (each already ends in a tiny per-probe top-k
     * frame); the harness itself is a LEFT SEMI join on (query_id,
     * neighbor_id) — semi joins carry no payload and can't duplicate — plus
     * two |methods|-row aggregates and a 1-row truth count, all negligible
     * beside the ANN plans at any scale.
     *
-    * All four sub-plans consume the SAME persisted corpus conversion: the
-    * brute-force/LSH/IVF plans rebuild `fixedVecs` and hit the cache by
+    * All sub-plans consume the SAME persisted corpus conversion: the
+    * brute-force/LSH/IVF/PQ plans rebuild `fixedVecs` and hit the cache by
     * plan-match, and the Lloyd loop reuses it via [[trainedCents]]'s
     * `sharedVecs` — one scan+transform instead of eight. That requires the
     * harness to evaluate EAGERLY (the |methods|-row answer is collected
@@ -1072,6 +1300,8 @@ object Similarity {
             .withColumn("method", lit("ivf_trained")))
           .union(ivfFrom(vecs, balanced).select(col("query_id"), col("neighbor_id"))
             .withColumn("method", lit("ivf_balanced")))
+          .union(annPq(spark, dir).select(col("query_id"), col("neighbor_id"))
+            .withColumn("method", lit("pq")))
       val matched = approx.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
         .groupBy("method").agg(count(lit(1)).as("n_matched"))
       val totals = approx.groupBy("method").agg(count(lit(1)).as("n_returned"))
@@ -1096,6 +1326,8 @@ object Similarity {
        |  SELECT 'ivf_trained' AS method, query_id, neighbor_id FROM ($ivfTrainedSql)
        |  UNION ALL
        |  SELECT 'ivf_balanced' AS method, query_id, neighbor_id FROM ($ivfBalancedSql)
+       |  UNION ALL
+       |  SELECT 'pq' AS method, query_id, neighbor_id FROM ($annPqSql)
        |),
        |m AS (
        |  SELECT method, CAST(count(*) AS BIGINT) AS n_matched
@@ -1114,6 +1346,8 @@ object Similarity {
     Op("ann_ivf_trained", ivfTrained, Some(ivfTrainedSql)),
     Op("ann_ivf_balanced", ivfBalanced, Some(ivfBalancedSql)),
     Op("ann_recall", recall, Some(recallSql)),
+    Op("pq_encode", pqEncode, Some(pqEncodeSql)),
+    Op("ann_pq", annPq, Some(annPqSql)),
     Op("dedup_embedding_cosine", embeddingNearDup, Some(embeddingNearDupSql)),
     Op("kmeans_step", kmeansStep, Some(kmeansStepSql)),
     Op("kmeans_train", kmeansTrain, Some(kmeansTrainSql))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Op
@@ -336,6 +337,63 @@ object TextOps {
        |WHERE bucket < CASE lang $rateCase ELSE 0 END""".stripMargin
   }
 
+  // ------------------------------------------------------------- vocab_build
+
+  /** Corpus vocabulary construction — the BPE-precursor stage: top-N
+    * unigrams AND top-N adjacent word pairs (the merge candidates a BPE
+    * trainer scores first) by total term frequency, with document frequency
+    * as the second column a tokenizer-trainer filters on. Two-stage shape:
+    * the gram explode is map-only, the (kind, gram) count partially
+    * combines co-located grams before the exchange — at 100 TB the shuffle
+    * carries ~|vocabulary| rows per partition, not |tokens| — and the rank
+    * window runs over the vocabulary-sized count frame only.
+    */
+  val VocabTopN = 100
+
+  def vocabBuild(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+    val uni = toks.select(col("doc_id"), lit("unigram").as("kind"),
+      explode(col("t")).as("gram"))
+    // sequence(1, 0) DESCENDS (see graft.model.Portable) — short docs must
+    // short-circuit to an empty gram list, not a reversed one.
+    val bi = toks.select(col("doc_id"), lit("bigram").as("kind"),
+      explode(expr(
+        """CASE WHEN size(t) >= 2
+          |  THEN transform(sequence(1, size(t) - 1),
+          |                 i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))
+          |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("gram"))
+    uni.union(bi)
+      .groupBy("kind", "gram")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("kind").orderBy(col("tf").desc, col("gram"))))
+      .filter(col("rank") <= VocabTopN)
+      .select(col("kind"), col("gram"), col("tf"), col("df"), col("rank"))
+  }
+
+  private val vocabBuildSql: String =
+    s"""WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+       |uni AS (SELECT doc_id, 'unigram' AS kind, unnest(t) AS gram FROM tok),
+       |bi AS (
+       |  SELECT doc_id, 'bigram' AS kind,
+       |         unnest([t[i] || ' ' || t[i + 1] for i in generate_series(1, len(t) - 1)]) AS gram
+       |  FROM tok WHERE len(t) >= 2
+       |),
+       |cnt AS (
+       |  SELECT kind, gram, CAST(count(*) AS BIGINT) AS tf,
+       |         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+       |  GROUP BY 1, 2
+       |),
+       |ranked AS (
+       |  SELECT kind, gram, tf, df,
+       |         row_number() OVER (PARTITION BY kind ORDER BY tf DESC, gram) AS rank
+       |  FROM cnt
+       |)
+       |SELECT kind, gram, tf, df, CAST(rank AS INT) AS rank
+       |FROM ranked WHERE rank <= $VocabTopN""".stripMargin
+
   // ------------------------------------------------------------ pack_sequences
 
   /** Sequential context packing: documents (in doc_id order) fill fixed
@@ -413,6 +471,7 @@ object TextOps {
     Op("text_commonness", textCommonness, Some(textCommonnessSql)),
     Op("doc_fingerprint", fingerprint, Some(fingerprintSql)),
     Op("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
+    Op("vocab_build", vocabBuild, Some(vocabBuildSql)),
     Op("pack_sequences", packSequencesSharded(_, _), Some(packSequencesSql))
   )
 }

@@ -23,6 +23,7 @@ object Registry {
       graft.operators.Dedup.ops ++
       graft.operators.Sketch.ops ++
       graft.operators.TextOps.ops ++
+      graft.operators.Bpe.ops ++
       graft.operators.Curate.ops ++
       graft.operators.Similarity.ops ++
       graft.operators.Multimodal.ops ++

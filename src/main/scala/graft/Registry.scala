@@ -30,5 +30,6 @@ object Registry {
       graft.operators.Analytics.ops ++
       graft.streaming.CarbonStream.ops ++
       graft.streaming.DedupStream.ops ++
-      graft.streaming.SessionStream.ops
+      graft.streaming.SessionStream.ops ++
+      graft.streaming.WireStream.ops
 }

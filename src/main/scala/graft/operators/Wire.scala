@@ -130,7 +130,7 @@ object Wire {
   // DuckDB `sum(BIGINT)` promotes to HUGEINT (the graft.model.Portable
   // rule): both running offsets are CAST back to BIGINT or
   // generate_series refuses the argument type and line_no drifts type.
-  private val reassembleSql: String =
+  private[graft] val reassembleSql: String =
     s"""WITH ${Carbon.linesSql},
        |conns AS (
        |  SELECT line_id, line_id % $Conns AS conn, line || chr(10) AS fline

@@ -98,7 +98,7 @@ object DedupStream {
     * modification time so the file stream source replays files in a fixed
     * order (it lists unread files oldest-mtime-first).
     */
-  private def writeOneFile(df: DataFrame, target: String, ageMs: Long): Unit = {
+  private[streaming] def writeOneFile(df: DataFrame, target: String, ageMs: Long): Unit = {
     // Harness-local BY DESIGN (here and in dedupWatermarkQuery below):
     // these temp dirs stage the deterministic micro-batch replay fixture
     // for a single-process verification run — they are test plumbing, not

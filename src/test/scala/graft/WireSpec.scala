@@ -70,6 +70,26 @@ class WireSpec extends AnyFunSuite with TestSpark {
     assert(rows.map(_._6).sum > 0, "no drops — the staggered outage model is dead code")
   }
 
+  test("stream_reassemble equals the batch algebra row-for-row, carry crossing batches") {
+    // the live remainder-carry state machine must reproduce carbon_reassemble
+    // exactly, including (conn, line_no) keys — not just the content multiset
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val batch = keyed(Wire.reassemble(spark, Sf))
+    val streamed = keyed(graft.streaming.WireStream.reassembleQuery(spark, Sf))
+    assert(streamed === batch)
+    // non-vacuity of the 3-file replay: at least one connection must end
+    // batch 0 mid-line, so its tail genuinely rides group state into the
+    // next micro-batch (same tertile cut the query uses)
+    val pkts = Wire.packets(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val mx = pkts.map(_._2).max
+    val carried = pkts.filter(_._2 <= mx / 3).groupBy(_._1).values.count { conn =>
+      !conn.maxBy(_._2)._3.endsWith("\n")
+    }
+    assert(carried > 0, "every conn ended batch 0 newline-aligned; the carry is untested")
+  }
+
   test("wire ops pass the DuckDB oracle gate on the adversarial fixture") {
     // 5 events over 4 conns: every conn fits ONE packet — the degenerate
     // no-split geometry the sf fixtures never produce (there the non-vacuity

@@ -1119,7 +1119,7 @@ object Similarity {
        |  FROM ${p}cbraw
        |)""".stripMargin
 
-  private def pqCodesCtes(p: String): String =
+  private[graft] def pqCodesCtes(p: String): String =
     s"""${pqCbCtes(p)},
        |${p}sx AS (
        |  SELECT n.vec_id, g.sub,

@@ -64,6 +64,12 @@ object Sketch {
       // BALANCED around n/k — a hot cell is scan-fraction skew, an empty
       // one is wasted quantizer capacity
       .unionByName(occupancyOf(ivf, "ivf_cell", Seq("c_id")))
+      // PQ cells read like IVF cells, per subspace: balance around n/k.
+      // A hot (sub, code) cell means that codebook entry is carrying too
+      // much of the subspace — rising skew (like rising qerr) says the
+      // codebook needs retraining at the new corpus scale.
+      .unionByName(occupancyOf(
+        Similarity.pqEncode(spark, dir), "pq_cell", Seq("sub", "code")))
   }
 
   /** One WITH clause composing all four signature chains under
@@ -86,7 +92,8 @@ object Sketch {
             Similarity.dupPlanesFor(Similarity.DupBands, Similarity.DupPlanesPerBand))},
        |${Similarity.sigCtes("lsh_",
             Similarity.tablePlanesFor(Similarity.NumTables, Similarity.PlanesPerTable))},
-       |${Similarity.ivfAssignCtes("ivf_", Similarity.CentroidMod)}
+       |${Similarity.ivfAssignCtes("ivf_", Similarity.CentroidMod)},
+       |${Similarity.pqCodesCtes("pqo_")}
        |${stats("minhash_band", "mh_sigs", "band, sig")}
        |UNION ALL
        |${stats("simhash_piece", "sh_pieces", "t, piece")}
@@ -95,7 +102,9 @@ object Sketch {
        |UNION ALL
        |${stats("lsh_table", "lsh_sigs", "t, b")}
        |UNION ALL
-       |${stats("ivf_cell", "ivf_assigned", "c_id")}""".stripMargin
+       |${stats("ivf_cell", "ivf_assigned", "c_id")}
+       |UNION ALL
+       |${stats("pq_cell", "(SELECT sub, code FROM pqo_coded WHERE rn = 1)", "sub, code")}""".stripMargin
   }
 
   def ops: Seq[Op] = Seq(

@@ -17,7 +17,8 @@ object Explain {
         "dedup_embedding_cosine", "dedup_cluster",
         "peer_rebalance", "peer_reload", "metric_fetch", "sessionize", "index_build",
         "sketch_occupancy", "store_lifecycle", "runtime_stats",
-        "carbon_reassemble", "peer_forward", "pq_encode", "ann_pq", "vocab_build"))
+        "carbon_reassemble", "peer_forward", "pq_encode", "ann_pq", "vocab_build",
+        "bpe_encode"))
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

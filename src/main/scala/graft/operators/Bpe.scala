@@ -55,7 +55,7 @@ object Bpe {
 
   // ------------------------------------------------------------- Spark side
 
-  private def corpusWords(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def corpusWords(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
@@ -83,11 +83,20 @@ object Bpe {
     * [[Merges]] small tuples.
     */
   private val mergeCache = new java.util.concurrent.ConcurrentHashMap[
-    String, Seq[(Int, String, String, Long)]]()
+    (String, Int), Seq[(Int, String, String, Long)]]()
 
   private[graft] def trainedMerges(spark: SparkSession, dir: String)
+      : Seq[(Int, String, String, Long)] =
+    trainedMergesN(spark, dir, Merges)
+
+  /** Rounds-parameterized trainer (the `graft.BpeTune` sweep surface).
+    * The merge sequence is PREFIX-STABLE: round r depends only on rounds
+    * 1..r-1, so `trainedMergesN(n)` is the first n rows of any longer
+    * training — a sweep trains once at its maximum and slices.
+    */
+  private[graft] def trainedMergesN(spark: SparkSession, dir: String, rounds: Int)
       : Seq[(Int, String, String, Long)] = {
-    val cached = mergeCache.get(dir)
+    val cached = mergeCache.get((dir, rounds))
     if (cached != null) return cached
     // The capped word list + its wrapped form is the frame every round
     // re-reads; persist it for the loop, free it (blocking) after.
@@ -101,7 +110,7 @@ object Bpe {
       var seqs: DataFrame = base
       var r = 1
       var exhausted = false
-      while (r <= Merges && !exhausted) {
+      while (r <= rounds && !exhausted) {
         val top = pairCounts(seqs)
           .orderBy(col("cnt").desc, col("lhs"), col("rhs")).limit(1).collect()
         if (top.isEmpty) exhausted = true // no adjacent pairs left anywhere
@@ -114,10 +123,19 @@ object Bpe {
         }
       }
       val merges = out.result()
-      mergeCache.putIfAbsent(dir, merges)
+      mergeCache.putIfAbsent((dir, rounds), merges)
       merges
     } finally base.unpersist(blocking = true)
   }
+
+  /** The composed apply chain for a merge table: one nested-replace SQL
+    * expression over the wrapped form — shared by [[bpeEncode]] and the
+    * `graft.BpeTune` sweep.
+    */
+  private[graft] def applyChainSql(merges: Seq[(Int, String, String, Long)]): String =
+    merges.foldLeft(wrapSql) {
+      case (e, (_, l, r, _)) => s"replace($e, ' $l  $r ', ' $l$r ')"
+    }
 
   /** The learned merge table, rank-ordered — the artifact a tokenizer
     * ships (one row per merge: step, the fused pair, its corpus count).
@@ -135,9 +153,7 @@ object Bpe {
     * corpus; the only exchange is the per-doc sum.
     */
   def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
-    val chain = trainedMerges(spark, dir).foldLeft(wrapSql) {
-      case (e, (_, l, r, _)) => s"replace($e, ' $l  $r ', ' $l$r ')"
-    }
+    val chain = applyChainSql(trainedMerges(spark, dir))
     val wtok = corpusWords(spark, dir).select("word").distinct()
       .withColumn("n_sym",
         expr(s"cast(size(split(trim($chain), '  ')) as bigint)"))

@@ -46,6 +46,23 @@ class BpeSpec extends AnyFunSuite with TestSpark {
     assert(Bpe.trainedMerges(spark, Sf) eq Bpe.trainedMerges(spark, Sf))
   }
 
+  test("bpe + vocab ops pass the DuckDB oracle gate on the adversarial fixture") {
+    // empty text, capitalized-only stopwords, non-ASCII (every [a-z]+
+    // extraction drops it identically on both engines), tiny 4-doc corpus
+    // where the merge supply can dry up before Merges rounds — the shapes
+    // the sf fixtures never produce. Replay through the REAL driver gate.
+    import scala.sys.process.{Process, ProcessLogger}
+    val fixtureDir = AdversarialFixture.dir(spark)
+    val out = "/root/repo/target/bpe_verify"
+    Verify.dump(spark, fixtureDir, out,
+      Some(Set("bpe_train", "bpe_encode", "vocab_build")))
+    val log = new StringBuilder
+    val exit = Process(
+      Seq("python3", "tools/oracle_check.py", fixtureDir, out),
+      new java.io.File("/root/repo")).!(ProcessLogger(s => log.append(s).append('\n')))
+    assert(exit == 0, s"oracle_check failed on the adversarial bpe gate:\n$log")
+  }
+
   test("encode bounds: words <= tokens <= chars+words, ratio consistent") {
     val rows = Bpe.bpeEncode(spark, Sf).collect()
     assert(rows.nonEmpty)

@@ -48,6 +48,35 @@ final class Daemon(spark: SparkSession, store: String,
     ingestQ
   }
 
+  @volatile private var udp: UdpListener = _
+
+  /** The real wire front door: bind a UDP socket whose datagrams are
+    * remainder-carry reassembled and parsed on the listener thread
+    * ([[UdpListener]]), with `srcDir` as the slice staging area the
+    * metric flush query drains — the full cassabon listener arm. Returns
+    * the bound port. `udpFlush(name)` drains accepted rows into one
+    * staged slice = one flush cycle.
+    */
+  def startUdpIngest(srcDir: String): Int = {
+    udp = new UdpListener
+    ingestQ = CarbonStream.startMetricRollupFlush(spark, srcDir, store)
+    udpSrcDir = srcDir
+    udp.port
+  }
+  @volatile private var udpSrcDir: String = _
+
+  /** Drain the UDP listener's accepted rows into one flush slice; returns
+    * rows flushed (0 = nothing pending, no slice staged).
+    */
+  def udpFlush(name: String): Int = {
+    require(udp != null, "startUdpIngest first")
+    udp.flush(spark, udpSrcDir, name)
+  }
+
+  def listener: UdpListener = udp
+
+  def ingestQuery: StreamingQuery = ingestQ
+
   /** One maintenance pass: fold flush slices; optionally expire by TTL.
     * Fire-and-forget beside live ingest+serve (see class doc).
     */
@@ -57,6 +86,7 @@ final class Daemon(spark: SparkSession, store: String,
   }
 
   def stop(): Unit = {
+    if (udp != null) udp.stop()
     if (ingestQ != null) ingestQ.stop()
     httpd.stop()
   }

@@ -317,6 +317,32 @@ object CarbonStream {
       .start()
   }
 
+  /** The flush query over STAGED METRIC slices — the [[graft.UdpListener]]
+    * bridge: each staged `(path, value, ts, event_id)` parquet file is one
+    * flush cycle, appended to the store as mergeable state. Identical
+    * foreachBatch to [[startRollupFlush]]; the events→metrics mapping is
+    * simply absent because the socket already delivers metric rows.
+    */
+  def startMetricRollupFlush(spark: SparkSession, srcDir: String, store: String,
+      glob: String = "*.parquet")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("path", StringType), StructField("value", DoubleType),
+      StructField("ts", LongType), StructField("event_id", LongType)))
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", glob)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.RollupStore.appendStateSlice(
+          graft.operators.Rollups.mergeableFrom(batch), store)
+      }
+      .start()
+  }
+
   def streamRollupsToStore(spark: SparkSession, srcDir: String, store: String,
       glob: String = "*.parquet"): Unit =
     withStreamPartitions(spark) {

@@ -389,6 +389,93 @@ object Carbon {
       |       CAST(count(*) AS BIGINT) AS n
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Bin width of the mergeable quantile histogram, in value units. The
+    * error bound: any estimate is within one bin of the `ceil(n·q)`-th
+    * order statistic (the interpolating exact percentile can sit further
+    * when adjacent tail samples gap wider than a bin — a property of the
+    * data's tail, not of the sketch).
+    */
+  val QuantileBinW = 4.0
+
+  private val QuantileSpecs = Seq(("p50", 1L, 2L), ("p95", 19L, 20L), ("p99", 99L, 100L))
+
+  /** The SCALE form of [[valueQuantiles]]: exact `percentile` holds every
+    * value of a group in one aggregation buffer — at 100 TB a hot metric
+    * family's values don't fit anywhere. This is the mergeable-histogram
+    * answer: fixed-width bins (one groupBy whose state is |bins|, not
+    * |values| — and bin counts are integers, so partial aggregation is
+    * order-immune and flush-mergeable like the rollup state algebra),
+    * then each quantile reads off the cumulative bin frame with linear
+    * interpolation inside the hit bin. Rank is exact integer arithmetic
+    * (`ceil(n·q) = (n·qnum + qden - 1) DIV qden`), so both engines pick
+    * the same bin; the ONLY float steps are the per-row bin assignment
+    * (IEEE divide + floor, bit-identical cross-engine) and the final
+    * interpolation division (round 6, the Portable convention).
+    * Estimates are within [[QuantileBinW]] of the rank's order statistic —
+    * CarbonAnalyticsSpec pins that bound on the live fixture.
+    */
+  def valueQuantilesSketch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byBin = Window.partitionBy("event_type").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byType = Window.partitionBy("event_type")
+    val cum = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        floor(col("value") / QuantileBinW).cast("long").as("bin"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(byBin))
+      .withColumn("n", sum("c").over(byType))
+    import spark.implicits._
+    val qs = QuantileSpecs.toDF("q", "qnum", "qden")
+    val est = cum.join(broadcast(qs))
+      .withColumn("rank", expr("(n * qnum + qden - 1) DIV qden"))
+      .filter(col("cum") >= col("rank") && col("cum") - col("c") < col("rank"))
+      .withColumn("est", round(
+        col("bin") * QuantileBinW +
+          (col("rank") - (col("cum") - col("c"))).cast("double") / col("c") * QuantileBinW,
+        6))
+    est.groupBy("event_type")
+      .agg(
+        max(when(col("q") === "p50", col("est"))).as("p50"),
+        max(when(col("q") === "p95", col("est"))).as("p95"),
+        max(when(col("q") === "p99", col("est"))).as("p99"),
+        max("n").as("n"))
+  }
+
+  private val valueQuantilesSketchSql: String =
+    s"""WITH bins AS (
+       |  SELECT event_type, CAST(floor(value / $QuantileBinW) AS BIGINT) AS bin,
+       |         CAST(count(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2
+       |),
+       |cum AS (
+       |  SELECT event_type, bin, c,
+       |         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY bin
+       |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+       |         CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+       |  FROM bins
+       |),
+       |qs AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p95', 19, 20), ('p99', 99, 100)) AS t(q, qnum, qden)),
+       |hit AS (
+       |  SELECT event_type, q, bin, c, cum, n,
+       |         (n * qnum + qden - 1) // qden AS rank
+       |  FROM cum CROSS JOIN qs
+       |  WHERE cum >= (n * qnum + qden - 1) // qden
+       |    AND cum - c < (n * qnum + qden - 1) // qden
+       |),
+       |est AS (
+       |  SELECT event_type, q, n,
+       |         round(bin * $QuantileBinW
+       |               + CAST(rank - (cum - c) AS DOUBLE) / c * $QuantileBinW, 6) AS est
+       |  FROM hit
+       |)
+       |SELECT event_type,
+       |       max(CASE WHEN q = 'p50' THEN est END) AS p50,
+       |       max(CASE WHEN q = 'p95' THEN est END) AS p95,
+       |       max(CASE WHEN q = 'p99' THEN est END) AS p99,
+       |       max(n) AS n
+       |FROM est GROUP BY 1""".stripMargin
+
   /** Heavy hitters: the highest-volume paths (statsd `path.count` made
     * queryable). Deterministic limit via (points desc, path asc).
     */
@@ -412,6 +499,7 @@ object Carbon {
     Op("peer_rebalance", peerRebalance, Some(peerRebalanceSql)),
     Op("peer_reload", peerReload, Some(peerReloadSql)),
     Op("value_quantiles", valueQuantiles, Some(valueQuantilesSql)),
+    Op("value_quantiles_sketch", valueQuantilesSketch, Some(valueQuantilesSketchSql)),
     Op("top_paths", topPaths, Some(topPathsSql))
   )
 }

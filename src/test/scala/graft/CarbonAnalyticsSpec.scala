@@ -69,4 +69,34 @@ class CarbonAnalyticsSpec extends AnyFunSuite with TestSpark {
       assert(math.abs(avgQty - sumQty / n) < 1e-6)
     }
   }
+
+  test("quantile sketch stays within one bin width of its rank statistic") {
+    // the rigorous histogram bound: the estimate lives in the bin that
+    // contains the ceil(n*q)-th smallest value, so it is within one bin
+    // width of that ORDER STATISTIC. (The interpolating `percentile` can
+    // sit further away when adjacent tail samples gap wider than a bin —
+    // that's a property of the data's tail, not of the sketch.)
+    val values = graft.model.Tables.events(spark, Sf)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def stat(t: String, num: Long, den: Long): Double = {
+      val v = values(t)
+      v(((v.length * num + den - 1) / den - 1).toInt)
+    }
+    val sketch = Carbon.valueQuantilesSketch(spark, Sf).collect()
+    assert(sketch.map(_.getString(0)).toSet === values.keySet)
+    sketch.foreach { r =>
+      val t = r.getString(0)
+      assert(r.getLong(4) === values(t).length.toLong, s"$t: count drifted")
+      Seq((r.getDouble(1), stat(t, 1, 2), "p50"),
+          (r.getDouble(2), stat(t, 19, 20), "p95"),
+          (r.getDouble(3), stat(t, 99, 100), "p99")).foreach { case (est, tru, q) =>
+        assert(math.abs(est - tru) <= Carbon.QuantileBinW,
+          s"$t $q: sketch $est vs rank statistic $tru exceeds one bin")
+      }
+      assert(r.getDouble(1) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(3),
+        "quantile estimates must be monotone")
+    }
+  }
 }

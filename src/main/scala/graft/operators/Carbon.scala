@@ -414,17 +414,27 @@ object Carbon {
     * Estimates are within [[QuantileBinW]] of the rank's order statistic —
     * CarbonAnalyticsSpec pins that bound on the live fixture.
     */
-  def valueQuantilesSketch(spark: SparkSession, dir: String): DataFrame = {
+  def valueQuantilesSketch(spark: SparkSession, dir: String): DataFrame =
+    quantilesFromBins(
+      Tables.events(spark, dir)
+        .groupBy(col("event_type"),
+          floor(col("value") / QuantileBinW).cast("long").as("bin"))
+        .agg(count(lit(1)).as("c")))
+
+  /** The quantile readoff over a `(event_type, bin, c)` histogram frame —
+    * shared by the batch op and the streaming twin ([[graft.streaming
+    * .CarbonStream]]'s `stream_quantiles`), which is WHY the histogram is
+    * the scale form: bin counts are what a stream can maintain.
+    */
+  private[graft] def quantilesFromBins(bins: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byBin = Window.partitionBy("event_type").orderBy("bin")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val byType = Window.partitionBy("event_type")
-    val cum = Tables.events(spark, dir)
-      .groupBy(col("event_type"),
-        floor(col("value") / QuantileBinW).cast("long").as("bin"))
-      .agg(count(lit(1)).as("c"))
+    val cum = bins
       .withColumn("cum", sum("c").over(byBin))
       .withColumn("n", sum("c").over(byType))
+    val spark = bins.sparkSession
     import spark.implicits._
     val qs = QuantileSpecs.toDF("q", "qnum", "qden")
     val est = cum.join(broadcast(qs))
@@ -442,7 +452,7 @@ object Carbon {
         max("n").as("n"))
   }
 
-  private val valueQuantilesSketchSql: String =
+  private[graft] val valueQuantilesSketchSql: String =
     s"""WITH bins AS (
        |  SELECT event_type, CAST(floor(value / $QuantileBinW) AS BIGINT) AS bin,
        |         CAST(count(*) AS BIGINT) AS c

@@ -203,6 +203,38 @@ object CarbonStream {
     drainMemorySink(spark, sink)
   }
 
+  /** The streaming quantile sketch: the bin-count histogram IS the
+    * streaming-maintainable state (integer counts, order-immune partials
+    * — exactly why `value_quantiles_sketch` chose it over exact
+    * `percentile`, whose buffer a stream can't bound). One complete-mode
+    * groupBy(event_type, bin) runs live; the quantile readoff happens on
+    * the drained bin frame via the SAME [[graft.operators.Carbon
+    * .quantilesFromBins]] the batch op uses. Oracle = the batch sketch
+    * SQL verbatim: a finite stream must land on identical estimates.
+    */
+  def quantilesQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Carbon
+    val events = eventsStream(spark, dir)
+    val sink = "stream_quantiles_" + UUID.randomUUID().toString.replace("-", "")
+    withStreamPartitions(spark) {
+      val q = events
+        .groupBy(col("event_type"),
+          floor(col("value") / Carbon.QuantileBinW).cast("long").as("bin"))
+        .agg(count(lit(1)).as("c"))
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .start()
+      try {
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+      }
+    }
+    Carbon.quantilesFromBins(drainMemorySink(spark, sink))
+  }
+
   /** Oracle: identical to the batch 60 s average rollup — finite stream in
     * complete mode must equal the batch aggregation.
     */
@@ -356,6 +388,8 @@ object CarbonStream {
 
   def ops: Seq[Op] = Seq(
     Op("stream_rollup", rollupQuery, Some(rollupSql)),
-    Op("stream_rollup_append", rollupAppendQuery, Some(rollupAppendSql))
+    Op("stream_rollup_append", rollupAppendQuery, Some(rollupAppendSql)),
+    Op("stream_quantiles", quantilesQuery,
+      Some(graft.operators.Carbon.valueQuantilesSketchSql))
   )
 }

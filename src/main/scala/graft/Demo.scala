@@ -171,6 +171,47 @@ object Demo {
     val kept = DedupStream.dedupWatermarkQuery(spark, dir).count()
     println(s"[demo] stream_dedup_watermark: $kept docs admitted within the horizon")
 
+    // 9. the tokenizer loop (r11): train the BPE merge table, encode the
+    //    corpus with it — the train→apply pair a data pipeline ships
+    val merges = graft.operators.Bpe.bpeTrain(spark, dir).collect()
+    val enc = graft.operators.Bpe.bpeEncode(spark, dir)
+      .agg(sum("n_tokens"), sum("n_words")).head()
+    println(s"[demo] bpe: merges=${merges.map(_.getString(3)).mkString(",")} " +
+      s"-> ${enc.getLong(0)} tokens over ${enc.getLong(1)} words")
+
+    // 10. the REAL wire front door (r11): datagrams split mid-line into a
+    //     live UDP socket, remainder-carry reassembled, flushed as one
+    //     slice, merged on read — the listener arm end to end
+    val udpStore = java.nio.file.Files.createTempDirectory("demo_udp_store").toString
+    val udpSrc = java.nio.file.Files.createTempDirectory("demo_udp_src").toString
+    val daemon = new Daemon(spark, udpStore)
+    val udpPort = daemon.startUdpIngest(udpSrc)
+    val lines = graft.operators.Carbon.lines(spark, dir).orderBy("line_id")
+      .select("line").collect().map(_.getString(0))
+    val payload = lines.mkString("", "\n", "\n").getBytes("UTF-8")
+    val sock = new java.net.DatagramSocket()
+    try {
+      var off = 0
+      while (off < payload.length) {
+        val len = math.min(512, payload.length - off)
+        sock.send(new java.net.DatagramPacket(payload, off, len,
+          java.net.InetAddress.getByName("127.0.0.1"), udpPort))
+        off += len
+        if (off % 8192 == 0) Thread.sleep(5)
+      }
+    } finally sock.close()
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    def seen = daemon.listener.receivedOk.get + daemon.listener.receivedFail.get +
+      daemon.listener.peerCmds.get
+    while (seen < lines.length && System.nanoTime() < deadline) Thread.sleep(20)
+    val flushed = daemon.udpFlush("udp0.parquet")
+    daemon.ingestQuery.processAllAvailable()
+    val stored = graft.sources.RollupStore.readFinalized(spark, udpStore).count()
+    println(s"[demo] udp listener: ok=${daemon.listener.receivedOk.get} " +
+      s"fail=${daemon.listener.receivedFail.get} cmds=${daemon.listener.peerCmds.get} " +
+      s"-> $flushed rows flushed -> $stored finalized rollup rows")
+    daemon.stop()
+
     spark.stop()
   }
 }

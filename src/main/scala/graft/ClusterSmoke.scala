@@ -22,12 +22,19 @@ object ClusterSmoke {
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
 
-    def labels(spark: SparkSession): Set[(Long, Long, Long, Boolean)] =
-      try graft.operators.Dedup.cluster(spark, sf)
-        .collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
-        .toSet
-      finally spark.stop()
+    def labels(spark: SparkSession)
+        : (Set[(Long, Long, Long, Boolean)], Seq[(Int, String, String, Long)]) =
+      try {
+        val lbl = graft.operators.Dedup.cluster(spark, sf)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+          .toSet
+        // bpe_train's driver loop (per-round 1-row TakeOrdered collects)
+        // is the other driver-resident path; its merge trajectory must be
+        // bit-stable under forked executors too
+        graft.operators.Bpe.clearMergeCache()
+        (lbl, graft.operators.Bpe.trainedMerges(spark, sf))
+      } finally spark.stop()
 
     def builder(master: String) = SparkSession.builder()
       .master(master)
@@ -35,10 +42,10 @@ object ClusterSmoke {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 
-    val expected = labels(builder("local[2]").getOrCreate())
+    val (expected, expectedMerges) = labels(builder("local[2]").getOrCreate())
 
     val spillRoot = Files.createTempDirectory("cluster_smoke_spill").toString
-    val clustered = labels(
+    val (clustered, clusterMerges) = labels(
       builder("local-cluster[2,2,1024]")
         .appName("graft-cluster-smoke")
         .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
@@ -53,8 +60,10 @@ object ClusterSmoke {
     require(clustered == expected,
       s"multi-JVM labels diverge: ${(clustered diff expected).take(5)} vs " +
         s"${(expected diff clustered).take(5)}")
+    require(expectedMerges.nonEmpty && clusterMerges == expectedMerges,
+      s"multi-JVM BPE merge trajectory diverges: $clusterMerges vs $expectedMerges")
     // the marker ClusterSmokeSpec greps for
     println(s"CLUSTER_SMOKE_OK rows=${expected.size} " +
-      s"dropped=${expected.count(!_._4)} spill=$spillRoot")
+      s"dropped=${expected.count(!_._4)} merges=${expectedMerges.size} spill=$spillRoot")
   }
 }

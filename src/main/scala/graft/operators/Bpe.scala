@@ -85,6 +85,11 @@ object Bpe {
   private val mergeCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Int), Seq[(Int, String, String, Long)]]()
 
+  /** Harness-only: ClusterSmoke re-trains under forked-executor JVMs and
+    * must not read this JVM's memo.
+    */
+  private[graft] def clearMergeCache(): Unit = mergeCache.clear()
+
   private[graft] def trainedMerges(spark: SparkSession, dir: String)
       : Seq[(Int, String, String, Long)] =
     trainedMergesN(spark, dir, Merges)

@@ -181,8 +181,95 @@ object OpsStats {
        |UNION ALL
        |SELECT 'rollup.tables', ${graft.model.RollupConfig.tables.size}""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // cardinality_sketch
+  // ---------------------------------------------------------------------
+
+  /** HyperLogLog registers (m = 64) and small-range-correction threshold
+    * `2.5 m`. 64 registers put the standard error around 1.04/√64 ≈ 13%
+    * — the gauge class of answer stats.go's count gauges want, from
+    * 64 BYTES of mergeable state per group.
+    */
+  val HllRegs = 64
+  private val HllAlpha = 0.709 // alpha_m for m = 64 (Flajolet et al. 2007)
+
+  /** The SCALE form of a distinct count: exact `count(DISTINCT …)` is a
+    * full shuffle of the key universe; the HLL register frame is 64 small
+    * integers per group — mergeable by `max` exactly like the rollup
+    * state algebra (the third mergeable sketch beside the quantile
+    * histogram and the occupancy frames). Everything is portable integer
+    * algebra until the last step: register = hash60 % m, rank = leading
+    * zeros of the remaining 54 bits via `length(bin(w))` (binary-string
+    * length, exact in both engines — no float log), and the harmonic sum
+    * is EXACT: Σ 2^(55−M_r) in bigint (≤ 64·2^55, no overflow, order-
+    * immune). Only the final estimate divides (one deterministic double
+    * expression, round 6); the small-range branch (`E ≤ 2.5m`, linear
+    * counting) computes identically on both engines — the sf0.01 fixture
+    * lands in it, sf0.1 in the raw-estimate branch, so BOTH are
+    * oracle-gated. `n_exact`/`rel_err` ride along as the measurement
+    * harness (the ann_recall pattern): the op reports its own error.
+    */
+  def cardinalitySketch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.model.Portable
+    val rows = Tables.events(spark, dir)
+      .withColumn("h", Portable.hash60(col("user_id").cast("string")))
+      .withColumn("r", col("h") % HllRegs)
+      .withColumn("w", expr(s"h DIV $HllRegs"))
+      .withColumn("rank",
+        expr("CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END"))
+    val regs = rows.groupBy("event_type", "r").agg(max("rank").as("m"))
+    val perType = regs.groupBy("event_type").agg(
+      count(lit(1)).as("used"),
+      sum(expr("shiftleft(cast(1 as bigint), cast(55 - m as int))")).as("s_present"))
+    val exact = rows.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_exact"))
+    perType.join(exact, "event_type")
+      .withColumn("v", lit(HllRegs.toLong) - col("used"))
+      .withColumn("s", col("s_present")
+        + col("v") * expr("shiftleft(cast(1 as bigint), 55)"))
+      .withColumn("e_raw",
+        lit(HllAlpha) * lit((HllRegs * HllRegs).toDouble)
+          * expr("shiftleft(cast(1 as bigint), 55)") / col("s"))
+      .withColumn("est", round(
+        when(col("e_raw") <= lit(2.5 * HllRegs) && col("v") > 0,
+          lit(HllRegs.toDouble) * log(lit(HllRegs.toDouble) / col("v")))
+          .otherwise(col("e_raw")), 6))
+      .select(col("event_type"), col("n_exact"), col("est"),
+        round(abs(col("est") - col("n_exact")) / col("n_exact"), 6).as("rel_err"))
+  }
+
+  private val cardinalitySketchSql: String = {
+    import graft.model.Portable
+    val h = Portable.hex2bigSql("md5(CAST(user_id AS VARCHAR))")
+    s"""WITH hh AS (SELECT event_type, user_id, $h AS h FROM events),
+       |rr AS (SELECT event_type, user_id, h % $HllRegs AS r, h // $HllRegs AS w FROM hh),
+       |rk AS (SELECT event_type, user_id, r,
+       |              CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END AS rank FROM rr),
+       |regs AS (SELECT event_type, r, max(rank) AS m FROM rk GROUP BY 1, 2),
+       |pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS used,
+       |              CAST(sum(CAST(1 AS BIGINT) << (55 - m)) AS BIGINT) AS s_present
+       |       FROM regs GROUP BY 1),
+       |ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+       |       FROM events GROUP BY 1),
+       |j AS (SELECT p.event_type, n_exact, used, $HllRegs - used AS v,
+       |             s_present + ($HllRegs - used) * (CAST(1 AS BIGINT) << 55) AS s
+       |      FROM pt p JOIN ex USING (event_type)),
+       |e AS (SELECT event_type, n_exact, v,
+       |             $HllAlpha * ${(HllRegs * HllRegs).toDouble} * (CAST(1 AS BIGINT) << 55) / s AS e_raw
+       |      FROM j),
+       |f AS (SELECT event_type, n_exact,
+       |             round(CASE WHEN e_raw <= ${2.5 * HllRegs} AND v > 0
+       |                        THEN ${HllRegs.toDouble} * ln(${HllRegs.toDouble} / v)
+       |                        ELSE e_raw END, 6) AS est
+       |      FROM e)
+       |SELECT event_type, n_exact, est,
+       |       round(abs(est - n_exact) / n_exact, 6) AS rel_err
+       |FROM f""".stripMargin
+  }
+
   def ops: Seq[Op] = Seq(
     Op("write_stats", writeStats, Some(writeStatsSql)),
-    Op("runtime_stats", runtimeStats, Some(runtimeStatsSql))
+    Op("runtime_stats", runtimeStats, Some(runtimeStatsSql)),
+    Op("cardinality_sketch", cardinalitySketch, Some(cardinalitySketchSql))
   )
 }

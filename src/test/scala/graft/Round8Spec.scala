@@ -32,6 +32,19 @@ class Round8Spec extends AnyFunSuite with TestSpark {
     }
   }
 
+  test("cardinality sketch: error inside the m=64 envelope, branches consistent") {
+    // 1.04/sqrt(64) ~ 13% standard error; 3 sigma ~ 40% is the loose gate
+    // that catches algebra drift without flaking on fixture draws
+    val rows = graft.operators.OpsStats.cardinalitySketch(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, est, err) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      assert(n > 0 && est > 0)
+      assert(err <= 0.40, s"${r.getString(0)}: rel_err $err beyond 3-sigma of m=64")
+      assert(math.abs(err - math.abs(est - n) / n) < 1e-6, "rel_err inconsistent")
+    }
+  }
+
   test("widening the simhash piece dial shrinks bucket collisions") {
     val sim = Dedup.simhashSigs(spark, Sf)
     val narrow = Dedup.simhashPieceFrame(sim, 10) // 6 pieces x 2^10 buckets

@@ -210,19 +210,36 @@ object OpsStats {
     * harness (the ann_recall pattern): the op reports its own error.
     */
   def cardinalitySketch(spark: SparkSession, dir: String): DataFrame = {
+    val rows = hllRegisterRows(Tables.events(spark, dir))
+    val regs = rows.groupBy("event_type", "r").agg(max("rank").as("m"))
+    val exact = rows.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_exact"))
+    hllFinalize(regs, exact)
+  }
+
+  /** Per-event register coordinates: (r, rank) for each row — the map-only
+    * projection BOTH the batch sketch and the streaming twin
+    * (`stream_cardinality`) run before their `max(rank)` registers. Pure
+    * deterministic expressions, so it runs unchanged on a streaming frame.
+    */
+  private[graft] def hllRegisterRows(events: DataFrame): DataFrame = {
     import graft.model.Portable
-    val rows = Tables.events(spark, dir)
+    events
       .withColumn("h", Portable.hash60(col("user_id").cast("string")))
       .withColumn("r", col("h") % HllRegs)
       .withColumn("w", expr(s"h DIV $HllRegs"))
       .withColumn("rank",
         expr("CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END"))
-    val regs = rows.groupBy("event_type", "r").agg(max("rank").as("m"))
+  }
+
+  /** The estimate readoff over a drained register frame `(event_type, r,
+    * m)` plus the exact-count measurement frame — shared by batch and
+    * streaming so the two ops cannot diverge in the finalization algebra.
+    */
+  private[graft] def hllFinalize(regs: DataFrame, exact: DataFrame): DataFrame = {
     val perType = regs.groupBy("event_type").agg(
       count(lit(1)).as("used"),
       sum(expr("shiftleft(cast(1 as bigint), cast(55 - m as int))")).as("s_present"))
-    val exact = rows.groupBy("event_type")
-      .agg(countDistinct("user_id").as("n_exact"))
     perType.join(exact, "event_type")
       .withColumn("v", lit(HllRegs.toLong) - col("used"))
       .withColumn("s", col("s_present")
@@ -238,7 +255,7 @@ object OpsStats {
         round(abs(col("est") - col("n_exact")) / col("n_exact"), 6).as("rel_err"))
   }
 
-  private val cardinalitySketchSql: String = {
+  private[graft] val cardinalitySketchSql: String = {
     import graft.model.Portable
     val h = Portable.hex2bigSql("md5(CAST(user_id AS VARCHAR))")
     s"""WITH hh AS (SELECT event_type, user_id, $h AS h FROM events),

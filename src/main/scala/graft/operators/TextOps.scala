@@ -244,6 +244,61 @@ object TextOps {
       |FROM tok t JOIN df d USING (tok)
       |GROUP BY t.doc_id""".stripMargin
 
+  // --------------------------------------------------------- token_surprisal
+
+  /** Quantized unigram-LM scoring: per-doc total and mean token SURPRISAL
+    * in whole bits, where a token's surprisal is floor(log2(N / tf)) — the
+    * information content its corpus frequency implies, quantized to the
+    * bit. This is the CCNet/Gopher perplexity filter's decision variable
+    * with the LM replaced by the corpus's own unigram model and the log
+    * replaced by an EXACT integer: floor(log2(x)) = length(bin(x)) − 1,
+    * identical in Spark and DuckDB, so per-doc sums are order-immune
+    * bigints and the only float is the final mean (round 6). Where
+    * `text_commonness` averages raw document frequencies (linear — one
+    * corpus-universal token swamps the mean), surprisal bits are
+    * logarithmic: every token contributes its information content, which
+    * is the scale on which rarity-vs-boilerplate is actually decided.
+    *
+    * Scale shape: same as `text_commonness` — the tf table is
+    * VOCABULARY-sized (broadcast at any corpus size), the per-doc agg
+    * partially combines co-located tokens so the exchange carries ~|docs|
+    * rows, and the tf aggregation is the one token-keyed shuffle.
+    */
+  def tokenSurprisal(spark: SparkSession, dir: String): DataFrame =
+    tokenSurprisalFrom(Tables.documents(spark, dir))
+
+  def tokenSurprisalFrom(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+    val tf = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+    val n = tf.agg(sum("tf").as("n_total"))
+    toks.join(broadcast(tf), "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("b", expr("length(bin(n_total DIV tf)) - 1"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tok"),
+        sum("b").as("bits"))
+      .select(col("doc_id"), col("n_tok"), col("bits"),
+        round(col("bits") / col("n_tok"), 6).as("mean_bits"))
+  }
+
+  private val tokenSurprisalSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+      |), tf AS (
+      |  SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY tok
+      |), n AS (
+      |  SELECT CAST(sum(tf) AS BIGINT) AS n_total FROM tf
+      |), b AS (
+      |  SELECT t.doc_id, length(bin(n_total // tf)) - 1 AS b
+      |  FROM tok t JOIN tf USING (tok) CROSS JOIN n
+      |)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+      |       CAST(sum(b) AS BIGINT) AS bits,
+      |       round(CAST(sum(b) AS BIGINT) / CAST(count(*) AS DOUBLE), 6) AS mean_bits
+      |FROM b GROUP BY doc_id""".stripMargin
+
   // ---------------------------------------------------------- doc_fingerprint
 
   val FingerprintK = 8
@@ -469,6 +524,7 @@ object TextOps {
     Op("token_count", tokenCount, Some(tokenCountSql)),
     Op("text_repetition", textRepetition, Some(textRepetitionSql)),
     Op("text_commonness", textCommonness, Some(textCommonnessSql)),
+    Op("token_surprisal", tokenSurprisal, Some(tokenSurprisalSql)),
     Op("doc_fingerprint", fingerprint, Some(fingerprintSql)),
     Op("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     Op("vocab_build", vocabBuild, Some(vocabBuildSql)),

@@ -235,6 +235,43 @@ object CarbonStream {
     Carbon.quantilesFromBins(drainMemorySink(spark, sink))
   }
 
+  /** The streaming cardinality sketch: the 64 HLL registers per event type
+    * ARE the streaming-maintainable state — `max(rank)` partials are
+    * order-immune and merge across micro-batches exactly like flush
+    * slices, where exact `count(DISTINCT)`'s key-universe state a stream
+    * cannot bound. One complete-mode groupBy(event_type, r) runs live; the
+    * estimate readoff happens on the drained register frame via the SAME
+    * [[graft.operators.OpsStats.hllFinalize]] the batch op uses (the
+    * exact-count side is the batch-computed measurement harness, like
+    * `ann_recall`'s brute-force truth — the stream maintains only the
+    * sketch). Oracle = the batch sketch SQL verbatim: a finite stream
+    * must land on identical registers, hence identical estimates.
+    */
+  def cardinalityQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.OpsStats
+    val events = eventsStream(spark, dir)
+    val sink = "stream_cardinality_" + UUID.randomUUID().toString.replace("-", "")
+    withStreamPartitions(spark) {
+      val q = OpsStats.hllRegisterRows(events)
+        .groupBy(col("event_type"), col("r"))
+        .agg(max("rank").as("m"))
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .start()
+      try {
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+      }
+    }
+    val exact = Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_exact"))
+    OpsStats.hllFinalize(drainMemorySink(spark, sink), exact)
+  }
+
   /** Oracle: identical to the batch 60 s average rollup — finite stream in
     * complete mode must equal the batch aggregation.
     */
@@ -390,6 +427,8 @@ object CarbonStream {
     Op("stream_rollup", rollupQuery, Some(rollupSql)),
     Op("stream_rollup_append", rollupAppendQuery, Some(rollupAppendSql)),
     Op("stream_quantiles", quantilesQuery,
-      Some(graft.operators.Carbon.valueQuantilesSketchSql))
+      Some(graft.operators.Carbon.valueQuantilesSketchSql)),
+    Op("stream_cardinality", cardinalityQuery,
+      Some(graft.operators.OpsStats.cardinalitySketchSql))
   )
 }

@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.hadoop.fs.{FileSystem, FilterFileSystem, Path}
-import org.apache.spark.sql.functions.{col, timestamp_seconds, to_date}
+import org.apache.spark.sql.functions.{col, max, timestamp_seconds, to_date}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Rollups
@@ -279,7 +279,7 @@ class Round11Spec extends AnyFunSuite with TestSpark {
 
   // ------------------- adversarial inputs through the five streaming paths
 
-  test("streaming five pass the DuckDB oracle gate on the adversarial fixture") {
+  test("streaming six pass the DuckDB oracle gate on the adversarial fixture") {
     // Round9 gated the BATCH text/doc ops on non-ASCII/empty/missing-key
     // inputs; this replays the same fixture through every Structured
     // Streaming path (r10 advice item 7). The fixture's shape also forces
@@ -293,7 +293,7 @@ class Round11Spec extends AnyFunSuite with TestSpark {
     val out = "/root/repo/target/round11_stream_verify"
     Verify.dump(spark, fixtureDir, out, Some(Set(
       "stream_rollup", "stream_rollup_append", "stream_dedup_exact",
-      "stream_dedup_watermark", "stream_sessionize")))
+      "stream_dedup_watermark", "stream_sessionize", "stream_cardinality")))
     val log = new StringBuilder
     val exit = Process(
       Seq("python3", "tools/oracle_check.py", fixtureDir, out),
@@ -321,5 +321,63 @@ class Round11Spec extends AnyFunSuite with TestSpark {
       assert(got.map { case gaugeLine(n, _) => n }.toSet == wanted,
         "every liveGauges name must arrive exactly once")
     } finally sink.close()
+  }
+
+  // --------------------------------------------- streaming HLL registers
+
+  test("stream_cardinality: registers merge across micro-batches to the batch sketch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.OpsStats
+    import graft.streaming.CarbonStream
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val events = graft.model.Tables.events(spark, Sf)
+      .select(col("event_type"), col("user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // three interleaved chunks, one micro-batch each: any register whose
+    // max-rank event lands in an earlier chunk only survives if complete-
+    // mode state genuinely MERGES (max) across batches
+    val chunks = (0 until 3).map(k => events.zipWithIndex.collect {
+      case (e, i) if i % 3 == k => e
+    })
+    val in = MemoryStream[(String, Long)]
+    val sink = "r11_hll_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    CarbonStream.withStreamPartitions(spark) {
+      val q = OpsStats.hllRegisterRows(in.toDF().toDF("event_type", "user_id"))
+        .groupBy(col("event_type"), col("r")).agg(max("rank").as("m"))
+        .writeStream.format("memory").queryName(sink).outputMode("complete").start()
+      try {
+        chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+      } finally q.stop()
+    }
+    val streamed = rows(CarbonStream.drainMemorySink(spark, sink))
+    val batch = rows(OpsStats.hllRegisterRows(graft.model.Tables.events(spark, Sf))
+      .groupBy("event_type", "r").agg(max("rank").as("m")))
+    assert(streamed == batch,
+      "3-chunk replay must finalize to the single-pass register frame")
+  }
+
+  // -------------------------------------------------- token_surprisal
+
+  test("token_surprisal: planted corpus scores exactly in whole bits") {
+    import spark.implicits._
+    // tf: a=5, b=1, c=1, N=7. bits = floor(log2(N/tf)):
+    //   a -> 7 DIV 5 = 1  -> 0 bits (corpus-universal: free)
+    //   b, c -> 7 DIV 1 = 7 -> 2 bits (rare: expensive)
+    val docs = Seq(
+      (1L, "a a a a"), // all boilerplate: 0 bits total
+      (2L, "a b"),     // mixed: 2 bits over 2 tokens
+      (3L, "c")        // pure rare: 2 bits over 1 token
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextOps.tokenSurprisalFrom(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tok"), r.getAs[Long]("bits"),
+          r.getAs[Double]("mean_bits")))).toMap
+    assert(got(1L) == ((4L, 0L, 0.0)))
+    assert(got(2L) == ((2L, 2L, 1.0)))
+    assert(got(3L) == ((1L, 2L, 2.0)))
+    // the log scale is the point: doc 3's mean dominates even though
+    // text_commonness-style linear DF means would rank 2 and 3 equal-rarest
+    assert(got(3L)._3 > got(2L)._3 && got(2L)._3 > got(1L)._3)
   }
 }

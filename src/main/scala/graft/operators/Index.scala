@@ -77,7 +77,7 @@ object Index {
   private val buildCtes: String =
     indexSqlFrom("paths AS (SELECT DISTINCT path FROM metrics)")
 
-  private val buildSql: String =
+  private[graft] val buildSql: String =
     s"WITH $buildCtes SELECT * FROM index_nodes"
 
   /** Glob → regex exactly as the reference converts for its search backend

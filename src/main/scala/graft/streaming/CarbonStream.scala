@@ -272,6 +272,37 @@ object CarbonStream {
     OpsStats.hllFinalize(drainMemorySink(spark, sink), exact)
   }
 
+  /** The live path index: the reference's index manager consumes the path
+    * channel CONTINUOUSLY (datastore/indexmanager.go:120-160 — every
+    * stored metric's path is PUT to the index as it arrives), and this is
+    * that loop as a streaming aggregation. The prefix explode is map-only
+    * per micro-batch (each batch explodes only its NEW paths), and the
+    * node state merges by `max(depth)`/`max(leaf)` — order-immune, so a
+    * node first seen as a prefix and later as a full path converges to
+    * leaf=true regardless of arrival order. State is |index nodes|, the
+    * same bound the reference's index carries. Complete-mode memory sink
+    * for the harness; a deployment would use the update-mode changelog.
+    * Oracle = `index_build`'s SQL verbatim (finite stream == batch build).
+    */
+  def indexQuery(spark: SparkSession, dir: String): DataFrame = {
+    val paths = toMetrics(eventsStream(spark, dir)).select("path")
+    val sink = "stream_index_" + UUID.randomUUID().toString.replace("-", "")
+    withStreamPartitions(spark) {
+      val q = graft.operators.Index.indexFrom(paths)
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .start()
+      try {
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+      }
+    }
+    drainMemorySink(spark, sink)
+  }
+
   /** Oracle: identical to the batch 60 s average rollup — finite stream in
     * complete mode must equal the batch aggregation.
     */
@@ -429,6 +460,8 @@ object CarbonStream {
     Op("stream_quantiles", quantilesQuery,
       Some(graft.operators.Carbon.valueQuantilesSketchSql)),
     Op("stream_cardinality", cardinalityQuery,
-      Some(graft.operators.OpsStats.cardinalitySketchSql))
+      Some(graft.operators.OpsStats.cardinalitySketchSql)),
+    Op("stream_index", indexQuery,
+      Some(graft.operators.Index.buildSql))
   )
 }

@@ -279,7 +279,7 @@ class Round11Spec extends AnyFunSuite with TestSpark {
 
   // ------------------- adversarial inputs through the five streaming paths
 
-  test("streaming six pass the DuckDB oracle gate on the adversarial fixture") {
+  test("streaming seven pass the DuckDB oracle gate on the adversarial fixture") {
     // Round9 gated the BATCH text/doc ops on non-ASCII/empty/missing-key
     // inputs; this replays the same fixture through every Structured
     // Streaming path (r10 advice item 7). The fixture's shape also forces
@@ -293,7 +293,8 @@ class Round11Spec extends AnyFunSuite with TestSpark {
     val out = "/root/repo/target/round11_stream_verify"
     Verify.dump(spark, fixtureDir, out, Some(Set(
       "stream_rollup", "stream_rollup_append", "stream_dedup_exact",
-      "stream_dedup_watermark", "stream_sessionize", "stream_cardinality")))
+      "stream_dedup_watermark", "stream_sessionize", "stream_cardinality",
+      "stream_index")))
     val log = new StringBuilder
     val exit = Process(
       Seq("python3", "tools/oracle_check.py", fixtureDir, out),
@@ -355,6 +356,29 @@ class Round11Spec extends AnyFunSuite with TestSpark {
       .groupBy("event_type", "r").agg(max("rank").as("m")))
     assert(streamed == batch,
       "3-chunk replay must finalize to the single-pass register frame")
+  }
+
+  test("stream_index: prefix-then-full-path arrival converges to leaf=true") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.CarbonStream
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[String]
+    val sink = "r11_idx_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    CarbonStream.withStreamPartitions(spark) {
+      val q = graft.operators.Index.indexFrom(in.toDF().toDF("path"))
+        .writeStream.format("memory").queryName(sink).outputMode("complete").start()
+      try {
+        // batch 1: "a.b" exists only as a PREFIX of a deeper path
+        in.addData("a.b.c"); q.processAllAvailable()
+        // batch 2: the same node arrives as a FULL path — leaf must flip
+        // to true by max-merge, never flop back
+        in.addData("a.b"); q.processAllAvailable()
+      } finally q.stop()
+    }
+    val leaf = CarbonStream.drainMemorySink(spark, sink).collect()
+      .map(r => r.getAs[String]("node") -> r.getAs[Boolean]("leaf")).toMap
+    assert(leaf == Map("a" -> false, "a.b" -> true, "a.b.c" -> true))
   }
 
   // -------------------------------------------------- token_surprisal

@@ -521,12 +521,96 @@ object Dedup {
        |WHERE s.doc_id % $EvalMod <> 0
        |GROUP BY s.doc_id""".stripMargin
 
+  // ------------------------------------------------------ decontaminate_bloom
+
+  /** Bloom slice width (bits per position; m = 2^bits positions, k = 3
+    * positions per shingle — three disjoint slices of the 60-bit shingle
+    * hash, so no extra hashing). 20 bits ≈ 1M positions: at a 10k-shingle
+    * eval suite the per-shingle false-positive rate is (30k/1M)^3 ≈ 3e-5.
+    */
+  val BloomSliceBits = 20
+  private val BloomK = 3
+
+  /** `decontaminate` at 100 TB: the exact op broadcasts the eval SHINGLE
+    * SET, which grows with the benchmark suite; this broadcasts a BLOOM
+    * FILTER of it instead — the set of set bit positions, a frame bounded
+    * by m = 2^bits rows no matter how large the suite gets, and the
+    * fourth mergeable sketch (positions OR-merge by union, so per-suite
+    * filters build independently and union, like rollup slices). A
+    * shingle is bloom-positive iff all 3 of its hash positions are set —
+    * NO false negatives ever (every truly shared shingle's positions were
+    * inserted), only false positives at the published rate. The exact
+    * verdict rides along as the measurement harness (the ann_recall
+    * pattern): the op reports its own per-doc `false_pos`, and the spec
+    * pins the no-false-negative law plus the width dial (wider slices ⇒
+    * fewer false positives). Positions are pure integer slices of the
+    * portable shingle hash — identical algebra in both engines.
+    */
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame =
+    decontaminateBloomFrom(Tables.documents(spark, dir), BloomSliceBits)
+
+  def decontaminateBloomFrom(docs: DataFrame, sliceBits: Int): DataFrame = {
+    require(sliceBits >= 4 && sliceBits * BloomK <= 60,
+      s"slice bits must fit $BloomK disjoint slices in the 60-bit hash")
+    val m = 1L << sliceBits
+    val sh = shinglesFrom(docs)
+    val evalSh = sh.filter(col("doc_id") % EvalMod === 0)
+      .select(col("shingle")).distinct()
+    def slices = (0 until BloomK).map(j =>
+      expr(s"(shingle DIV ${1L << (sliceBits * j)}) % $m"))
+    val bloom = evalSh.select(explode(array(slices: _*)).as("pos")).distinct()
+      .withColumn("inb", lit(1))
+    val train = sh.filter(col("doc_id") % EvalMod =!= 0)
+    val hits = train
+      .select(col("doc_id"), col("shingle"), explode(array(slices: _*)).as("pos"))
+      .join(broadcast(bloom), Seq("pos"), "left")
+      .groupBy("doc_id", "shingle")
+      .agg((count(col("inb")) === BloomK).as("bloom_hit"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom"))
+    val exact = train
+      .join(broadcast(evalSh.withColumn("hit", lit(1))), Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("hit")).as("n_shared"))
+    hits.join(exact, "doc_id")
+      .select(col("doc_id"), col("n_bloom"), col("n_shared"),
+        (col("n_bloom") > 0).as("bloom_flagged"),
+        (col("n_shared") > 0).as("contaminated"),
+        (col("n_bloom") > 0 && col("n_shared") === 0).as("false_pos"))
+  }
+
+  private[graft] def decontaminateBloomSql(sliceBits: Int): String = {
+    val m = 1L << sliceBits
+    def sliceSelects(src: String, extra: String) = (0 until BloomK).map(j =>
+      s"SELECT $extra(shingle // ${1L << (sliceBits * j)}) % $m AS pos FROM $src")
+    s"""WITH $shinglesCtes,
+       |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % $EvalMod = 0),
+       |bloom AS (SELECT DISTINCT pos FROM (
+       |  ${sliceSelects("ev", "").mkString(" UNION ALL ")})),
+       |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % $EvalMod <> 0),
+       |probe AS (${sliceSelects("tr", "doc_id, shingle, ").mkString(" UNION ALL ")}),
+       |hb AS (SELECT p.doc_id, p.shingle, count(b.pos) = $BloomK AS bloom_hit
+       |       FROM probe p LEFT JOIN bloom b USING (pos) GROUP BY 1, 2),
+       |nb AS (SELECT doc_id,
+       |              CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom
+       |       FROM hb GROUP BY 1),
+       |ns AS (SELECT t.doc_id, CAST(count(e.shingle) AS BIGINT) AS n_shared
+       |       FROM tr t LEFT JOIN ev e USING (shingle) GROUP BY 1)
+       |SELECT doc_id, n_bloom, n_shared,
+       |       n_bloom > 0 AS bloom_flagged,
+       |       n_shared > 0 AS contaminated,
+       |       (n_bloom > 0) AND n_shared = 0 AS false_pos
+       |FROM nb JOIN ns USING (doc_id)""".stripMargin
+  }
+
   def ops: Seq[Op] = Seq(
     Op("dedup_exact", exact, Some(exactSql)),
     Op("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     Op("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),
     Op("dedup_simhash", simhash, Some(simhashSql)),
     Op("dedup_cluster", cluster, Some(clusterSql)),
-    Op("decontaminate", decontaminate, Some(decontaminateSql))
+    Op("decontaminate", decontaminate, Some(decontaminateSql)),
+    Op("decontaminate_bloom", decontaminateBloom,
+      Some(decontaminateBloomSql(BloomSliceBits)))
   )
 }

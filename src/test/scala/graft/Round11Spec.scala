@@ -381,6 +381,30 @@ class Round11Spec extends AnyFunSuite with TestSpark {
     assert(leaf == Map("a" -> false, "a.b" -> true, "a.b.c" -> true))
   }
 
+  // ---------------------------------------------- decontaminate_bloom
+
+  test("decontaminate_bloom: no false negatives at any width; wider slices shed false positives") {
+    import graft.operators.Dedup
+    val docs = graft.model.Tables.documents(spark, Sf)
+    def stats(bits: Int): (Long, Long) = {
+      val rows = Dedup.decontaminateBloomFrom(docs, bits).collect()
+      // the Bloom guarantee: every exactly-contaminated doc is flagged
+      rows.foreach { r =>
+        if (r.getAs[Boolean]("contaminated"))
+          assert(r.getAs[Boolean]("bloom_flagged"),
+            s"false NEGATIVE at $bits bits: doc ${r.getAs[Long]("doc_id")}")
+        assert(r.getAs[Long]("n_bloom") >= r.getAs[Long]("n_shared"),
+          "bloom can only over-count shared shingles, never under")
+      }
+      (rows.count(_.getAs[Boolean]("false_pos")).toLong, rows.length.toLong)
+    }
+    val (fpNarrow, n) = stats(4)   // m = 16: saturated filter, everything positive
+    val (fpWide, _) = stats(Dedup.BloomSliceBits) // m = 2^20: fp rate ~(nk/m)^k
+    assert(fpNarrow > fpWide,
+      s"widening the slice dial must shed false positives ($fpNarrow -> $fpWide of $n)")
+    assert(fpWide == 0, s"at 2^20 positions the fixture's fp count must be 0, got $fpWide")
+  }
+
   // -------------------------------------------------- token_surprisal
 
   test("token_surprisal: planted corpus scores exactly in whole bits") {

@@ -112,6 +112,10 @@ object Demo {
     val gauges = graft.operators.OpsStats.liveGauges(spark).toMap
     println(f"[demo] live gauges: heap ${gauges("memory.alloc") / 1048576}%d MiB used, " +
       s"${gauges("memory.gc")} GCs, ${gauges("executors")} executor(s)")
+    val card = graft.operators.OpsStats.cardinalitySketch(spark, dir).collect()
+      .map(r => f"${r.getString(0)}=${r.getDouble(2)}%.0f±${r.getDouble(3) * 100}%.1f%%")
+      .sorted.mkString(", ")
+    println(s"[demo] HLL distinct users per event type (64 registers): $card")
 
     // 4. the training-data pipeline over documents
     val nearDups = Dedup.minhashLsh(spark, dir).count()
@@ -127,6 +131,15 @@ object Demo {
       .filter(col("contaminated")).count()
     println(s"[demo] pipeline filters: rarest token df=$rare, " +
       s"$contaminated train docs share a 3-gram with the eval holdout")
+    val bloom = Dedup.decontaminateBloom(spark, dir)
+      .agg(sum(when(col("bloom_flagged"), 1).otherwise(0)),
+        sum(when(col("false_pos"), 1).otherwise(0))).head()
+    println(s"[demo] decontaminate_bloom: ${bloom.getLong(0)} flagged by the " +
+      s"2^${Dedup.BloomSliceBits}-bit filter, ${bloom.getLong(1)} false positives")
+    val surpr = TextOps.tokenSurprisal(spark, dir)
+      .agg(min("mean_bits"), max("mean_bits")).head()
+    println(f"[demo] token_surprisal: mean bits/token spans " +
+      f"${surpr.getDouble(0)}%.2f (boilerplate) .. ${surpr.getDouble(1)}%.2f (rare)")
 
     // 4b. pre-flight the sketch dials: measured bucket occupancy per
     //     family — the number that says when a width must widen (~log n)

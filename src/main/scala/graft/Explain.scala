@@ -18,7 +18,8 @@ object Explain {
         "peer_rebalance", "peer_reload", "metric_fetch", "sessionize", "index_build",
         "sketch_occupancy", "store_lifecycle", "runtime_stats",
         "carbon_reassemble", "peer_forward", "pq_encode", "ann_pq", "vocab_build",
-        "bpe_encode", "value_quantiles_sketch"))
+        "bpe_encode", "value_quantiles_sketch", "cardinality_sketch",
+        "token_surprisal", "decontaminate_bloom"))
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -271,7 +271,10 @@ object TextOps {
     val toks = docs
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
     val tf = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
-    val n = tf.agg(sum("tf").as("n_total"))
+    // N = Σ tf, but computed map-only from per-doc token counts — no
+    // second token explode/shuffle just to total the corpus
+    val n = docs.agg(
+      sum(size(split(lower(col("text")), " "))).as("n_total"))
     toks.join(broadcast(tf), "tok")
       .crossJoin(broadcast(n))
       .withColumn("b", expr("length(bin(n_total DIV tf)) - 1"))
@@ -289,7 +292,8 @@ object TextOps {
       |), tf AS (
       |  SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY tok
       |), n AS (
-      |  SELECT CAST(sum(tf) AS BIGINT) AS n_total FROM tf
+      |  SELECT CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_total
+      |  FROM documents
       |), b AS (
       |  SELECT t.doc_id, length(bin(n_total // tf)) - 1 AS b
       |  FROM tok t JOIN tf USING (tok) CROSS JOIN n

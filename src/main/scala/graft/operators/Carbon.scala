@@ -490,12 +490,17 @@ object Carbon {
     * queryable). Deterministic limit via (points desc, path asc).
     */
   def topPaths(spark: SparkSession, dir: String): DataFrame =
-    Tables.metrics(spark, dir)
-      .groupBy("path").agg(count(lit(1)).as("points"))
-      .orderBy(col("points").desc, col("path"))
-      .limit(10)
+    topFromCounts(Tables.metrics(spark, dir)
+      .groupBy("path").agg(count(lit(1)).as("points")))
 
-  private val topPathsSql: String =
+  /** The top-10 readoff over a per-path count frame — shared with the
+    * streaming twin (`stream_top_paths`), which maintains the counts live
+    * and ranks the drained catalog-sized frame the same way.
+    */
+  private[graft] def topFromCounts(counts: DataFrame): DataFrame =
+    counts.orderBy(col("points").desc, col("path")).limit(10)
+
+  private[graft] val topPathsSql: String =
     s"""WITH ${Tables.metricsSql}
        |SELECT path, CAST(count(*) AS BIGINT) AS points
        |FROM metrics GROUP BY 1

@@ -303,6 +303,35 @@ object CarbonStream {
     drainMemorySink(spark, sink)
   }
 
+  /** The live top-volume paths: per-path integer counters are the
+    * streaming-maintainable state (sum-merge across micro-batches, state
+    * bounded by the path catalog — the reference accumulator's own
+    * bound), where a global sort cannot run continuously. One
+    * complete-mode groupBy(path) count runs live; the top-10 rank happens
+    * on the drained catalog-sized count frame via the SAME
+    * [[graft.operators.Carbon.topFromCounts]] the batch op uses. Oracle =
+    * `top_paths`' SQL verbatim.
+    */
+  def topPathsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val metrics = toMetrics(eventsStream(spark, dir))
+    val sink = "stream_top_paths_" + UUID.randomUUID().toString.replace("-", "")
+    withStreamPartitions(spark) {
+      val q = metrics
+        .groupBy("path").agg(count(lit(1)).as("points"))
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .start()
+      try {
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+      }
+    }
+    graft.operators.Carbon.topFromCounts(drainMemorySink(spark, sink))
+  }
+
   /** Oracle: identical to the batch 60 s average rollup — finite stream in
     * complete mode must equal the batch aggregation.
     */
@@ -462,6 +491,8 @@ object CarbonStream {
     Op("stream_cardinality", cardinalityQuery,
       Some(graft.operators.OpsStats.cardinalitySketchSql)),
     Op("stream_index", indexQuery,
-      Some(graft.operators.Index.buildSql))
+      Some(graft.operators.Index.buildSql)),
+    Op("stream_top_paths", topPathsQuery,
+      Some(graft.operators.Carbon.topPathsSql))
   )
 }

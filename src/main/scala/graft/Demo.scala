@@ -160,6 +160,15 @@ object Demo {
     println(s"[demo] curate: $survived/${verdict.count()} docs survive " +
       "quality+repetition+decontamination+dedup in one query")
 
+    // 5c. the live decontamination twin: the same Bloom verdict while
+    //     docs stream in — the eval suite is fixed, so every probe is a
+    //     stateless stream-static broadcast join
+    val live = DedupStream.decontaminateQuery(spark, dir)
+    val flagged = live.filter(col("bloom_flagged")).count()
+    val fps = live.filter(col("false_pos")).count()
+    println(s"[demo] stream_decontaminate: $flagged docs flagged live, " +
+      s"$fps bloom false positives")
+
     // 6. the multimodal columns ride the same pipeline: typed metadata,
     //    deterministic frame sampling, exact aspect-fit resize planning,
     //    fixed-point feature lanes behind the (stubbed) decode seam

@@ -529,7 +529,7 @@ object Dedup {
     * eval suite the per-shingle false-positive rate is (30k/1M)^3 ≈ 3e-5.
     */
   val BloomSliceBits = 20
-  private val BloomK = 3
+  private[graft] val BloomK = 3
 
   /** `decontaminate` at 100 TB: the exact op broadcasts the eval SHINGLE
     * SET, which grows with the benchmark suite; this broadcasts a BLOOM
@@ -550,19 +550,13 @@ object Dedup {
     decontaminateBloomFrom(Tables.documents(spark, dir), BloomSliceBits)
 
   def decontaminateBloomFrom(docs: DataFrame, sliceBits: Int): DataFrame = {
-    require(sliceBits >= 4 && sliceBits * BloomK <= 60,
-      s"slice bits must fit $BloomK disjoint slices in the 60-bit hash")
-    val m = 1L << sliceBits
     val sh = shinglesFrom(docs)
-    val evalSh = sh.filter(col("doc_id") % EvalMod === 0)
-      .select(col("shingle")).distinct()
-    def slices = (0 until BloomK).map(j =>
-      expr(s"(shingle DIV ${1L << (sliceBits * j)}) % $m"))
-    val bloom = evalSh.select(explode(array(slices: _*)).as("pos")).distinct()
-      .withColumn("inb", lit(1))
+    val evalSh = evalShinglesOf(sh)
+    val bloom = bloomPositionsFrom(evalSh, sliceBits).withColumn("inb", lit(1))
     val train = sh.filter(col("doc_id") % EvalMod =!= 0)
     val hits = train
-      .select(col("doc_id"), col("shingle"), explode(array(slices: _*)).as("pos"))
+      .select(col("doc_id"), col("shingle"),
+        explode(array(sliceExprs(sliceBits): _*)).as("pos"))
       .join(broadcast(bloom), Seq("pos"), "left")
       .groupBy("doc_id", "shingle")
       .agg((count(col("inb")) === BloomK).as("bloom_hit"))
@@ -572,12 +566,37 @@ object Dedup {
       .join(broadcast(evalSh.withColumn("hit", lit(1))), Seq("shingle"), "left")
       .groupBy("doc_id")
       .agg(count(col("hit")).as("n_shared"))
-    hits.join(exact, "doc_id")
-      .select(col("doc_id"), col("n_bloom"), col("n_shared"),
-        (col("n_bloom") > 0).as("bloom_flagged"),
-        (col("n_shared") > 0).as("contaminated"),
-        (col("n_bloom") > 0 && col("n_shared") === 0).as("false_pos"))
+    bloomVerdict(hits.join(exact, "doc_id"))
   }
+
+  /** The eval suite's distinct shingle set (the stand-in predicate). */
+  private[graft] def evalShinglesOf(sh: DataFrame): DataFrame =
+    sh.filter(col("doc_id") % EvalMod === 0).select(col("shingle")).distinct()
+
+  /** The k disjoint slice expressions over a `shingle` column. */
+  private[graft] def sliceExprs(sliceBits: Int): Seq[org.apache.spark.sql.Column] = {
+    require(sliceBits >= 4 && sliceBits * BloomK <= 60,
+      s"slice bits must fit $BloomK disjoint slices in the 60-bit hash")
+    val m = 1L << sliceBits
+    (0 until BloomK).map(j => expr(s"(shingle DIV ${1L << (sliceBits * j)}) % $m"))
+  }
+
+  /** The Bloom filter as a frame: the distinct set positions, bounded by
+    * m = 2^sliceBits rows no matter the suite size — the broadcastable
+    * form (shared with the streaming twin, which probes it live).
+    */
+  private[graft] def bloomPositionsFrom(evalSh: DataFrame, sliceBits: Int): DataFrame =
+    evalSh.select(explode(array(sliceExprs(sliceBits): _*)).as("pos")).distinct()
+
+  /** Verdict readoff over a (doc_id, n_bloom, n_shared) count frame —
+    * shared with `stream_decontaminate`, whose live aggregation maintains
+    * the same two counters per doc.
+    */
+  private[graft] def bloomVerdict(counts: DataFrame): DataFrame =
+    counts.select(col("doc_id"), col("n_bloom"), col("n_shared"),
+      (col("n_bloom") > 0).as("bloom_flagged"),
+      (col("n_shared") > 0).as("contaminated"),
+      (col("n_bloom") > 0 && col("n_shared") === 0).as("false_pos"))
 
   private[graft] def decontaminateBloomSql(sliceBits: Int): String = {
     val m = 1L << sliceBits

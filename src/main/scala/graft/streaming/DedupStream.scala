@@ -226,8 +226,88 @@ object DedupStream {
        |  AND doc_id + $ReplayGap >= m - $Horizon
        |  AND doc_id < m - 2 * $Horizon""".stripMargin
 
+  // ---------------------------------------------- streaming decontamination
+
+  /** Bloom decontamination on a LIVE document stream — the continuous
+    * form of `decontaminate_bloom`, for pipelines that must reject
+    * eval-contaminated documents AS they arrive rather than in a nightly
+    * sweep. The split of work is the point: the eval suite is FIXED while
+    * training docs stream, so its Bloom position frame (bounded by
+    * m = 2^sliceBits rows no matter the suite size) and its exact shingle
+    * set are STATIC DataFrames, and every probe is a stateless
+    * stream-static broadcast join — each micro-batch joins against the
+    * same broadcast build side, no streaming join state at all. Shingling
+    * is row-local (a doc's full text is one row, so `array_distinct` over
+    * the hashed trigram array IS the batch op's per-doc distinct), which
+    * keeps the whole verdict map-side; the only streaming state is the
+    * final per-doc counter pair (complete mode here so the finite replay
+    * equals the batch op — a production deployment that only needs
+    * `bloom_flagged` can drop the exact-harness join and the aggregation
+    * entirely and run append-mode stateless). Readoff via the SAME
+    * [[graft.operators.Dedup.bloomVerdict]] the batch op uses; oracle =
+    * `decontaminate_bloom`'s SQL verbatim.
+    */
+  def decontaminateQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val sliceBits = Dedup.BloomSliceBits
+    val evalSh = Dedup.evalShinglesOf(
+      Dedup.shinglesFrom(graft.model.Tables.documents(spark, dir)))
+    val bloom = Dedup.bloomPositionsFrom(evalSh, sliceBits)
+    val slices = Dedup.sliceExprs(sliceBits)
+
+    // Row-local twin of Dedup.shinglesFrom: hash first, then de-dup the
+    // hashes WITHIN the row (doc rows are unique, so this equals the
+    // batch distinct over (doc_id, shingle)) — no stateful `distinct()`.
+    val hash60Sql =
+      "CAST(conv(substring(md5(CAST(concat_ws(' ', slice(t, i, 3)) AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
+    val sh = spark.readStream
+      .schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .withColumn("t", split(col("text"), " "))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(transform(sequence(1, size(t) - 2), i -> $hash60Sql))")).as("shingle"))
+
+    val train = sh.filter(col("doc_id") % Dedup.EvalMod =!= 0)
+    // One left join per slice: bloom positions are distinct, so each join
+    // matches at most one row — `inb0..inbk` present iff that slice's
+    // position is set, and all-k-present is exactly the batch op's
+    // count(inb) == k bloom test.
+    val probed = slices.zipWithIndex.foldLeft(train) { case (df, (s, j)) =>
+      df.join(broadcast(bloom.select(col("pos").as(s"pos$j"), lit(1).as(s"inb$j"))),
+        col(s"pos$j") === s, "left")
+    }
+    val bloomHit = (0 until Dedup.BloomK)
+      .map(j => col(s"inb$j").isNotNull).reduce(_ && _)
+    val counts = probed
+      .join(broadcast(evalSh.withColumn("hit", lit(1))), Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(sum(when(bloomHit, 1L).otherwise(0L)).as("n_bloom"),
+        count(col("hit")).as("n_shared"))
+
+    val sink = "stream_decon_" + UUID.randomUUID().toString.replace("-", "")
+    CarbonStream.withStreamPartitions(spark) {
+      val q = counts
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .start()
+      try {
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+      }
+    }
+    Dedup.bloomVerdict(CarbonStream.drainMemorySink(spark, sink))
+  }
+
   def ops: Seq[Op] = Seq(
     Op("stream_dedup_exact", dedupQuery, Some(dedupSql)),
-    Op("stream_dedup_watermark", dedupWatermarkQuery, Some(dedupWatermarkSql))
+    Op("stream_dedup_watermark", dedupWatermarkQuery, Some(dedupWatermarkSql)),
+    Op("stream_decontaminate", decontaminateQuery,
+      Some(graft.operators.Dedup.decontaminateBloomSql(
+        graft.operators.Dedup.BloomSliceBits)))
   )
 }

@@ -116,6 +116,10 @@ object Demo {
       .map(r => f"${r.getString(0)}=${r.getDouble(2)}%.0f±${r.getDouble(3) * 100}%.1f%%")
       .sorted.mkString(", ")
     println(s"[demo] HLL distinct users per event type (64 registers): $card")
+    val hh = graft.operators.Carbon.heavyHittersSketch(spark, dir).collect()
+    println(s"[demo] count-min heavy hitters (3x16 counters): top=" +
+      hh.take(3).map(r => s"${r.getString(0)} est=${r.getLong(2)}/exact=${r.getLong(1)}")
+        .mkString(", ") + s", overestimated=${hh.count(_.getLong(3) > 0)}/10")
 
     // 4. the training-data pipeline over documents
     val nearDups = Dedup.minhashLsh(spark, dir).count()

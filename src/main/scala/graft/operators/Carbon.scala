@@ -506,6 +506,117 @@ object Carbon {
        |FROM metrics GROUP BY 1
        |ORDER BY points DESC, path LIMIT 10""".stripMargin
 
+  // ------------------------------------------------------ heavy_hitters_sketch
+
+  /** Count-min depth (number of independent counter rows — disjoint 20-bit
+    * slices of the portable 60-bit path hash, the Bloom-filter trick, so
+    * no extra hashing) and bucket width (w = 2^bits buckets per row).
+    * State is depth × w integers TOTAL — the only aggregation state in
+    * this engine that is CONSTANT in the key cardinality. 4 bits (w=16)
+    * is deliberately narrower than this fixture's 40-path catalog so
+    * collisions — the thing the sketch exists to bound — are observable
+    * and the spec can pin the dial law; a production deployment sizes
+    * w ≈ e/ε for an ε·N overestimate bound.
+    */
+  private[graft] val CmsDepth = 3
+  val CmsBucketBits = 4
+
+  /** [[topPaths]] at 100 TB: the exact op's per-path counters grow with
+    * the path catalog — fine for carbon paths, unbounded for high-card
+    * key streams (per-user, per-URL). This is the count-min answer: each
+    * point increments [[CmsDepth]] bucket counters (sum-mergeable, so
+    * partials merge across executors and flush slices like the rollup
+    * state algebra), and a key's estimate is the MIN over its buckets —
+    * never an underestimate (every occurrence incremented all its
+    * buckets; collisions only ADD), which CarbonAnalyticsSpec pins along
+    * with the width dial. The readoff probes the counter frame with the
+    * path catalog and reports est next to exact — the ann_recall
+    * self-measurement pattern ([[cmsTopFrom]] is shared with the
+    * streaming twin, whose live state is the constant-size counter frame
+    * itself).
+    */
+  def heavyHittersSketch(spark: SparkSession, dir: String): DataFrame =
+    heavyHittersWith(spark, dir, CmsBucketBits)
+
+  private[graft] def heavyHittersWith(spark: SparkSession, dir: String,
+      bucketBits: Int): DataFrame = {
+    val pc = pathCounts(spark, dir)
+    cmsTopFrom(cmsCountersFrom(pc, bucketBits), pc, bucketBits)
+  }
+
+  private[graft] def pathCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.metrics(spark, dir).groupBy("path").agg(count(lit(1)).as("points"))
+
+  /** The depth bucket expressions over an `h` (60-bit hash) column. */
+  private[graft] def cmsBuckets(bucketBits: Int): Seq[Column] = {
+    require(bucketBits >= 1 && bucketBits <= 20,
+      "bucket bits must fit a 20-bit slice per depth row")
+    val w = 1L << bucketBits
+    (0 until CmsDepth).map(j => expr(s"(h DIV ${1L << (20 * j)}) % $w"))
+  }
+
+  /** The counter frame from a per-path count frame: depth rows per path,
+    * summed per (j, bucket) — depth × w rows total.
+    */
+  private[graft] def cmsCountersFrom(counts: DataFrame, bucketBits: Int): DataFrame = {
+    val bs = cmsBuckets(bucketBits)
+    counts.withColumn("h", graft.model.Portable.hash60(col("path")))
+      .select(col("points"), explode(array((0 until CmsDepth).map(j =>
+        struct(lit(j).as("j"), bs(j).as("bucket"))): _*)).as("jb"))
+      .select(col("jb.j").as("j"), col("jb.bucket").as("bucket"), col("points"))
+      .groupBy("j", "bucket")
+      .agg(sum("points").as("c"))
+  }
+
+  /** Estimate readoff: probe the counter frame with the path catalog
+    * (depth broadcast joins — the counter frame is depth × w rows, always
+    * broadcastable), est = min over the key's buckets, exact rides along
+    * as the measurement harness. Shared with `stream_heavy_hitters`,
+    * which maintains the counters live and probes the drained frame the
+    * same way.
+    */
+  private[graft] def cmsTopFrom(counters: DataFrame, counts: DataFrame,
+      bucketBits: Int): DataFrame = {
+    val bs = cmsBuckets(bucketBits)
+    val withB = (0 until CmsDepth).foldLeft(
+      counts.withColumn("h", graft.model.Portable.hash60(col("path")))) {
+      (df, j) => df.withColumn(s"b$j", bs(j))
+    }
+    val probed = (0 until CmsDepth).foldLeft(withB) { (df, j) =>
+      df.join(broadcast(counters.filter(col("j") === j)
+        .select(col("bucket").as(s"b$j"), col("c").as(s"c$j"))), Seq(s"b$j"))
+    }
+    probed
+      .withColumn("est_points", least((0 until CmsDepth).map(j => col(s"c$j")): _*))
+      .select(col("path"), col("points"), col("est_points"),
+        (col("est_points") - col("points")).as("over_est"))
+      .orderBy(col("est_points").desc, col("path"))
+      .limit(10)
+  }
+
+  private[graft] def heavyHittersSql(bucketBits: Int): String = {
+    val w = 1L << bucketBits
+    def b(j: Int, h: String) = s"($h // ${1L << (20 * j)}) % $w"
+    val slices = (0 until CmsDepth).map(j =>
+      s"SELECT $j AS j, ${b(j, "h")} AS bucket, points FROM ph")
+    val joins = (0 until CmsDepth).map(j =>
+      s"JOIN ctr c$j ON c$j.j = $j AND c$j.bucket = ${b(j, "p.h")}")
+    val cs = (0 until CmsDepth).map(j => s"c$j.c").mkString(", ")
+    s"""WITH ${Tables.metricsSql},
+       |pc AS (SELECT path, CAST(count(*) AS BIGINT) AS points FROM metrics GROUP BY 1),
+       |ph AS (SELECT path, points, ${graft.model.Portable.hex2bigSql("md5(path)")} AS h FROM pc),
+       |ctr AS (
+       |  SELECT j, bucket, CAST(sum(points) AS BIGINT) AS c
+       |  FROM (${slices.mkString(" UNION ALL ")})
+       |  GROUP BY 1, 2
+       |)
+       |SELECT p.path, p.points, least($cs) AS est_points,
+       |       least($cs) - p.points AS over_est
+       |FROM ph p
+       |${joins.mkString("\n")}
+       |ORDER BY est_points DESC, p.path LIMIT 10""".stripMargin
+  }
+
   def ops: Seq[Op] = Seq(
     Op("carbon_parse", parse, Some(parseSql)),
     Op("carbon_receive_stats", receiveStats, Some(receiveStatsSql)),
@@ -515,6 +626,8 @@ object Carbon {
     Op("peer_reload", peerReload, Some(peerReloadSql)),
     Op("value_quantiles", valueQuantiles, Some(valueQuantilesSql)),
     Op("value_quantiles_sketch", valueQuantilesSketch, Some(valueQuantilesSketchSql)),
-    Op("top_paths", topPaths, Some(topPathsSql))
+    Op("top_paths", topPaths, Some(topPathsSql)),
+    Op("heavy_hitters_sketch", heavyHittersSketch,
+      Some(heavyHittersSql(CmsBucketBits)))
   )
 }

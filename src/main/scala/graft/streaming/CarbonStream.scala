@@ -332,6 +332,45 @@ object CarbonStream {
     graft.operators.Carbon.topFromCounts(drainMemorySink(spark, sink))
   }
 
+  /** The live heavy hitters — the ONLY aggregation in this engine whose
+    * streaming state is CONSTANT in the key cardinality: each arriving
+    * point increments its `CmsDepth` count-min bucket counters, so the
+    * state is the depth × 2^bits counter frame itself (integer, sum-merge
+    * across micro-batches like flush slices), where `stream_top_paths`'
+    * per-key counters grow with the catalog. The readoff probes the
+    * drained counter frame with the batch-computed path catalog via the
+    * SAME [[graft.operators.Carbon.cmsTopFrom]] the batch op uses (the
+    * exact side is the measurement harness — the `stream_cardinality`
+    * pattern). Oracle = `heavy_hitters_sketch`'s SQL verbatim.
+    */
+  def heavyHittersQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Carbon
+    val bits = Carbon.CmsBucketBits
+    val bs = Carbon.cmsBuckets(bits)
+    val metrics = toMetrics(eventsStream(spark, dir))
+      .withColumn("h", graft.model.Portable.hash60(col("path")))
+      .select(explode(array((0 until Carbon.CmsDepth).map(j =>
+        struct(lit(j).as("j"), bs(j).as("bucket"))): _*)).as("jb"))
+      .select(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+    val sink = "stream_cms_" + UUID.randomUUID().toString.replace("-", "")
+    withStreamPartitions(spark) {
+      val q = metrics
+        .groupBy("j", "bucket").agg(count(lit(1)).as("c"))
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .start()
+      try {
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+      }
+    }
+    Carbon.cmsTopFrom(drainMemorySink(spark, sink),
+      Carbon.pathCounts(spark, dir), bits)
+  }
+
   /** Oracle: identical to the batch 60 s average rollup — finite stream in
     * complete mode must equal the batch aggregation.
     */
@@ -493,6 +532,9 @@ object CarbonStream {
     Op("stream_index", indexQuery,
       Some(graft.operators.Index.buildSql)),
     Op("stream_top_paths", topPathsQuery,
-      Some(graft.operators.Carbon.topPathsSql))
+      Some(graft.operators.Carbon.topPathsSql)),
+    Op("stream_heavy_hitters", heavyHittersQuery,
+      Some(graft.operators.Carbon.heavyHittersSql(
+        graft.operators.Carbon.CmsBucketBits)))
   )
 }

@@ -99,4 +99,27 @@ class CarbonAnalyticsSpec extends AnyFunSuite with TestSpark {
         "quantile estimates must be monotone")
     }
   }
+
+  test("count-min never underestimates, and wider buckets shrink the overestimate") {
+    // The two count-min laws. (1) est >= exact for EVERY key: each
+    // occurrence incremented all of its depth buckets, collisions only
+    // ADD — a violation means the slices/probe drifted. (2) The width
+    // dial: the narrow default (w=16 vs the 40-path catalog) must
+    // actually collide on this fixture — otherwise both laws are
+    // vacuous — and widening the buckets must shrink the reported
+    // overestimate (the Round8Spec dial-pin pattern).
+    val top = Carbon.heavyHittersSketch(spark, Sf).collect()
+    assert(top.length === 10)
+    top.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"${r.getString(0)}: count-min underestimated (${r.getLong(2)} < ${r.getLong(1)})")
+      assert(r.getLong(3) === r.getLong(2) - r.getLong(1))
+    }
+    def totalOver(bits: Int): Long =
+      graft.operators.Carbon.heavyHittersWith(spark, Sf, bits)
+        .agg(sum("over_est")).head().getLong(0)
+    val narrow = totalOver(Carbon.CmsBucketBits)
+    assert(narrow > 0, "narrow dial must produce observable collisions")
+    assert(totalOver(12) < narrow, "wider buckets must shrink the overestimate")
+  }
 }

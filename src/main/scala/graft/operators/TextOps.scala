@@ -522,7 +522,64 @@ object TextOps {
        |       CAST(start_tok - (start_tok // $PackBudget) * $PackBudget AS BIGINT) AS bin_offset
        |FROM r""".stripMargin
 
+  // --------------------------------------------------------- chunk_documents
+
+  /** Fixed-token sliding-window chunking — the context-window prep stage
+    * of an embedding/retrieval pipeline: [[ChunkTokens]]-token windows at
+    * stride ChunkTokens − [[ChunkOverlap]], so boundary content lands
+    * whole in at least one chunk and the last window always reaches the
+    * document tail. Map-only at any scale: the chunk count is exact
+    * integer algebra (`max(1, ceil((n − overlap) / stride))`), starts,
+    * slices and hashes all evaluate inside the row, so the operator is a
+    * projection over the scan — zero shuffles at 100 TB. Chunks leave the
+    * row as portable 60-bit hashes, never bodies (the dedup-family
+    * convention: downstream exchanges move 8-byte keys; a real pipeline
+    * would carry the chunk text to its embedding stage in the same
+    * projection). NULL text rides as '' so adversarial rows produce one
+    * deterministic empty chunk in both engines.
+    */
+  val ChunkTokens = 64
+  val ChunkOverlap = 16
+
+  def chunkDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val stride = ChunkTokens - ChunkOverlap
+    Tables.documents(spark, dir)
+      .withColumn("t", split(coalesce(col("text"), lit("")), " "))
+      .withColumn("n", size(col("t")))
+      .withColumn("nc", greatest(lit(1),
+        expr(s"(n - $ChunkOverlap + ${stride - 1}) DIV $stride")))
+      .select(col("doc_id"), col("t"), col("n"),
+        explode(expr("sequence(0, nc - 1)")).as("chunk_id"))
+      .withColumn("s", col("chunk_id") * stride)
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        least(lit(ChunkTokens), col("n") - col("s")).cast("int").as("n_tokens"),
+        hash60(expr(s"concat_ws(' ', slice(t, s + 1, least($ChunkTokens, n - s)))"))
+          .as("chunk_hash"))
+  }
+
+  private val chunkDocumentsSql: String = {
+    val stride = ChunkTokens - ChunkOverlap
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t,
+       |         len(string_split(coalesce(text, ''), ' ')) AS n
+       |  FROM documents
+       |),
+       |c AS (
+       |  SELECT doc_id, t, n,
+       |         greatest(1, (n - $ChunkOverlap + ${stride - 1}) // $stride) AS nc
+       |  FROM d
+       |)
+       |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |       CAST(least($ChunkTokens, n - chunk_id * $stride) AS INT) AS n_tokens,
+       |       ${Portable.hex2bigSql(
+              s"md5(array_to_string(t[chunk_id * $stride + 1 : " +
+              s"chunk_id * $stride + least($ChunkTokens, n - chunk_id * $stride)], ' '))")}
+       |         AS chunk_hash
+       |FROM c, unnest(generate_series(0, nc - 1)) AS g(chunk_id)""".stripMargin
+  }
+
   def ops: Seq[Op] = Seq(
+    Op("chunk_documents", chunkDocuments, Some(chunkDocumentsSql)),
     Op("lang_id", langId, Some(langIdSql)),
     Op("text_quality", textQuality, Some(textQualitySql)),
     Op("token_count", tokenCount, Some(tokenCountSql)),

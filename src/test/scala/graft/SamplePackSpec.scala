@@ -49,6 +49,42 @@ class SamplePackSpec extends AnyFunSuite with TestSpark {
     }
   }
 
+  test("chunk_documents: sliding windows tile every doc exactly, tail always covered") {
+    val docs = Tables.documents(spark, Sf)
+      .select(col("doc_id"),
+        size(split(coalesce(col("text"), lit("")), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chunks = TextOps.chunkDocuments(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .groupBy(_._1)
+    assert(chunks.keySet === docs.keySet, "every doc chunks, even empty ones")
+    val stride = TextOps.ChunkTokens - TextOps.ChunkOverlap
+    chunks.foreach { case (docId, rows) =>
+      val n = docs(docId)
+      val byId = rows.sortBy(_._2)
+      // chunk ids are contiguous from 0 and the count matches the formula
+      assert(byId.map(_._2).sameElements(byId.indices.map(_.toLong)))
+      val nc = math.max(1L, (n - TextOps.ChunkOverlap + stride - 1L) / stride)
+      assert(byId.length === nc, s"doc $docId n=$n")
+      // all chunks full except possibly the last; every width in [1, window]
+      byId.init.foreach { case (_, _, w) => assert(w === TextOps.ChunkTokens) }
+      byId.foreach { case (_, _, w) =>
+        assert(w >= 1 && w <= TextOps.ChunkTokens)
+      }
+      // tiling identity: widths minus the repeated overlaps reconstruct n,
+      // so the union covers [0, n) with the tail inside the last window
+      val covered = byId.map(_._3.toLong).sum -
+        TextOps.ChunkOverlap.toLong * (byId.length - 1)
+      assert(covered === n.toLong, s"doc $docId tiles to $covered, n=$n")
+    }
+    // determinism: a rerun is bit-identical (hashes included)
+    val a = TextOps.chunkDocuments(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sorted
+    val b = TextOps.chunkDocuments(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sorted
+    assert(a.sameElements(b))
+  }
+
   test("sharded packing: each shard's packing equals the global algorithm run on that shard") {
     val shardSize = 100L
     val sharded = TextOps.packSequencesSharded(spark, Sf, shardSize).collect()

@@ -541,9 +541,12 @@ object TextOps {
   val ChunkTokens = 64
   val ChunkOverlap = 16
 
-  def chunkDocuments(spark: SparkSession, dir: String): DataFrame = {
+  def chunkDocuments(spark: SparkSession, dir: String): DataFrame =
+    chunkDocumentsFrom(Tables.documents(spark, dir))
+
+  def chunkDocumentsFrom(docs: DataFrame): DataFrame = {
     val stride = ChunkTokens - ChunkOverlap
-    Tables.documents(spark, dir)
+    docs
       .withColumn("t", split(coalesce(col("text"), lit("")), " "))
       .withColumn("n", size(col("t")))
       .withColumn("nc", greatest(lit(1),
@@ -557,29 +560,144 @@ object TextOps {
           .as("chunk_hash"))
   }
 
-  private val chunkDocumentsSql: String = {
+  /** The chunk frame as composable CTEs (final CTE = `chunks`), shared by
+    * the chunk_documents oracle and every oracle built on top of the chunk
+    * frame (boilerplate_share) — the sketch-family convention: one SQL
+    * definition, never two that can drift.
+    */
+  private[graft] val chunkCtes: String = {
     val stride = ChunkTokens - ChunkOverlap
-    s"""WITH d AS (
+    s"""chunk_d AS (
        |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t,
        |         len(string_split(coalesce(text, ''), ' ')) AS n
        |  FROM documents
        |),
-       |c AS (
+       |chunk_c AS (
        |  SELECT doc_id, t, n,
        |         greatest(1, (n - $ChunkOverlap + ${stride - 1}) // $stride) AS nc
-       |  FROM d
-       |)
-       |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
-       |       CAST(least($ChunkTokens, n - chunk_id * $stride) AS INT) AS n_tokens,
-       |       ${Portable.hex2bigSql(
-              s"md5(array_to_string(t[chunk_id * $stride + 1 : " +
-              s"chunk_id * $stride + least($ChunkTokens, n - chunk_id * $stride)], ' '))")}
-       |         AS chunk_hash
-       |FROM c, unnest(generate_series(0, nc - 1)) AS g(chunk_id)""".stripMargin
+       |  FROM chunk_d
+       |),
+       |chunks AS (
+       |  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |         CAST(least($ChunkTokens, n - chunk_id * $stride) AS INT) AS n_tokens,
+       |         ${Portable.hex2bigSql(
+                s"md5(array_to_string(t[chunk_id * $stride + 1 : " +
+                s"chunk_id * $stride + least($ChunkTokens, n - chunk_id * $stride)], ' '))")}
+       |           AS chunk_hash
+       |  FROM chunk_c, unnest(generate_series(0, nc - 1)) AS g(chunk_id)
+       |)""".stripMargin
   }
+
+  private val chunkDocumentsSql: String =
+    s"""WITH $chunkCtes
+       |SELECT doc_id, chunk_id, n_tokens, chunk_hash FROM chunks""".stripMargin
+
+  // -------------------------------------------------------- boilerplate_share
+
+  /** Per-doc boilerplate measurement over the chunk frame: the fraction of
+    * a document's chunks whose hash also appears in at least one OTHER
+    * document — the cross-doc shared-content signal a curation pipeline
+    * filters on (repeated headers/footers/licenses chunk identically
+    * wherever they appear, so they surface here without any similarity
+    * search). Composes [[chunkDocuments]] exactly (one definition), and
+    * every exchange moves 8-byte chunk hashes, never text: the per-hash
+    * doc count groups on chunk_hash (vocabulary-of-chunks-sized, the
+    * dedup_exact shape), the join back is hash-keyed (the aggregated side
+    * reuses its groupBy partitioning), and the closing per-doc agg
+    * partially combines so its exchange carries ~|docs| rows.
+    */
+  val BoilerplateMinDocs = 2
+
+  def boilerplateShare(spark: SparkSession, dir: String): DataFrame =
+    boilerplateShareFrom(Tables.documents(spark, dir))
+
+  def boilerplateShareFrom(docs: DataFrame): DataFrame = {
+    val chunks = chunkDocumentsFrom(docs)
+    val perHash = chunks.groupBy("chunk_hash")
+      .agg(countDistinct("doc_id").as("n_docs"))
+    chunks.join(perHash, "chunk_hash")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("n_docs") >= BoilerplateMinDocs, 1L).otherwise(0L))
+          .as("shared_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("shared_chunks"),
+        round(col("shared_chunks") / col("n_chunks").cast("double"), 6)
+          .as("shared_frac"))
+  }
+
+  private val boilerplateShareSql: String =
+    s"""WITH $chunkCtes,
+       |per_hash AS (
+       |  SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs
+       |  FROM chunks GROUP BY 1
+       |)
+       |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       |       CAST(sum(CASE WHEN n_docs >= $BoilerplateMinDocs THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS shared_chunks,
+       |       round(sum(CASE WHEN n_docs >= $BoilerplateMinDocs THEN 1 ELSE 0 END)
+       |             / CAST(count(*) AS DOUBLE), 6) AS shared_frac
+       |FROM chunks c JOIN per_hash USING (chunk_hash)
+       |GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------------- text_tfidf
+
+  /** Per-doc salient-term extraction: the top-[[TfidfTopK]] tokens by
+    * TF·IDF, the keyword features a curation/clustering pipeline derives
+    * per document. Portability comes from the token_surprisal trick — IDF
+    * in whole bits, `floor(log2(n_docs / df)) = length(bin(x)) − 1`, exact
+    * integer in both engines, so the score `tf × idf_bits` is a bigint
+    * with no float to disagree on; ties rank deterministically by token.
+    * Scale shape: the document-frequency table is VOCABULARY-sized
+    * (broadcast at any corpus size, the text_commonness shape), the
+    * (doc, tok) tf agg is the one token-keyed exchange, and the rank
+    * window partitions by doc_id — each partition holds one doc's distinct
+    * tokens, never the corpus.
+    */
+  val TfidfTopK = 3
+
+  def textTfidf(spark: SparkSession, dir: String): DataFrame =
+    textTfidfFrom(Tables.documents(spark, dir))
+
+  def textTfidfFrom(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+    val dfTbl = toks.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .join(broadcast(dfTbl), "tok")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf") * expr("length(bin(n_docs DIV df)) - 1"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))))
+      .filter(col("rank") <= TfidfTopK)
+      .select(col("doc_id"), col("rank"), col("tok"), col("tf"), col("score"))
+  }
+
+  private val textTfidfSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+       |), df_tbl AS (
+       |  SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY 1
+       |), n AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+       |), scored AS (
+       |  SELECT t.doc_id, t.tok, CAST(count(*) AS BIGINT) AS tf,
+       |         CAST(count(*) * (length(bin(n_docs // df)) - 1) AS BIGINT) AS score
+       |  FROM tok t JOIN df_tbl USING (tok) CROSS JOIN n
+       |  GROUP BY t.doc_id, t.tok, df, n_docs
+       |), ranked AS (
+       |  SELECT doc_id, tok, tf, score,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rank
+       |  FROM scored
+       |)
+       |SELECT doc_id, CAST(rank AS INT) AS rank, tok, tf, score
+       |FROM ranked WHERE rank <= $TfidfTopK""".stripMargin
 
   def ops: Seq[Op] = Seq(
     Op("chunk_documents", chunkDocuments, Some(chunkDocumentsSql)),
+    Op("boilerplate_share", boilerplateShare, Some(boilerplateShareSql)),
+    Op("text_tfidf", textTfidf, Some(textTfidfSql)),
     Op("lang_id", langId, Some(langIdSql)),
     Op("text_quality", textQuality, Some(textQualitySql)),
     Op("token_count", tokenCount, Some(tokenCountSql)),

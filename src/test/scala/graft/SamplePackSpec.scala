@@ -85,6 +85,58 @@ class SamplePackSpec extends AnyFunSuite with TestSpark {
     assert(a.sameElements(b))
   }
 
+  test("boilerplate_share: duplicated texts share every chunk, partial overlap shares some") {
+    import spark.implicits._
+    val words = (1 to 200).map(i => s"w$i")
+    val dupText = words.take(150).mkString(" ")
+    // doc 3 shares EXACTLY doc 1's first chunk (64 tokens), then diverges
+    val partial = (words.take(TextOps.ChunkTokens) ++
+      (1 to 100).map(i => s"z$i")).mkString(" ")
+    val docs = Seq(
+      (1L, dupText), (2L, dupText), (3L, partial),
+      (4L, (1 to 80).map(i => s"u$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val rows = TextOps.boilerplateShareFrom(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // full duplicates: every chunk shared
+    assert(rows(1L)._3 === 1.0)
+    assert(rows(2L)._3 === 1.0)
+    // partial: the first window hashes identically in docs 1 and 3 (both
+    // slice tokens [0, 64) of the same prefix), the rest are unique
+    assert(rows(3L)._2 === 1L, s"doc 3 got ${rows(3L)}")
+    assert(rows(3L)._3 > 0.0 && rows(3L)._3 < 1.0)
+    // unique doc: nothing shared
+    assert(rows(4L)._2 === 0L)
+    assert(rows(4L)._3 === 0.0)
+    // and per-doc chunk counts agree with the chunk frame itself
+    val nChunks = TextOps.chunkDocumentsFrom(docs)
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (d, (n, _, _)) => assert(n === nChunks(d)) }
+  }
+
+  test("text_tfidf: integer-bit IDF ranks rare terms first, deterministic ties") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana common common common"),
+      (2L, "banana cherry common common"),
+      (3L, "common common common")
+    ).toDF("doc_id", "text")
+    // n_docs=3; df: apple 1, banana 2, cherry 1, common 3
+    // idf_bits = floor(log2(3 // df)): apple 1, banana 0, cherry 1, common 0
+    val rows = TextOps.textTfidfFrom(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2))
+    assert(rows.filter(_._1 == 1L).map(t => (t._2, t._3, t._5)).toSeq ===
+      Seq((1, "apple", 2L), (2, "banana", 0L), (3, "common", 0L)))
+    assert(rows.filter(_._1 == 2L).map(t => (t._2, t._3, t._5)).toSeq ===
+      Seq((1, "cherry", 1L), (2, "banana", 0L), (3, "common", 0L)))
+    // doc 3 has a single distinct token: one row, not padded to k
+    assert(rows.filter(_._1 == 3L).map(t => (t._2, t._3, t._5)).toSeq ===
+      Seq((1, "common", 0L)))
+  }
+
   test("sharded packing: each shard's packing equals the global algorithm run on that shard") {
     val shardSize = 100L
     val sharded = TextOps.packSequencesSharded(spark, Sf, shardSize).collect()

@@ -144,6 +144,16 @@ object Demo {
       .agg(min("mean_bits"), max("mean_bits")).head()
     println(f"[demo] token_surprisal: mean bits/token spans " +
       f"${surpr.getDouble(0)}%.2f (boilerplate) .. ${surpr.getDouble(1)}%.2f (rare)")
+    val chunks = TextOps.chunkDocuments(spark, dir).count()
+    val shared = TextOps.boilerplateShare(spark, dir)
+      .agg(sum("shared_chunks"), max("shared_frac")).head()
+    println(s"[demo] chunking: $chunks retrieval windows " +
+      s"(${TextOps.ChunkTokens} tok, overlap ${TextOps.ChunkOverlap}); " +
+      s"${shared.getLong(0)} chunk instances shared across docs " +
+      f"(worst doc ${shared.getDouble(1) * 100}%.0f%% boilerplate)")
+    val kw = TextOps.textTfidf(spark, dir).filter(col("rank") === 1)
+      .agg(max("score")).head().getLong(0)
+    println(s"[demo] text_tfidf: per-doc keywords extracted, max salience $kw tf-bits")
 
     // 4b. pre-flight the sketch dials: measured bucket occupancy per
     //     family — the number that says when a width must widen (~log n)

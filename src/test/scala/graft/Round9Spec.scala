@@ -40,8 +40,13 @@ class Round9Spec extends AnyFunSuite with TestSpark {
     // doc's NaN-vs-NULL punct_ratio (doc 2), and the event_props oracle
     // dies on CAST('' AS BIGINT) for the k-less beta rows.
     val out = "/root/repo/target/round9_verify"
+    // r11 additions ride the same gate: the retrieval-prep trio must chunk,
+    // share-count, and keyword-rank the empty and non-ASCII docs identically
+    // in both engines (empty text = one ''-token chunk; CJK/emoji tokens
+    // case-fold as no-ops and hash byte-identically over UTF-8).
     Verify.dump(spark, fixtureDir, out,
-      Some(Set("text_quality", "doc_fingerprint", "event_props")))
+      Some(Set("text_quality", "doc_fingerprint", "event_props",
+        "chunk_documents", "boilerplate_share", "text_tfidf")))
     val log = new StringBuilder
     val exit = Process(
       Seq("python3", "tools/oracle_check.py", fixtureDir, out),

@@ -396,6 +396,102 @@ object TextOps {
        |WHERE bucket < CASE lang $rateCase ELSE 0 END""".stripMargin
   }
 
+  // ----------------------------------------------------------- mix_rebalance
+
+  /** Dataset mixing, the computed-rates half of [[sampleStratified]]: given
+    * a TARGET language distribution, derive the per-group keep rate that
+    * realizes the largest exact-mixture subsample the corpus can supply,
+    * apply it by deterministic hash threshold, and report the achieved
+    * shares. All-integer until the final share: the achievable total is
+    * `T = min over groups of (count·100 DIV pct)` (the scarcest group
+    * relative to its target caps the mixture), each group keeps
+    * `n = T·pct DIV 100` docs via a basis-point threshold
+    * `rate_bp = n·10000 DIV count` on the sampling hash — so both engines
+    * agree bit-for-bit and re-runs are identical under any partitioning.
+    * Groups named in the target but absent from the corpus are excluded
+    * (the mixture renormalizes over present groups).
+    *
+    * Scale shape: EXACTLY TWO corpus passes and no data-sized shuffle —
+    * each pass is a per-lang count whose partial combine collapses to
+    * |langs| rows per partition. The rate frame is eagerly collected
+    * (bounded by |MixTargets| — CONFIG-sized, the documented
+    * kmeans-centroid pattern) so the threshold join and the closing
+    * summary don't re-derive its lineage: without the pin, every
+    * downstream reference to the 5-row frame re-runs the counting scan.
+    * The windows in the derivation run over |langs|-row frames only.
+    * The decision a 100 TB mixing job actually ships (keep/drop per doc)
+    * is the same broadcast-join + map-only filter, with this summary as
+    * its audit.
+    */
+  val MixTargets: Seq[(String, Int)] =
+    Seq("en" -> 40, "de" -> 15, "es" -> 15, "fr" -> 15, "zh" -> 15)
+
+  def mixRebalance(spark: SparkSession, dir: String): DataFrame =
+    mixRebalanceFrom(spark, Tables.documents(spark, dir))
+
+  def mixRebalanceFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val targets = MixTargets.toDF("lang", "target_pct")
+    // pass 1: per-lang counts -> rates, ONE lineage (the t_total min is a
+    // window over the |langs|-row frame, not a second aggregate branch)
+    val rates = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .join(broadcast(targets), "lang")
+      .withColumn("cap", expr("n_docs * 100 DIV target_pct"))
+      .withColumn("t_total", min("cap").over(Window.partitionBy()))
+      .withColumn("rate_bp",
+        expr("(t_total * target_pct DIV 100) * 10000 DIV n_docs"))
+      .select("lang", "n_docs", "target_pct", "rate_bp")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSeq.toDF("lang", "n_docs", "target_pct", "rate_bp")
+    // pass 2: threshold filter + per-lang kept count
+    val kept = docs
+      .join(broadcast(rates.select("lang", "rate_bp")), "lang")
+      .filter(hash60(col("doc_id").cast("string")) % 10000 < col("rate_bp"))
+      .groupBy("lang").agg(count(lit(1)).as("kept"))
+    rates.join(kept, Seq("lang"), "left")
+      .withColumn("kept", coalesce(col("kept"), lit(0L)))
+      .withColumn("total", sum("kept").over(Window.partitionBy()))
+      .select(col("lang"), col("n_docs"), col("target_pct"),
+        col("rate_bp"), col("kept"),
+        round(col("kept") / col("total").cast("double"), 6).as("achieved_share"))
+  }
+
+  private val mixRebalanceSql: String = {
+    val targetRows = MixTargets.map { case (l, p) => s"('$l', $p)" }.mkString(", ")
+    s"""WITH targets(lang, target_pct) AS (VALUES $targetRows),
+       |mix_counts AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM documents GROUP BY 1
+       |),
+       |mix_cap AS (
+       |  SELECT c.lang, n_docs, target_pct, n_docs * 100 // target_pct AS cap
+       |  FROM mix_counts c JOIN targets USING (lang)
+       |),
+       |mix_t AS (SELECT min(cap) AS t_total FROM mix_cap),
+       |mix_rates AS (
+       |  SELECT lang, n_docs, target_pct,
+       |         (t_total * target_pct // 100) * 10000 // n_docs AS rate_bp
+       |  FROM mix_cap CROSS JOIN mix_t
+       |),
+       |mix_kept AS (
+       |  SELECT d.lang, CAST(count(*) AS BIGINT) AS kept
+       |  FROM documents d JOIN mix_rates r USING (lang)
+       |  WHERE ${hex2bigSql("md5(CAST(doc_id AS VARCHAR))")} % 10000 < rate_bp
+       |  GROUP BY 1
+       |),
+       |mix_joined AS (
+       |  SELECT r.lang, r.n_docs, r.target_pct, r.rate_bp,
+       |         coalesce(k.kept, 0) AS kept
+       |  FROM mix_rates r LEFT JOIN mix_kept k USING (lang)
+       |),
+       |mix_tot AS (SELECT CAST(sum(kept) AS BIGINT) AS total FROM mix_joined)
+       |SELECT lang, n_docs, CAST(target_pct AS INT) AS target_pct,
+       |       CAST(rate_bp AS BIGINT) AS rate_bp, CAST(kept AS BIGINT) AS kept,
+       |       round(kept / CAST(total AS DOUBLE), 6) AS achieved_share
+       |FROM mix_joined CROSS JOIN mix_tot""".stripMargin
+  }
+
   // ------------------------------------------------------------- vocab_build
 
   /** Corpus vocabulary construction — the BPE-precursor stage: top-N
@@ -706,6 +802,7 @@ object TextOps {
     Op("token_surprisal", tokenSurprisal, Some(tokenSurprisalSql)),
     Op("doc_fingerprint", fingerprint, Some(fingerprintSql)),
     Op("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
+    Op("mix_rebalance", mixRebalance, Some(mixRebalanceSql)),
     Op("vocab_build", vocabBuild, Some(vocabBuildSql)),
     Op("pack_sequences", packSequencesSharded(_, _), Some(packSequencesSql))
   )

@@ -85,6 +85,43 @@ class SamplePackSpec extends AnyFunSuite with TestSpark {
     assert(a.sameElements(b))
   }
 
+  test("mix_rebalance: integer rate derivation matches the hand formula, kept counts match an independent md5 oracle") {
+    import spark.implicits._
+    // skewed corpus: en-heavy, zh scarce relative to its 15% target
+    val perLang = Seq("en" -> 400, "de" -> 100, "es" -> 80, "fr" -> 60, "zh" -> 30)
+    var id = 0L
+    val docs = perLang.flatMap { case (l, n) =>
+      (1 to n).map { _ => id += 1; (id, s"text $id", l) }
+    }.toDF("doc_id", "text", "lang")
+    val rows = TextOps.mixRebalanceFrom(spark, docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    assert(rows.keySet === perLang.map(_._1).toSet)
+    // the scarcest group relative to its target caps the mixture
+    val targets = TextOps.MixTargets.toMap
+    val tTotal = perLang.map { case (l, n) => n.toLong * 100 / targets(l) }.min
+    assert(tTotal === 200L, "zh (30 docs / 15%) must be the cap")
+    perLang.foreach { case (l, n) =>
+      val (nDocs, pct, rateBp, kept, _) = rows(l)
+      assert(nDocs === n.toLong)
+      assert(pct === targets(l))
+      assert(rateBp === tTotal * targets(l) / 100 * 10000 / n,
+        s"$l rate_bp")
+      // independent oracle: recompute the hash threshold with plain JVM md5
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val expectKept = docs.filter(col("lang") === l)
+        .select("doc_id").collect().map(_.getLong(0)).count { d =>
+          val hex = md.digest(d.toString.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(15)
+          java.lang.Long.parseLong(hex, 16) % 10000 < rateBp
+        }
+      assert(kept === expectKept.toLong, s"$l kept")
+    }
+    // shares sum to 1 (within the rounding of 6 dp)
+    assert(math.abs(rows.values.map(_._5).sum - 1.0) < 1e-4)
+  }
+
   test("boilerplate_share: duplicated texts share every chunk, partial overlap shares some") {
     import spark.implicits._
     val words = (1 to 200).map(i => s"w$i")

@@ -684,7 +684,7 @@ object TextOps {
        |)""".stripMargin
   }
 
-  private val chunkDocumentsSql: String =
+  private[graft] val chunkDocumentsSql: String =
     s"""WITH $chunkCtes
        |SELECT doc_id, chunk_id, n_tokens, chunk_hash FROM chunks""".stripMargin
 

@@ -303,7 +303,43 @@ object DedupStream {
     Dedup.bloomVerdict(CarbonStream.drainMemorySink(spark, sink))
   }
 
+  // ------------------------------------------------------------ stream_chunk
+
+  /** The LIVE form of `chunk_documents` — and the proof of its zero-state
+    * design: because chunk count, starts, slices and hashes are all
+    * row-local algebra, the SAME batch projection
+    * ([[graft.operators.TextOps.chunkDocumentsFrom]], reused unchanged)
+    * runs on a document stream in APPEND mode with NO streaming state at
+    * all — the only append-mode stateless path in the engine, which is
+    * exactly what a continuous retrieval indexer wants (chunk each doc as
+    * it arrives, ship chunks downstream, remember nothing). Oracle =
+    * `chunk_documents`' SQL verbatim.
+    */
+  def chunkQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.readStream
+      .schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val sink = "stream_chunk_" + UUID.randomUUID().toString.replace("-", "")
+    CarbonStream.withStreamPartitions(spark) {
+      val q = graft.operators.TextOps.chunkDocumentsFrom(docs)
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .start()
+      try {
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+      }
+    }
+    CarbonStream.drainMemorySink(spark, sink)
+  }
+
   def ops: Seq[Op] = Seq(
+    Op("stream_chunk", chunkQuery,
+      Some(graft.operators.TextOps.chunkDocumentsSql)),
     Op("stream_dedup_exact", dedupQuery, Some(dedupSql)),
     Op("stream_dedup_watermark", dedupWatermarkQuery, Some(dedupWatermarkSql)),
     Op("stream_decontaminate", decontaminateQuery,

@@ -696,31 +696,33 @@ object TextOps {
     * filters on (repeated headers/footers/licenses chunk identically
     * wherever they appear, so they surface here without any similarity
     * search). Composes [[chunkDocuments]] exactly (one definition), and
-    * every exchange moves 8-byte chunk hashes, never text: the per-hash
-    * doc count groups on chunk_hash (vocabulary-of-chunks-sized, the
-    * dedup_exact shape), the join back is hash-keyed (the aggregated side
-    * reuses its groupBy partitioning), and the closing per-doc agg
-    * partially combines so its exchange carries ~|docs| rows.
+    * the chunk frame — with its per-chunk md5 — is computed ONCE: the
+    * (chunk_hash, doc_id) occurrence count is the single point-cardinality
+    * exchange, the distinct-doc count per hash is a window over the
+    * already-hash-clustered frame (one row per (hash, doc) pair, so
+    * `count(*)` IS the distinct-doc count — no second aggregate branch
+    * re-deriving the chunk scan, no self-join), and the closing per-doc
+    * agg partially combines to ~|docs| rows. Every exchange moves 8-byte
+    * hashes, never text.
     */
   val BoilerplateMinDocs = 2
 
   def boilerplateShare(spark: SparkSession, dir: String): DataFrame =
     boilerplateShareFrom(Tables.documents(spark, dir))
 
-  def boilerplateShareFrom(docs: DataFrame): DataFrame = {
-    val chunks = chunkDocumentsFrom(docs)
-    val perHash = chunks.groupBy("chunk_hash")
-      .agg(countDistinct("doc_id").as("n_docs"))
-    chunks.join(perHash, "chunk_hash")
+  def boilerplateShareFrom(docs: DataFrame): DataFrame =
+    chunkDocumentsFrom(docs)
+      .groupBy("chunk_hash", "doc_id").agg(count(lit(1)).as("occ"))
+      .withColumn("n_docs",
+        count(lit(1)).over(Window.partitionBy("chunk_hash")))
       .groupBy("doc_id")
       .agg(
-        count(lit(1)).as("n_chunks"),
-        sum(when(col("n_docs") >= BoilerplateMinDocs, 1L).otherwise(0L))
-          .as("shared_chunks"))
+        sum("occ").as("n_chunks"),
+        sum(when(col("n_docs") >= BoilerplateMinDocs, col("occ"))
+          .otherwise(0L)).as("shared_chunks"))
       .select(col("doc_id"), col("n_chunks"), col("shared_chunks"),
         round(col("shared_chunks") / col("n_chunks").cast("double"), 6)
           .as("shared_frac"))
-  }
 
   private val boilerplateShareSql: String =
     s"""WITH $chunkCtes,

@@ -16,6 +16,13 @@ run / fork := true
 // one-line JSON from stdout, and a prefixed line doesn't parse
 // (BENCH_r07.json "parsed": null).
 run / outputStrategy := Some(StdoutOutput)
+// local-cluster mode: the in-JVM Worker builds executor commands without
+// going through bin/load-spark-env.sh, which is what normally sets this —
+// without it the launcher dies with "Cannot find any build directories".
+// ClusterSmokeSpec sets it for its own child process; this covers
+// `runMain graft.ClusterSmoke` directly from the sbt shell.
+run / envVars += "SPARK_SCALA_VERSION" -> "2.13"
+Test / envVars += "SPARK_SCALA_VERSION" -> "2.13"
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -23,7 +23,8 @@ object ClusterSmoke {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
 
     def labels(spark: SparkSession)
-        : (Set[(Long, Long, Long, Boolean)], Seq[(Int, String, String, Long)]) =
+        : (Set[(Long, Long, Long, Boolean)], Seq[(Int, String, String, Long)],
+           Set[(String, Long, Int, Long, Long, Double)]) =
       try {
         val lbl = graft.operators.Dedup.cluster(spark, sf)
           .collect()
@@ -33,7 +34,16 @@ object ClusterSmoke {
         // is the other driver-resident path; its merge trajectory must be
         // bit-stable under forked executors too
         graft.operators.Bpe.clearMergeCache()
-        (lbl, graft.operators.Bpe.trainedMerges(spark, sf))
+        val merges = graft.operators.Bpe.trainedMerges(spark, sf)
+        // mix_rebalance's config-sized rate-frame pin is the third
+        // driver-resident path (eager collect -> local frame); its rates
+        // and kept counts must be identical under forked executors
+        val mix = graft.operators.TextOps.mixRebalance(spark, sf)
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3),
+            r.getLong(4), r.getDouble(5)))
+          .toSet
+        (lbl, merges, mix)
       } finally spark.stop()
 
     def builder(master: String) = SparkSession.builder()
@@ -42,10 +52,11 @@ object ClusterSmoke {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 
-    val (expected, expectedMerges) = labels(builder("local[2]").getOrCreate())
+    val (expected, expectedMerges, expectedMix) =
+      labels(builder("local[2]").getOrCreate())
 
     val spillRoot = Files.createTempDirectory("cluster_smoke_spill").toString
-    val (clustered, clusterMerges) = labels(
+    val (clustered, clusterMerges, clusterMix) = labels(
       builder("local-cluster[2,2,1024]")
         .appName("graft-cluster-smoke")
         .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
@@ -62,6 +73,8 @@ object ClusterSmoke {
         s"${(expected diff clustered).take(5)}")
     require(expectedMerges.nonEmpty && clusterMerges == expectedMerges,
       s"multi-JVM BPE merge trajectory diverges: $clusterMerges vs $expectedMerges")
+    require(expectedMix.nonEmpty && clusterMix == expectedMix,
+      s"multi-JVM mix_rebalance diverges: $clusterMix vs $expectedMix")
     // the marker ClusterSmokeSpec greps for
     println(s"CLUSTER_SMOKE_OK rows=${expected.size} " +
       s"dropped=${expected.count(!_._4)} merges=${expectedMerges.size} spill=$spillRoot")

@@ -154,6 +154,10 @@ object Demo {
     val kw = TextOps.textTfidf(spark, dir).filter(col("rank") === 1)
       .agg(max("score")).head().getLong(0)
     println(s"[demo] text_tfidf: per-doc keywords extracted, max salience $kw tf-bits")
+    val mix = TextOps.mixRebalance(spark, dir).collect()
+      .map(r => f"${r.getString(0)}=${r.getDouble(5) * 100}%.1f%%(goal ${r.getInt(2)}%%)")
+      .sorted.mkString(", ")
+    println(s"[demo] mix_rebalance: $mix")
 
     // 4b. pre-flight the sketch dials: measured bucket occupancy per
     //     family — the number that says when a width must widen (~log n)

@@ -1255,10 +1255,123 @@ object Similarity {
        |       round(cos, 6) AS cosine
        |FROM ranked WHERE rank <= $TopK""".stripMargin
 
+  // -------------------------------------------------------------- ann_ivfpq
+
+  /** `ann_ivfpq`: IVF routing composed with PQ-ADC scoring — the FAISS
+    * IVFPQ index, the standing billion-scale ANN design. `ann_ivf` scans
+    * only nprobe/nlist of the corpus but fetches TRUE vectors inside the
+    * lists; `ann_pq` scans 8-byte codes but ALL of them. This composes
+    * both reductions: the coarse quantizer routes each probe to its
+    * [[NProbe]] inverted lists, ADC scores ONLY those lists' code rows
+    * against the probe's (sub, code) lookup table, and the exact re-rank
+    * touches just the ADC shortlist. At 100 TB the shape is the point:
+    * codes live keyed by list id (the codes⋈assignment join here — in a
+    * real store, the physical bucketing), a probe reads nprobe lists ×
+    * 8 bytes/vector, the routing frame and the LUT both broadcast, and
+    * the one data-sized exchange is the (probe, candidate) partial-sum.
+    */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = fixedVecs(spark, dir)
+    val cents = seedCents(vecs)
+    val cb = pqCodebook(vecs)
+    val codes = pqCodesFrom(vecs, cb).select("vec_id", "sub", "code")
+    val assigned = assignNearest(vecs, cents).select("vec_id", "c_id")
+    val probeVecs = vecs.filter(col("vec_id") % ProbeMod === 0)
+    val probeLists = probeVecs
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        expr(dotExpr("v", "cv")) / (sqrt(col("nrm")) * sqrt(col("cn"))))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("c_id"))))
+      .filter(col("crn") <= NProbe)
+      .select(col("vec_id").as("q_id"), col("c_id"))
+    val probes = probeVecs
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val probeSubs = pqSubVecs(probeVecs)
+      .select(col("vec_id").as("q_id"), col("sub"), col("x").as("qx"))
+    val lut = probeSubs.join(cb, Seq("sub"))
+      .select(col("q_id"), col("sub"), col("code"),
+        expr(dotExpr("qx", "cv")).as("pdot"))
+    val scored = codes.join(assigned, Seq("vec_id"))
+      .join(broadcast(probeLists), Seq("c_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(lut), Seq("q_id", "sub", "code"))
+      .groupBy("q_id", "vec_id").agg(sum(col("pdot")).as("adot"))
+    val short = scored
+      .withColumn("arn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("adot").desc, col("vec_id"))))
+      .filter(col("arn") <= PqShortlist)
+      .select("q_id", "vec_id")
+    vecs.join(broadcast(short), Seq("vec_id"))
+      .join(broadcast(probes), Seq("q_id"))
+      .withColumn("cos",
+        expr(dotExpr("v", "qv")) / (sqrt(col("nrm")) * sqrt(col("qn"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), round(col("cos"), 6).as("cosine"))
+  }
+
+  private val annIvfPqSql: String =
+    s"""WITH $fixedVecsCtes,
+       |${pqCodesCtes("pq_")},
+       |codes AS (SELECT vec_id, sub, code FROM pq_coded WHERE rn = 1),
+       |${ivfAssignCtes("ivq_")},
+       |probe_lists AS (
+       |  SELECT vec_id AS q_id, c_id FROM (
+       |    SELECT vec_id, c_id,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS crn
+       |    FROM ivq_cdist WHERE vec_id % $ProbeMod = 0
+       |  ) WHERE crn <= $NProbe
+       |),
+       |psub AS (
+       |  SELECT n.vec_id AS q_id, g.sub,
+       |         n.v[g.sub * $PqSubDim + 1 : g.sub * $PqSubDim + $PqSubDim] AS qx
+       |  FROM nv n CROSS JOIN pq_grid g
+       |  WHERE n.vec_id % $ProbeMod = 0
+       |),
+       |lut AS (
+       |  SELECT p.q_id, p.sub, c.code,
+       |         CAST(list_sum([p.qx[i] * c.cv[i] for i in generate_series(1, len(p.qx))]) AS BIGINT) AS pdot
+       |  FROM psub p JOIN pq_cb c USING (sub)
+       |),
+       |scored AS (
+       |  SELECT pl.q_id, k.vec_id, CAST(sum(l.pdot) AS BIGINT) AS adot
+       |  FROM codes k
+       |  JOIN ivq_assigned a ON a.vec_id = k.vec_id
+       |  JOIN probe_lists pl ON pl.c_id = a.c_id AND k.vec_id <> pl.q_id
+       |  JOIN lut l ON l.q_id = pl.q_id AND l.sub = k.sub AND l.code = k.code
+       |  GROUP BY 1, 2
+       |),
+       |short AS (
+       |  SELECT q_id, vec_id
+       |  FROM (SELECT q_id, vec_id,
+       |               row_number() OVER (PARTITION BY q_id ORDER BY adot DESC, vec_id) AS arn
+       |        FROM scored)
+       |  WHERE arn <= $PqShortlist
+       |),
+       |rerank AS (
+       |  SELECT s.q_id, s.vec_id,
+       |         CAST(list_sum([n.v[i] * p.v[i] for i in generate_series(1, len(n.v))]) AS BIGINT)
+       |           / (sqrt(n.nrm) * sqrt(p.nrm)) AS cos
+       |  FROM short s
+       |  JOIN nv n ON n.vec_id = s.vec_id
+       |  JOIN nv p ON p.vec_id = s.q_id
+       |),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM rerank
+       |)
+       |SELECT q_id AS query_id, vec_id AS neighbor_id, CAST(rank AS INT) AS rank,
+       |       round(cos, 6) AS cosine
+       |FROM ranked WHERE rank <= $TopK""".stripMargin
+
   // ---------------------------------------------------------- recall harness
 
   /** Recall@k of the approximate ANN paths (multi-table LSH, seed-IVF,
-    * k-means-trained IVF, balanced IVF, PQ-ADC) against the exact
+    * k-means-trained IVF, balanced IVF, PQ-ADC, IVF-PQ) against the exact
     * brute-force baseline — the
     * "measure, don't guess" harness a pipeline runs before trusting a
     * sketch at scale: the width dials (NumTables/PlanesPerTable/ProbeDist,
@@ -1267,7 +1380,7 @@ object Similarity {
     * the sweep drivers). One row per approximate method with its matched /
     * truth counts and recall fraction.
     *
-    * Plan shape: the truth and approximate top-k sub-plans are the five
+    * Plan shape: the truth and approximate top-k sub-plans are the six
     * ANN operators unchanged (each already ends in a tiny per-probe top-k
     * frame); the harness itself is a LEFT SEMI join on (query_id,
     * neighbor_id) — semi joins carry no payload and can't duplicate — plus
@@ -1302,6 +1415,8 @@ object Similarity {
             .withColumn("method", lit("ivf_balanced")))
           .union(annPq(spark, dir).select(col("query_id"), col("neighbor_id"))
             .withColumn("method", lit("pq")))
+          .union(annIvfPq(spark, dir).select(col("query_id"), col("neighbor_id"))
+            .withColumn("method", lit("ivfpq")))
       val matched = approx.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
         .groupBy("method").agg(count(lit(1)).as("n_matched"))
       val totals = approx.groupBy("method").agg(count(lit(1)).as("n_returned"))
@@ -1328,6 +1443,8 @@ object Similarity {
        |  SELECT 'ivf_balanced' AS method, query_id, neighbor_id FROM ($ivfBalancedSql)
        |  UNION ALL
        |  SELECT 'pq' AS method, query_id, neighbor_id FROM ($annPqSql)
+       |  UNION ALL
+       |  SELECT 'ivfpq' AS method, query_id, neighbor_id FROM ($annIvfPqSql)
        |),
        |m AS (
        |  SELECT method, CAST(count(*) AS BIGINT) AS n_matched
@@ -1348,6 +1465,7 @@ object Similarity {
     Op("ann_recall", recall, Some(recallSql)),
     Op("pq_encode", pqEncode, Some(pqEncodeSql)),
     Op("ann_pq", annPq, Some(annPqSql)),
+    Op("ann_ivfpq", annIvfPq, Some(annIvfPqSql)),
     Op("dedup_embedding_cosine", embeddingNearDup, Some(embeddingNearDupSql)),
     Op("kmeans_step", kmeansStep, Some(kmeansStepSql)),
     Op("kmeans_train", kmeansTrain, Some(kmeansTrainSql))

@@ -19,7 +19,9 @@ object Explain {
         "sketch_occupancy", "store_lifecycle", "runtime_stats",
         "carbon_reassemble", "peer_forward", "pq_encode", "ann_pq", "vocab_build",
         "bpe_encode", "value_quantiles_sketch", "cardinality_sketch",
-        "token_surprisal", "decontaminate_bloom"))
+        "token_surprisal", "decontaminate_bloom", "heavy_hitters_sketch",
+        "chunk_documents", "boilerplate_share", "text_tfidf",
+        "mix_rebalance", "ann_ivfpq"))
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -15,6 +15,7 @@ final case class Op(
 object Registry {
   def ops: Seq[Op] =
     graft.operators.Rollups.ops ++
+      graft.operators.Series.ops ++
       graft.operators.Carbon.ops ++
       graft.operators.Wire.ops ++
       graft.operators.Index.ops ++

@@ -54,8 +54,12 @@ object MetricQuery {
       .select(lit(FetchPath).as("path"), col("slot_ts"), col("stat"))
   }
 
-  private val fetchSql: String =
-    s"""WITH ${Rollups.rollupsCtes},
+  /** The fetch pipeline as CTEs ending in `fetched(path, slot_ts, stat)` —
+    * shared verbatim with `series_fill`'s oracle so the grid semantics
+    * cannot drift between the raw fetch and the gap-repaired read.
+    */
+  private[operators] val fetchCtes: String =
+    s"""${Rollups.rollupsCtes},
        |params AS (SELECT max(ts) - $FetchAgeSec AS f, max(ts) AS t FROM metrics),
        |grid AS (
        |  SELECT unnest(generate_series(f + ($step - f % $step), t, $step)) AS slot_ts
@@ -64,9 +68,14 @@ object MetricQuery {
        |r AS (
        |  SELECT * FROM rollups
        |  WHERE tbl = '${fetchWin.table}' AND path = '$FetchPath'
-       |)
-       |SELECT '$FetchPath' AS path, g.slot_ts, r.stat
-       |FROM grid g LEFT JOIN r ON r.stat_time = g.slot_ts""".stripMargin
+       |),
+       |fetched AS (
+       |  SELECT '$FetchPath' AS path, g.slot_ts, r.stat
+       |  FROM grid g LEFT JOIN r ON r.stat_time = g.slot_ts
+       |)""".stripMargin
+
+  private val fetchSql: String =
+    s"WITH $fetchCtes SELECT path, slot_ts, stat FROM fetched"
 
   // The delete scenario: two paths, range [now-7d, now-1d].
   val DeletePaths = Seq("servers.error.u1", "servers.signup.u7")

@@ -1,0 +1,216 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Op
+import graft.model.Tables
+
+/** Graphite-style series query functions over the metric stream — the
+  * read-side vocabulary a cassabon deployment's dashboards actually call
+  * (cassabon stores what graphite-web then transforms; reference
+  * datastore/metricquery.go:87-230 serves the raw series these functions
+  * consume). `series_derivative`/`series_moving_avg` live in
+  * [[Rollups]] since r3; this family adds the counter, accumulation,
+  * top-k, gap-repair, and outlier forms.
+  *
+  * Portability: values are 2-decimal, so all arithmetic runs in exact
+  * integer cents ([[graft.model.Portable]] rules); any float a row shows
+  * is produced by ONE IEEE division from exact integers, bit-identical
+  * across engines. The anomaly test squares cent-scale products, so its
+  * compare is lifted to 38-digit decimals (Spark) / HUGEINT (DuckDB) —
+  * int64 would overflow the squared terms around sf10.
+  *
+  * Scale shape: every op is one map-side projection plus at most one
+  * exchange — either a per-path window sort (series keyed by path, the
+  * same partitioning every stage reuses) or a 40-row aggregate that
+  * broadcasts back. Nothing here widens at 100 TB beyond the path count.
+  */
+object Series {
+
+  private val centsCte =
+    "c AS (SELECT path, ts, event_id, value, CAST(round(value * 100) AS BIGINT) AS cents FROM metrics)"
+
+  private def cents(spark: SparkSession, dir: String): DataFrame =
+    Tables.metrics(spark, dir)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+
+  // ------------------------------------------------- nonNegativeDerivative
+
+  /** Graphite's `nonNegativeDerivative`: per-path rate of change where a
+    * NEGATIVE delta (a counter reset/wrap) yields null instead of a
+    * negative rate — the form dashboards use over monotonically-increasing
+    * counters. Same-timestamp pairs also yield null (no divide).
+    */
+  def nonNegDerivative(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("path").orderBy("ts", "event_id")
+    cents(spark, dir)
+      .withColumn("prev_c", lag("cents", 1).over(w))
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .select(col("path"), col("ts"), col("event_id"),
+        ((col("cents") - col("prev_c")) /
+          when(col("cents") >= col("prev_c") && col("ts") =!= col("prev_ts"),
+            (col("ts") - col("prev_ts")) * 100))
+          .as("rate"))
+  }
+
+  private val nonNegDerivativeSql: String =
+    s"""WITH ${Tables.metricsSql},
+       |$centsCte
+       |SELECT path, ts, event_id,
+       |       (cents - lag(cents) OVER w)
+       |         / (CASE WHEN cents >= lag(cents) OVER w AND ts <> lag(ts) OVER w
+       |                 THEN (ts - lag(ts) OVER w) * 100 END) AS rate
+       |FROM c
+       |WINDOW w AS (PARTITION BY path ORDER BY ts, event_id)""".stripMargin
+
+  // ------------------------------------------------------------- integral
+
+  /** Graphite's `integral`: per-path running total in arrival order.
+    * The cumulative sum runs in exact cents (order-immune), then ONE
+    * division scales back to value units.
+    */
+  def integral(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("path").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cents(spark, dir)
+      .select(col("path"), col("ts"), col("event_id"),
+        (sum("cents").over(w) / lit(100.0)).as("total"))
+  }
+
+  private val integralSql: String =
+    s"""WITH ${Tables.metricsSql},
+       |$centsCte
+       |SELECT path, ts, event_id,
+       |       CAST(sum(cents) OVER (PARTITION BY path ORDER BY ts, event_id
+       |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |            AS BIGINT) / 100.0 AS total
+       |FROM c""".stripMargin
+
+  // ------------------------------------------------------- highestAverage
+
+  /** How many series `series_top` keeps (graphite `highestAverage(…, 3)`). */
+  val TopSeriesK = 3
+
+  /** Graphite's `highestAverage(seriesList, k)`: rank paths by mean value,
+    * keep the top k series WHOLE (every point, tagged with the path's
+    * rank). The rank key is one exact-cents sum divided once per path;
+    * ties break by path. Scale shape: the 40-row per-path aggregate
+    * broadcasts back onto the stream — the only exchange over the points
+    * is none at all (the semi-join key arrives broadcast).
+    */
+  def topSeries(spark: SparkSession, dir: String): DataFrame = {
+    val stats = cents(spark, dir)
+      .groupBy("path")
+      .agg(count(lit(1)).as("n"), sum("cents").as("s"))
+      .withColumn("avg_value", round(col("s") / (col("n") * 100.0), 6))
+      .withColumn("path_rank", row_number().over(
+        Window.orderBy(col("avg_value").desc, col("path"))))
+      .filter(col("path_rank") <= TopSeriesK)
+      .select(col("path"), col("path_rank"), col("avg_value"))
+    Tables.metrics(spark, dir)
+      .join(broadcast(stats), "path")
+      .select(col("path"), col("ts"), col("event_id"), col("value"),
+        col("path_rank"), col("avg_value"))
+  }
+
+  private val topSeriesSql: String =
+    s"""WITH ${Tables.metricsSql},
+       |$centsCte,
+       |st AS (
+       |  SELECT path, count(*) AS n, CAST(sum(cents) AS BIGINT) AS s FROM c GROUP BY 1
+       |),
+       |ranked AS (
+       |  SELECT path, round(s / (n * 100.0), 6) AS avg_value,
+       |         row_number() OVER (ORDER BY s / (n * 100.0) DESC, path) AS path_rank
+       |  FROM st
+       |)
+       |SELECT m.path, m.ts, m.event_id, m.value,
+       |       CAST(r.path_rank AS INT) AS path_rank, r.avg_value
+       |FROM metrics m JOIN ranked r ON m.path = r.path
+       |WHERE r.path_rank <= $TopSeriesK""".stripMargin
+
+  // -------------------------------------------------------- keepLastValue
+
+  /** Graphite's `keepLastValue` over the gap-filled fetch grid: the API's
+    * range fetch ([[MetricQuery.fetch]]) marks missing slots null; this
+    * repairs each gap with the last seen value (slots before the first
+    * point stay null). Composes on the SAME fetch CTEs the oracle-gated
+    * `metric_fetch` uses, so the grid semantics cannot drift.
+    */
+  def fillLast(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("path").orderBy("slot_ts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    MetricQuery.fetch(spark, dir)
+      .withColumn("filled", last("stat", ignoreNulls = true).over(w))
+  }
+
+  private val fillLastSql: String =
+    s"""WITH ${MetricQuery.fetchCtes}
+       |SELECT path, slot_ts, stat,
+       |       last_value(stat IGNORE NULLS) OVER (
+       |         PARTITION BY path ORDER BY slot_ts
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+       |FROM fetched""".stripMargin
+
+  // ------------------------------------------------------------- anomaly
+
+  /** Z-score threshold for [[anomaly]]: |x - mean| > 3 sigma flags. */
+  val ZThresh = 3L
+
+  /** Per-path z-score outliers — the aberration-detection read (graphite's
+    * `removeAboveValue`/holt-winters family reduced to its testable core):
+    * flag points more than [[ZThresh]] population standard deviations from
+    * their path's mean.
+    *
+    * The verdict is EXACT integer algebra, no float sigma: with per-path
+    * n, S = sum(cents), Q = sum(cents^2), z^2 > k^2 rearranges to
+    * (n*x - S)^2 > k^2 * (n*Q - S^2) — both sides integers. The squares
+    * exceed int64 around sf10, so the compare runs in decimal(38)
+    * (Spark) / HUGEINT (DuckDB); constant-valued paths (zero variance)
+    * flag nothing.
+    */
+  def anomaly(spark: SparkSession, dir: String): DataFrame = {
+    val stats = cents(spark, dir)
+      .groupBy("path")
+      .agg(count(lit(1)).as("n"), sum("cents").as("s"),
+        sum(col("cents") * col("cents")).as("q"))
+    val dec = "decimal(38,0)"
+    cents(spark, dir)
+      .join(broadcast(stats), "path")
+      .withColumn("num",
+        (col("n").cast(dec) * col("cents").cast(dec) - col("s").cast(dec)))
+      .withColumn("den",
+        col("n").cast(dec) * col("q").cast(dec) - col("s").cast(dec) * col("s").cast(dec))
+      .select(col("path"), col("ts"), col("event_id"), col("value"),
+        (col("den") > 0 &&
+          col("num") * col("num") > lit(ZThresh * ZThresh) * col("den"))
+          .as("anomaly"))
+  }
+
+  private val anomalySql: String =
+    s"""WITH ${Tables.metricsSql},
+       |$centsCte,
+       |st AS (
+       |  SELECT path, count(*) AS n, CAST(sum(cents) AS BIGINT) AS s,
+       |         CAST(sum(cents * cents) AS BIGINT) AS q
+       |  FROM c GROUP BY 1
+       |)
+       |SELECT c.path, c.ts, c.event_id, c.value,
+       |       (CAST(st.n AS HUGEINT) * st.q - CAST(st.s AS HUGEINT) * st.s > 0
+       |        AND (CAST(st.n AS HUGEINT) * c.cents - st.s)
+       |            * (CAST(st.n AS HUGEINT) * c.cents - st.s)
+       |            > ${ZThresh * ZThresh}
+       |              * (CAST(st.n AS HUGEINT) * st.q - CAST(st.s AS HUGEINT) * st.s))
+       |         AS anomaly
+       |FROM c JOIN st ON c.path = st.path""".stripMargin
+
+  def ops: Seq[Op] = Seq(
+    Op("series_nonneg_derivative", nonNegDerivative, Some(nonNegDerivativeSql)),
+    Op("series_integral", integral, Some(integralSql)),
+    Op("series_top", topSeries, Some(topSeriesSql)),
+    Op("series_fill", fillLast, Some(fillLastSql)),
+    Op("series_anomaly", anomaly, Some(anomalySql))
+  )
+}

@@ -405,6 +405,55 @@ object Similarity {
       .distinct() // a pair may collide in several bands; cos is exact so rows tie
   }
 
+  /** Cluster-scoped semantic dedup — the SemDeDup shape (Abbas et al.
+    * 2023, arXiv:2303.09540): partition the embedding space with the
+    * deterministic coarse quantizer ([[ivfAssignments]]' seed cells, the
+    * same inverted lists `ann_ivf` probes and `sketch_occupancy` watches
+    * as `ivf_cell`), then compare pairs ONLY within a cell and drop every
+    * vector that has a lower-id cell-mate at cosine ≥ [[DupThreshold]]
+    * (keep-lowest-id is the deterministic stand-in for the paper's
+    * keep-farthest-from-centroid). Versus `dedup_embedding_cosine`'s
+    * hyperplane bands: banding trades recall for bucket size with a
+    * random dial; cells make the quadratic scope an explicit data
+    * partition, which is the form that scales — at 100 TB the cell count
+    * grows with n so the per-cell pair work stays bounded, and the ONLY
+    * exchange over the corpus is the shuffle on `c_id`.
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = fixedVecs(spark, dir)
+    val assigned = assignNearest(vecs, seedCents(vecs))
+    val lower = assigned.select(col("c_id").as("a_cid"), col("vec_id").as("a_id"),
+      col("v").as("av"), col("nrm").as("an"))
+    val dups = assigned.join(lower,
+        col("c_id") === col("a_cid") && col("a_id") < col("vec_id"))
+      .filter(expr(dotExpr("v", "av")) / (sqrt(col("nrm")) * sqrt(col("an")))
+        >= DupThreshold)
+      .groupBy("vec_id").agg(min("a_id").as("dup_of"))
+    assigned.select("vec_id", "c_id")
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("c_id"), col("dup_of"),
+        col("dup_of").isNull.as("kept"))
+  }
+
+  // lazy: renders CentroidMod, which is declared LATER in this object —
+  // a strict val here would bake in the uninitialized 0 (vec_id % 0)
+  private lazy val semanticDedupSql: String =
+    s"""WITH $fixedVecsCtes,
+       |${ivfAssignCtes("sd_")},
+       |av AS (
+       |  SELECT a.vec_id, a.c_id, n.v, n.nrm
+       |  FROM sd_assigned a JOIN nv n ON a.vec_id = n.vec_id
+       |),
+       |dups AS (
+       |  SELECT b.vec_id, min(a.vec_id) AS dup_of
+       |  FROM av a JOIN av b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+       |  WHERE CAST(list_sum([a.v[i] * b.v[i] for i in generate_series(1, len(a.v))]) AS BIGINT)
+       |          / (sqrt(a.nrm) * sqrt(b.nrm)) >= $DupThreshold
+       |  GROUP BY 1
+       |)
+       |SELECT av.vec_id, av.c_id, d.dup_of, d.dup_of IS NULL AS kept
+       |FROM av LEFT JOIN dups d ON av.vec_id = d.vec_id""".stripMargin
+
   /** Per-vector LSH table signatures `(vec_id, t, b)` at an explicit
     * `(tables, planes)` config — `sketch_occupancy`'s view of the ANN
     * buckets, parametric so the occupancy gate can watch a PROPOSED dial
@@ -1467,6 +1516,7 @@ object Similarity {
     Op("ann_pq", annPq, Some(annPqSql)),
     Op("ann_ivfpq", annIvfPq, Some(annIvfPqSql)),
     Op("dedup_embedding_cosine", embeddingNearDup, Some(embeddingNearDupSql)),
+    Op("dedup_semantic", semanticDedup, Some(semanticDedupSql)),
     Op("kmeans_step", kmeansStep, Some(kmeansStepSql)),
     Op("kmeans_train", kmeansTrain, Some(kmeansTrainSql))
   )

@@ -34,6 +34,37 @@ class SimilaritySpec extends AnyFunSuite with TestSpark {
     }
   }
 
+  test("dedup_semantic: verdicts match an exhaustive within-cell recount") {
+    val got = Similarity.semanticDedup(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getBoolean(3))).toMap
+    assert(got.nonEmpty)
+    assert(got.values.exists(!_._3), "no duplicates flagged — threshold/fixture drift?")
+    // recompute from raw embeddings: same fixed-point transform, same cells
+    val emb = graft.model.Tables.embeddings(spark, Sf).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * Similarity.Scale).toLong))
+      .toMap
+    def cos(a: Seq[Long], b: Seq[Long]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum.toDouble) * math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    val byCell = got.toSeq.groupBy(_._2._1)
+    byCell.foreach { case (_, members) =>
+      val ids = members.map(_._1).sorted
+      ids.foreach { id =>
+        val partners = ids.filter(a => a < id && cos(emb(a), emb(id)) >= Similarity.DupThreshold)
+        val want = partners.headOption
+        assert(got(id)._2 === want, s"vec $id dup_of")
+        assert(got(id)._3 === want.isEmpty, s"vec $id kept")
+      }
+    }
+    // dups never cross cells: every dup_of is a member of the same cell
+    got.foreach { case (id, (cell, dupOf, _)) =>
+      dupOf.foreach(a => assert(got(a)._1 === cell, s"vec $id dup_of $a crosses cells"))
+    }
+  }
+
   test("multimodal: mapPartitions decode seam produces exactly the column-algebra result") {
     val a = Multimodal.meta(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3),

@@ -75,6 +75,32 @@ final class Daemon(spark: SparkSession, store: String,
 
   def listener: UdpListener = udp
 
+  @volatile private var tcp: TcpListener = _
+  @volatile private var tcpSrcDir: String = _
+
+  /** The reference's PRIMARY wire transport (carbonTCP,
+    * carbon_plaintext.go:68-123): bind a TCP accept loop whose
+    * per-connection byte streams are line-scanned with the shared
+    * metricHandler ([[TcpListener]]); same staging/flush contract as the
+    * UDP arm. One wire arm per daemon — both share `ingestQ`.
+    */
+  def startTcpIngest(srcDir: String): Int = {
+    tcp = new TcpListener
+    ingestQ = CarbonStream.startMetricRollupFlush(spark, srcDir, store)
+    tcpSrcDir = srcDir
+    tcp.port
+  }
+
+  /** Drain the TCP listener's accepted rows into one flush slice; returns
+    * rows flushed (0 = nothing pending, no slice staged).
+    */
+  def tcpFlush(name: String): Int = {
+    require(tcp != null, "startTcpIngest first")
+    tcp.flush(spark, tcpSrcDir, name)
+  }
+
+  def tcpListener: TcpListener = tcp
+
   def ingestQuery: StreamingQuery = ingestQ
 
   /** One maintenance pass: fold flush slices; optionally expire by TTL.
@@ -87,6 +113,7 @@ final class Daemon(spark: SparkSession, store: String,
 
   def stop(): Unit = {
     if (udp != null) udp.stop()
+    if (tcp != null) tcp.stop()
     if (ingestQ != null) ingestQ.stop()
     httpd.stop()
   }

@@ -33,8 +33,7 @@ object Series {
     "c AS (SELECT path, ts, event_id, value, CAST(round(value * 100) AS BIGINT) AS cents FROM metrics)"
 
   private def cents(spark: SparkSession, dir: String): DataFrame =
-    Tables.metrics(spark, dir)
-      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+    centsFrom(Tables.metrics(spark, dir))
 
   // ------------------------------------------------- nonNegativeDerivative
 
@@ -171,13 +170,28 @@ object Series {
     * (Spark) / HUGEINT (DuckDB); constant-valued paths (zero variance)
     * flag nothing.
     */
-  def anomaly(spark: SparkSession, dir: String): DataFrame = {
-    val stats = cents(spark, dir)
-      .groupBy("path")
+  /** The cents projection over an arbitrary `(path, value, ts, event_id)`
+    * frame — shared with the streaming twin so batch and live use one
+    * fixed-point rule.
+    */
+  private[graft] def centsFrom(metrics: DataFrame): DataFrame =
+    metrics.withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+
+  /** Per-path moment state `(path, n, s, q)` — three exact bigints per
+    * path, order-immune partials: the form a stream (or a flush slice
+    * merge) can maintain, unlike any windowed sort.
+    */
+  private[graft] def statsFrom(cents: DataFrame): DataFrame =
+    cents.groupBy("path")
       .agg(count(lit(1)).as("n"), sum("cents").as("s"),
         sum(col("cents") * col("cents")).as("q"))
+
+  /** The z-score verdict join — shared verbatim by `series_anomaly` and
+    * `stream_anomaly`'s readoff.
+    */
+  private[graft] def anomalyFrom(cents: DataFrame, stats: DataFrame): DataFrame = {
     val dec = "decimal(38,0)"
-    cents(spark, dir)
+    cents
       .join(broadcast(stats), "path")
       .withColumn("num",
         (col("n").cast(dec) * col("cents").cast(dec) - col("s").cast(dec)))
@@ -189,7 +203,12 @@ object Series {
           .as("anomaly"))
   }
 
-  private val anomalySql: String =
+  def anomaly(spark: SparkSession, dir: String): DataFrame = {
+    val c = cents(spark, dir)
+    anomalyFrom(c, statsFrom(c))
+  }
+
+  private[graft] val anomalySql: String =
     s"""WITH ${Tables.metricsSql},
        |$centsCte,
        |st AS (

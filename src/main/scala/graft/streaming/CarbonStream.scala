@@ -371,6 +371,38 @@ object CarbonStream {
       Carbon.pathCounts(spark, dir), bits)
   }
 
+  /** The live outlier detector: `series_anomaly`'s per-path moment state
+    * `(n, Σcents, Σcents²)` is EXACTLY what a stream can maintain — three
+    * order-immune bigint partials per path (state = |paths| rows), where
+    * any rank/sort-based outlier rule could not run continuously. One
+    * complete-mode groupBy(path) runs live; the z-score verdict readoff
+    * happens on the drained moment frame via the SAME
+    * [[graft.operators.Series.anomalyFrom]] the batch op uses, probing
+    * the batch point set (the `stream_cardinality` readoff pattern).
+    * Oracle = `series_anomaly`'s SQL verbatim: a finite stream must land
+    * on identical moments, hence identical flags.
+    */
+  def anomalyQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Series
+    val live = Series.centsFrom(toMetrics(eventsStream(spark, dir)))
+    val sink = "stream_anomaly_" + UUID.randomUUID().toString.replace("-", "")
+    withStreamPartitions(spark) {
+      val q = Series.statsFrom(live)
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .start()
+      try {
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+      }
+    }
+    Series.anomalyFrom(Series.centsFrom(Tables.metrics(spark, dir)),
+      drainMemorySink(spark, sink))
+  }
+
   /** Oracle: identical to the batch 60 s average rollup — finite stream in
     * complete mode must equal the batch aggregation.
     */
@@ -535,6 +567,8 @@ object CarbonStream {
       Some(graft.operators.Carbon.topPathsSql)),
     Op("stream_heavy_hitters", heavyHittersQuery,
       Some(graft.operators.Carbon.heavyHittersSql(
-        graft.operators.Carbon.CmsBucketBits)))
+        graft.operators.Carbon.CmsBucketBits))),
+    Op("stream_anomaly", anomalyQuery,
+      Some(graft.operators.Series.anomalySql))
   )
 }

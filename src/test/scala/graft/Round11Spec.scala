@@ -279,7 +279,7 @@ class Round11Spec extends AnyFunSuite with TestSpark {
 
   // ------------------- adversarial inputs through the five streaming paths
 
-  test("streaming eleven pass the DuckDB oracle gate on the adversarial fixture") {
+  test("streaming twelve pass the DuckDB oracle gate on the adversarial fixture") {
     // Round9 gated the BATCH text/doc ops on non-ASCII/empty/missing-key
     // inputs; this replays the same fixture through every Structured
     // Streaming path (r10 advice item 7). The fixture's shape also forces
@@ -295,7 +295,7 @@ class Round11Spec extends AnyFunSuite with TestSpark {
       "stream_rollup", "stream_rollup_append", "stream_dedup_exact",
       "stream_dedup_watermark", "stream_sessionize", "stream_cardinality",
       "stream_index", "stream_top_paths", "stream_decontaminate",
-      "stream_heavy_hitters", "stream_chunk")))
+      "stream_heavy_hitters", "stream_chunk", "stream_anomaly")))
     val log = new StringBuilder
     val exit = Process(
       Seq("python3", "tools/oracle_check.py", fixtureDir, out),

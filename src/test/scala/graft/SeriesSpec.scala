@@ -78,6 +78,14 @@ class SeriesSpec extends AnyFunSuite with TestSpark {
     assert(repaired > 0, "fixture fetch window has no repairable gap — test is vacuous")
   }
 
+  test("stream_anomaly: live moments land on the batch verdicts exactly") {
+    val batch = Series.anomaly(spark, Sf).collect().map(_.toString).sorted
+    val live = graft.streaming.CarbonStream.anomalyQuery(spark, Sf)
+      .collect().map(_.toString).sorted
+    assert(live === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("series_anomaly agrees with a driver-side exact z-score recount") {
     val got = Series.anomaly(spark, Sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getBoolean(4)).toMap

@@ -252,6 +252,48 @@ object Demo {
       s"-> $flushed rows flushed -> $stored finalized rollup rows")
     daemon.stop()
 
+    // ------------------------- TCP front door: the reference's primary arm
+    val tcpStore = java.nio.file.Files.createTempDirectory("demo_tcp_store").toString
+    val tcpSrc = java.nio.file.Files.createTempDirectory("demo_tcp_src").toString
+    val tcpd = new Daemon(spark, tcpStore)
+    val tcpPort = tcpd.startTcpIngest(tcpSrc)
+    val conn = new java.net.Socket(java.net.InetAddress.getByName("127.0.0.1"), tcpPort)
+    try {
+      val out = conn.getOutputStream
+      var off = 0
+      while (off < payload.length) {
+        val len = math.min(512, payload.length - off)
+        out.write(payload, off, len); out.flush()
+        off += len
+      }
+    } finally conn.close()
+    val tdl = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    def tseen = tcpd.tcpListener.receivedOk.get + tcpd.tcpListener.receivedFail.get +
+      tcpd.tcpListener.peerCmds.get
+    while (tseen < lines.length && System.nanoTime() < tdl) Thread.sleep(20)
+    val tFlushed = tcpd.tcpFlush("tcp0.parquet")
+    tcpd.ingestQuery.processAllAvailable()
+    val tStored = graft.sources.RollupStore.readFinalized(spark, tcpStore).count()
+    println(s"[demo] tcp listener: conns=${tcpd.tcpListener.connections.get} " +
+      s"ok=${tcpd.tcpListener.receivedOk.get} -> $tFlushed rows flushed " +
+      s"-> $tStored finalized rollup rows (same metricHandler as UDP)")
+    tcpd.stop()
+
+    // ----------------- graphite series functions + cluster-scoped sem-dedup
+    import graft.operators.Series
+    val outliers = Series.anomaly(spark, dir).filter(col("anomaly")).count()
+    val topPathsKept = Series.topSeries(spark, dir)
+      .select("path").distinct().collect().map(_.getString(0)).sorted
+    val repaired = Series.fillLast(spark, dir)
+      .filter(col("stat").isNull && col("filled").isNotNull).count()
+    println(s"[demo] series functions: $outliers z>3 outliers, " +
+      s"top-${Series.TopSeriesK} series=${topPathsKept.mkString(",")}, " +
+      s"$repaired fetch-grid gaps repaired with keepLastValue")
+    val sem = Similarity.semanticDedup(spark, dir)
+    val semDropped = sem.filter(!col("kept")).count()
+    println(s"[demo] dedup_semantic: $semDropped/${sem.count()} vectors dropped " +
+      s"as in-cell duplicates (SemDeDup over the IVF cells)")
+
     spark.stop()
   }
 }

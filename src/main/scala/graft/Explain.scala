@@ -21,7 +21,9 @@ object Explain {
         "bpe_encode", "value_quantiles_sketch", "cardinality_sketch",
         "token_surprisal", "decontaminate_bloom", "heavy_hitters_sketch",
         "chunk_documents", "boilerplate_share", "text_tfidf",
-        "mix_rebalance", "ann_ivfpq"))
+        "mix_rebalance", "ann_ivfpq",
+        "series_nonneg_derivative", "series_integral", "series_top",
+        "series_fill", "series_anomaly", "dedup_semantic"))
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

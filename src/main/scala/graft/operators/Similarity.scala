@@ -419,15 +419,26 @@ object Similarity {
     * grows with n so the per-cell pair work stays bounded, and the ONLY
     * exchange over the corpus is the shuffle on `c_id`.
     */
-  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupWith(spark, dir, DupThreshold, CentroidMod)
+
+  /** [[semanticDedup]] at an explicit `(threshold, centroidMod)` — the
+    * dial surface `graft.SemTune` sweeps: the threshold is the
+    * aggressiveness knob (higher ⇒ fewer drops, monotone — spec-pinned),
+    * `centroidMod` the cell-width/recall trade (more cells ⇒ cheaper
+    * pair join but near-dups straddling a cell boundary go unseen — the
+    * same recall-for-scan dial as every bucketed sketch here).
+    */
+  def semanticDedupWith(spark: SparkSession, dir: String,
+      threshold: Double, centroidMod: Int): DataFrame = {
     val vecs = fixedVecs(spark, dir)
-    val assigned = assignNearest(vecs, seedCents(vecs))
+    val assigned = assignNearest(vecs, seedCentsEvery(vecs, centroidMod))
     val lower = assigned.select(col("c_id").as("a_cid"), col("vec_id").as("a_id"),
       col("v").as("av"), col("nrm").as("an"))
     val dups = assigned.join(lower,
         col("c_id") === col("a_cid") && col("a_id") < col("vec_id"))
       .filter(expr(dotExpr("v", "av")) / (sqrt(col("nrm")) * sqrt(col("an")))
-        >= DupThreshold)
+        >= threshold)
       .groupBy("vec_id").agg(min("a_id").as("dup_of"))
     assigned.select("vec_id", "c_id")
       .join(dups, Seq("vec_id"), "left")

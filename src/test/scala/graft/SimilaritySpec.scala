@@ -65,6 +65,31 @@ class SimilaritySpec extends AnyFunSuite with TestSpark {
     }
   }
 
+  test("dedup_semantic dials: threshold is set-monotone; drops are never false positives") {
+    def dropped(thr: Double, mod: Int): Set[Long] =
+      Similarity.semanticDedupWith(spark, Sf, thr, mod)
+        .filter(!org.apache.spark.sql.functions.col("kept"))
+        .collect().map(_.getLong(0)).toSet
+    val loose = dropped(0.35, Similarity.CentroidMod)
+    val tight = dropped(0.45, Similarity.CentroidMod)
+    assert(tight.subsetOf(loose), "raising the threshold must only RETAIN more")
+    assert(loose.nonEmpty)
+    // no false positives: every dropped vec has a true lower-id partner
+    // >= threshold SOMEWHERE in the corpus (cells only restrict scope)
+    val emb = graft.model.Tables.embeddings(spark, Sf).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * Similarity.Scale).toLong))
+      .toMap
+    def cos(a: Seq[Long], b: Seq[Long]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum.toDouble) * math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    tight.foreach { id =>
+      assert(emb.keys.exists(a => a < id && cos(emb(a), emb(id)) >= 0.45),
+        s"vec $id dropped without a true global partner")
+    }
+  }
+
   test("multimodal: mapPartitions decode seam produces exactly the column-algebra result") {
     val a = Multimodal.meta(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3),

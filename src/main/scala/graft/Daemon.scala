@@ -58,6 +58,7 @@ final class Daemon(spark: SparkSession, store: String,
     * staged slice = one flush cycle.
     */
   def startUdpIngest(srcDir: String): Int = {
+    require(udp == null && tcp == null, "one wire arm per daemon")
     udp = new UdpListener
     ingestQ = CarbonStream.startMetricRollupFlush(spark, srcDir, store)
     udpSrcDir = srcDir
@@ -85,6 +86,7 @@ final class Daemon(spark: SparkSession, store: String,
     * UDP arm. One wire arm per daemon — both share `ingestQ`.
     */
   def startTcpIngest(srcDir: String): Int = {
+    require(udp == null && tcp == null, "one wire arm per daemon")
     tcp = new TcpListener
     ingestQ = CarbonStream.startMetricRollupFlush(spark, srcDir, store)
     tcpSrcDir = srcDir

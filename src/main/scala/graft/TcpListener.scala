@@ -84,6 +84,9 @@ final class TcpListener {
         t.setDaemon(true)
         handlers.add(t)
         t.start()
+        // a long-lived daemon accepts unboundedly; drop finished readers
+        // so the join list doesn't grow with total connections served
+        handlers.removeIf(h => !h.isAlive && (h ne t))
       } catch {
         case _: java.net.SocketTimeoutException => // poll the running flag
         case _: java.net.SocketException if !running => // closed in stop()

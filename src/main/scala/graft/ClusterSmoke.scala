@@ -24,7 +24,8 @@ object ClusterSmoke {
 
     def labels(spark: SparkSession)
         : (Set[(Long, Long, Long, Boolean)], Seq[(Int, String, String, Long)],
-           Set[(String, Long, Int, Long, Long, Double)]) =
+           Set[(String, Long, Int, Long, Long, Double)],
+           Set[(Long, Long, Option[Long], Boolean)]) =
       try {
         val lbl = graft.operators.Dedup.cluster(spark, sf)
           .collect()
@@ -43,7 +44,15 @@ object ClusterSmoke {
           .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3),
             r.getLong(4), r.getDouble(5)))
           .toSet
-        (lbl, merges, mix)
+        // dedup_semantic's cell assignment rides a broadcast centroid frame
+        // + max_by argmax; its keep/drop verdicts must be bit-stable under
+        // forked executors (broadcast serialization path)
+        val sem = graft.operators.Similarity.semanticDedup(spark, sf)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1),
+            if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getBoolean(3)))
+          .toSet
+        (lbl, merges, mix, sem)
       } finally spark.stop()
 
     def builder(master: String) = SparkSession.builder()
@@ -52,11 +61,11 @@ object ClusterSmoke {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 
-    val (expected, expectedMerges, expectedMix) =
+    val (expected, expectedMerges, expectedMix, expectedSem) =
       labels(builder("local[2]").getOrCreate())
 
     val spillRoot = Files.createTempDirectory("cluster_smoke_spill").toString
-    val (clustered, clusterMerges, clusterMix) = labels(
+    val (clustered, clusterMerges, clusterMix, clusterSem) = labels(
       builder("local-cluster[2,2,1024]")
         .appName("graft-cluster-smoke")
         .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
@@ -75,6 +84,8 @@ object ClusterSmoke {
       s"multi-JVM BPE merge trajectory diverges: $clusterMerges vs $expectedMerges")
     require(expectedMix.nonEmpty && clusterMix == expectedMix,
       s"multi-JVM mix_rebalance diverges: $clusterMix vs $expectedMix")
+    require(expectedSem.exists(!_._4) && clusterSem == expectedSem,
+      s"multi-JVM dedup_semantic diverges: ${(clusterSem diff expectedSem).take(5)}")
     // the marker ClusterSmokeSpec greps for
     println(s"CLUSTER_SMOKE_OK rows=${expected.size} " +
       s"dropped=${expected.count(!_._4)} merges=${expectedMerges.size} spill=$spillRoot")

@@ -154,6 +154,95 @@ object Dedup {
        |JOIN sizes sb ON c.doc_b = sb.doc_id
        |WHERE round(c.common / (sa.n + sb.n - c.common), 6) >= $JaccardThreshold""".stripMargin
 
+  // --------------------------------------------------------- exact substring
+
+  /** Window width (tokens) for [[exactSubstring]]'s seed matches. */
+  val SubstrK = 8
+  /** Minimum shared exact run (tokens) a pair must reach to be reported —
+    * the ExactSubstr threshold (Lee et al. 2022, arXiv:2107.06499, use 50
+    * BPE tokens on web corpora; 16 is that dial scaled to the fixture's
+    * ~40-token documents).
+    */
+  val MinRunTokens = 16
+
+  /** Exact-substring overlap detection — the OTHER major dedup family from
+    * the dedup literature (Lee et al.'s ExactSubstr, built there on a
+    * suffix array): report every doc pair sharing a verbatim token run of
+    * at least [[MinRunTokens]], with the longest such run. Where
+    * `dedup_ngram_jaccard` measures bag-of-shingles overlap (reordering
+    * counts), this demands CONTIGUOUS equality — a long quote, a cloned
+    * paragraph.
+    *
+    * Spark realization (no suffix array — that's a single-node build):
+    * positioned [[SubstrK]]-token windows hashed to 60-bit keys, df-capped
+    * like the shingle join; matching positions join on the hash; then the
+    * maximal run is pure gaps-and-islands algebra — two matches extend one
+    * run iff they sit on the same DIAGONAL (a_pos − b_pos) at consecutive
+    * a_pos, so `a_pos − row_number()` within (pair, diag) labels each
+    * island and an island of L windows is a run of L + K − 1 tokens.
+    * Exchanges carry 8-byte hashes and integer positions only; the df cap
+    * bounds every join bucket exactly as in the Jaccard path.
+    */
+  def exactSubstring(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = Tables.documents(spark, dir)
+      .withColumn("t", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(expr(
+        s"""CASE WHEN size(t) >= $SubstrK
+           |  THEN transform(sequence(1, size(t) - ${SubstrK - 1}),
+           |                 i -> concat_ws(' ', slice(t, i, $SubstrK)))
+           |  ELSE array() END""".stripMargin)).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos"), hash60(col("w")).as("h"))
+    val rare = wins
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("df") <= MaxShingleDf)
+      .drop("df")
+    val matches = rare.as("a").join(rare.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (col("a.pos") - col("b.pos")).as("diag"), col("a.pos").as("apos"))
+    val islands = matches
+      .withColumn("grp", col("apos") - row_number().over(
+        Window.partitionBy("doc_a", "doc_b", "diag").orderBy("apos")))
+      .groupBy("doc_a", "doc_b", "diag", "grp")
+      .agg(count(lit(1)).as("len"))
+    islands.groupBy("doc_a", "doc_b")
+      .agg((max("len") + lit(SubstrK - 1)).as("max_run"))
+      .filter(col("max_run") >= MinRunTokens)
+  }
+
+  private val exactSubstringSql: String =
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |win AS (
+       |  SELECT doc_id, i AS pos,
+       |         ${Portable.hex2bigSql(s"md5(array_to_string(t[i:i+${SubstrK - 1}], ' '))")} AS h
+       |  FROM tok, unnest(generate_series(1, len(t) - ${SubstrK - 1})) AS g(i)
+       |  WHERE len(t) >= $SubstrK
+       |),
+       |rare AS (
+       |  SELECT doc_id, pos, h FROM (
+       |    SELECT doc_id, pos, h, count(*) OVER (PARTITION BY h) AS df FROM win
+       |  ) WHERE df <= $MaxShingleDf
+       |),
+       |matches AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.pos - b.pos AS diag, a.pos AS apos
+       |  FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id
+       |),
+       |islands AS (
+       |  SELECT doc_a, doc_b, diag,
+       |         apos - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+       |                                   ORDER BY apos) AS grp
+       |  FROM matches
+       |),
+       |runs AS (
+       |  SELECT doc_a, doc_b, diag, grp, count(*) AS len
+       |  FROM islands GROUP BY 1, 2, 3, 4
+       |)
+       |SELECT doc_a, doc_b, CAST(max(len) + ${SubstrK - 1} AS BIGINT) AS max_run
+       |FROM runs GROUP BY 1, 2
+       |HAVING max(len) + ${SubstrK - 1} >= $MinRunTokens""".stripMargin
+
   // ------------------------------------------------------------- minhash + lsh
 
   val MinhashPrime = 2147483647L // 2^31 - 1: keeps a*h+b inside int64
@@ -625,6 +714,7 @@ object Dedup {
   def ops: Seq[Op] = Seq(
     Op("dedup_exact", exact, Some(exactSql)),
     Op("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
+    Op("dedup_exact_substring", exactSubstring, Some(exactSubstringSql)),
     Op("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),
     Op("dedup_simhash", simhash, Some(simhashSql)),
     Op("dedup_cluster", cluster, Some(clusterSql)),

@@ -40,4 +40,43 @@ class DedupSpec extends AnyFunSuite with TestSpark {
     assert(simPairs.subsetOf(truth),
       "at hamming<=3 every reported pair should be a true near-dup on this fixture")
   }
+
+  test("exact_substring: max runs equal a driver-side suffix-scan recount") {
+    val got = Dedup.exactSubstring(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty, "fixture has no shared runs — threshold drift?")
+    // recompute: positioned K-gram index -> df cap -> diagonal islands
+    val docs = graft.model.Tables.documents(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val k = Dedup.SubstrK
+    val occ = scala.collection.mutable.Map.empty[Seq[String], Vector[(Long, Int)]]
+    docs.foreach { case (d, toks) =>
+      if (toks.length >= k)
+        (0 to toks.length - k).foreach { i =>
+          val w = toks.slice(i, i + k)
+          occ(w) = occ.getOrElse(w, Vector.empty) :+ ((d, i))
+        }
+    }
+    val matches = scala.collection.mutable.Map.empty[(Long, Long), Vector[(Int, Int)]]
+    occ.values.filter(v => v.size > 1 && v.size <= Dedup.MaxShingleDf).foreach { v =>
+      for (i <- v.indices; j <- i + 1 until v.size if v(i)._1 != v(j)._1) {
+        val (a, b) = if (v(i)._1 < v(j)._1) (v(i), v(j)) else (v(j), v(i))
+        matches((a._1, b._1)) =
+          matches.getOrElse((a._1, b._1), Vector.empty) :+ ((a._2, b._2))
+      }
+    }
+    val want = matches.flatMap { case (pair, ms) =>
+      val mx = ms.groupBy { case (ap, bp) => ap - bp }.values.map { d =>
+        val aps = d.map(_._1).distinct.sorted
+        var run = 1; var best = 1
+        aps.sliding(2).foreach {
+          case Seq(p, q) => run = if (q == p + 1) run + 1 else 1; best = math.max(best, run)
+          case _ =>
+        }
+        best
+      }.max + k - 1
+      if (mx >= Dedup.MinRunTokens) Some(pair -> mx.toLong) else None
+    }.toMap
+    assert(got === want)
+  }
 }

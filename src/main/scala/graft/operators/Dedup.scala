@@ -183,9 +183,12 @@ object Dedup {
     * Exchanges carry 8-byte hashes and integer positions only; the df cap
     * bounds every join bucket exactly as in the Jaccard path.
     */
-  def exactSubstring(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wins = Tables.documents(spark, dir)
+  /** Positioned [[SubstrK]]-token windows `(doc_id, pos, h)` — the bucketed
+    * frame [[exactSubstring]] joins on and `sketch_occupancy` watches as
+    * `substr_window`.
+    */
+  private[graft] def substrWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .withColumn("t", split(col("text"), " "))
       .select(col("doc_id"), posexplode(expr(
         s"""CASE WHEN size(t) >= $SubstrK
@@ -193,7 +196,23 @@ object Dedup {
            |                 i -> concat_ws(' ', slice(t, i, $SubstrK)))
            |  ELSE array() END""".stripMargin)).as(Seq("pos", "w")))
       .select(col("doc_id"), col("pos"), hash60(col("w")).as("h"))
-    val rare = wins
+
+  /** DuckDB mirror of [[substrWindows]] as a `{p}win` CTE (expects
+    * `documents` in scope) — shared by the op's oracle and the occupancy
+    * gate so the window frame cannot drift between them.
+    */
+  private[graft] def substrWinCtes(p: String): String =
+    s"""${p}tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |${p}win AS (
+       |  SELECT doc_id, i AS pos,
+       |         ${Portable.hex2bigSql(s"md5(array_to_string(t[i:i+${SubstrK - 1}], ' '))")} AS h
+       |  FROM ${p}tok, unnest(generate_series(1, len(t) - ${SubstrK - 1})) AS g(i)
+       |  WHERE len(t) >= $SubstrK
+       |)""".stripMargin
+
+  def exactSubstring(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rare = substrWindows(spark, dir)
       .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
       .filter(col("df") <= MaxShingleDf)
       .drop("df")
@@ -212,13 +231,7 @@ object Dedup {
   }
 
   private val exactSubstringSql: String =
-    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-       |win AS (
-       |  SELECT doc_id, i AS pos,
-       |         ${Portable.hex2bigSql(s"md5(array_to_string(t[i:i+${SubstrK - 1}], ' '))")} AS h
-       |  FROM tok, unnest(generate_series(1, len(t) - ${SubstrK - 1})) AS g(i)
-       |  WHERE len(t) >= $SubstrK
-       |),
+    s"""WITH ${substrWinCtes("")},
        |rare AS (
        |  SELECT doc_id, pos, h FROM (
        |    SELECT doc_id, pos, h, count(*) OVER (PARTITION BY h) AS df FROM win

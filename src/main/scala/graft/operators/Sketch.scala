@@ -70,6 +70,11 @@ object Sketch {
       // codebook needs retraining at the new corpus scale.
       .unionByName(occupancyOf(
         Similarity.pqEncode(spark, dir), "pq_cell", Seq("sub", "code")))
+      // exact-substring windows are POSITIONED (not distinct-per-doc), so
+      // occupancy here is total occurrences per window hash — the quantity
+      // the df cap bounds before the position join
+      .unionByName(occupancyOf(
+        Dedup.substrWindows(spark, dir), "substr_window", Seq("h")))
   }
 
   /** One WITH clause composing all four signature chains under
@@ -93,7 +98,8 @@ object Sketch {
        |${Similarity.sigCtes("lsh_",
             Similarity.tablePlanesFor(Similarity.NumTables, Similarity.PlanesPerTable))},
        |${Similarity.ivfAssignCtes("ivf_", Similarity.CentroidMod)},
-       |${Similarity.pqCodesCtes("pqo_")}
+       |${Similarity.pqCodesCtes("pqo_")},
+       |${Dedup.substrWinCtes("es_")}
        |${stats("minhash_band", "mh_sigs", "band, sig")}
        |UNION ALL
        |${stats("simhash_piece", "sh_pieces", "t, piece")}
@@ -104,7 +110,9 @@ object Sketch {
        |UNION ALL
        |${stats("ivf_cell", "ivf_assigned", "c_id")}
        |UNION ALL
-       |${stats("pq_cell", "(SELECT sub, code FROM pqo_coded WHERE rn = 1)", "sub, code")}""".stripMargin
+       |${stats("pq_cell", "(SELECT sub, code FROM pqo_coded WHERE rn = 1)", "sub, code")}
+       |UNION ALL
+       |${stats("substr_window", "es_win", "h")}""".stripMargin
   }
 
   def ops: Seq[Op] = Seq(

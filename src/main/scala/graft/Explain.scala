@@ -23,7 +23,8 @@ object Explain {
         "chunk_documents", "boilerplate_share", "text_tfidf",
         "mix_rebalance", "ann_ivfpq",
         "series_nonneg_derivative", "series_integral", "series_top",
-        "series_fill", "series_anomaly", "dedup_semantic"))
+        "series_fill", "series_anomaly", "dedup_semantic",
+        "dedup_exact_substring"))
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -225,11 +225,147 @@ object Series {
        |         AS anomaly
        |FROM c JOIN st ON c.path = st.path""".stripMargin
 
+  // ------------------------------------------------------------ summarize
+
+  /** Bucket width for [[summarize]] (graphite `summarize(…, "10min")`). */
+  val SummarizeBucketSec = 600L
+
+  /** The per-(path, bucket) exact-cents aggregate `(path, bucket_ts,
+    * n_points, cents_sum)` — shared by `series_summarize` and
+    * `series_percentile` so the bucket alignment cannot drift between the
+    * re-bucketed read and the cross-series combine built on it.
+    */
+  private[graft] def summarized(metrics: DataFrame): DataFrame =
+    centsFrom(metrics)
+      .groupBy(col("path"),
+        (col("ts") - pmod(col("ts"), lit(SummarizeBucketSec))).as("bucket_ts"))
+      .agg(count(lit(1)).as("n_points"), sum("cents").as("cents_sum"))
+
+  /** The same frame as CTEs ending in `summarized` — composed verbatim by
+    * both oracle queries below.
+    */
+  private val summarizeCtes: String =
+    s"""${Tables.metricsSql},
+       |c AS (SELECT path, ts, CAST(round(value * 100) AS BIGINT) AS cents FROM metrics),
+       |summarized AS (
+       |  SELECT path, ts - ts % $SummarizeBucketSec AS bucket_ts,
+       |         CAST(count(*) AS BIGINT) AS n_points,
+       |         CAST(sum(cents) AS BIGINT) AS cents_sum
+       |  FROM c GROUP BY 1, 2
+       |)""".stripMargin
+
+  /** Graphite's `summarize(seriesList, "10min", "sum")`: re-bucket each
+    * series into fixed [[SummarizeBucketSec]] buckets aligned to the epoch
+    * grid, totalling in exact cents with ONE closing division. Scale
+    * shape: a single groupBy exchange whose map-side partial combine
+    * collapses each input partition to |paths × buckets-touched| rows
+    * before the shuffle — the canonical dashboard downsample.
+    */
+  def summarize(spark: SparkSession, dir: String): DataFrame =
+    summarized(Tables.metrics(spark, dir))
+      .select(col("path"), col("bucket_ts"), col("n_points"),
+        (col("cents_sum") / lit(100.0)).as("total"))
+
+  private val summarizeSql: String =
+    s"""WITH $summarizeCtes
+       |SELECT path, bucket_ts, n_points, cents_sum / 100.0 AS total
+       |FROM summarized""".stripMargin
+
+  // ----------------------------------------------------------- percentile
+
+  /** Graphite's `percentileOfSeries(seriesList, p)`: combine ALL series
+    * into one — per aligned bucket, the p-th percentile across the
+    * per-path bucket totals. Raw points never align across paths, so the
+    * combine rides [[summarized]]'s epoch-aligned buckets (the frame
+    * `series_summarize` reads; the oracle composes the SAME CTE).
+    *
+    * The percentile is graphite's nearest-rank pick — the
+    * ceil(n·p/100)-th ORDER STATISTIC, `(n*p + 99) DIV 100` in exact
+    * integer math over exact-cents totals, so there is no interpolation
+    * float to diverge on. Scale shape: after the summarize aggregate the
+    * rank window runs over |paths| rows per bucket (config-sized), and
+    * the closing collapse emits one row per bucket.
+    */
+  def percentileOfSeries(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("bucket_ts")
+      .orderBy(col("cents_sum"), col("path"))
+    def pick(p: Int) =
+      max(when(col("r") === expr(s"(n_series * $p + 99) DIV 100"),
+        col("cents_sum"))) / lit(100.0)
+    summarized(Tables.metrics(spark, dir))
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("n_series",
+        count(lit(1)).over(Window.partitionBy("bucket_ts")))
+      .groupBy("bucket_ts", "n_series")
+      .agg(pick(50).as("p50"), pick(90).as("p90"))
+      .select(col("bucket_ts"), col("n_series"), col("p50"), col("p90"))
+  }
+
+  private val percentileSql: String =
+    s"""WITH $summarizeCtes,
+       |ranked AS (
+       |  SELECT bucket_ts, cents_sum,
+       |         row_number() OVER (PARTITION BY bucket_ts
+       |                            ORDER BY cents_sum, path) AS r,
+       |         CAST(count(*) OVER (PARTITION BY bucket_ts) AS BIGINT) AS n_series
+       |  FROM summarized
+       |)
+       |SELECT bucket_ts, n_series,
+       |       max(CASE WHEN r = (n_series * 50 + 99) // 100 THEN cents_sum END) / 100.0 AS p50,
+       |       max(CASE WHEN r = (n_series * 90 + 99) // 100 THEN cents_sum END) / 100.0 AS p90
+       |FROM ranked GROUP BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------- stdev
+
+  /** Trailing window length for [[movingStdDev]] (graphite `stdev(…, 10)`). */
+  val StdDevPoints = 10
+
+  /** Graphite's `stdev(seriesList, points)`: per-path moving population
+    * standard deviation over the trailing [[StdDevPoints]] points. The
+    * moments run EXACT — n, S = Σcents, Q = Σcents² over the row frame —
+    * and n·Q − S² ≥ 0 is an exact int64 (window-bounded: ~2.5e12 at
+    * cent scale, far under 2^53, so the double cast is exact too); the
+    * only float steps are ONE division by n²·10⁴ and ONE correctly-rounded
+    * IEEE sqrt, bit-identical across engines, then `round(…, 6)`.
+    * Scale shape: one per-path window sort — the same exchange every
+    * series op reuses.
+    */
+  def movingStdDev(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("path").orderBy("ts", "event_id")
+      .rowsBetween(-(StdDevPoints - 1), Window.currentRow)
+    cents(spark, dir)
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum("cents").over(w))
+      .withColumn("q", sum(col("cents") * col("cents")).over(w))
+      .select(col("path"), col("ts"), col("event_id"),
+        round(sqrt((col("n") * col("q") - col("s") * col("s")) /
+          (col("n") * col("n") * lit(10000.0))), 6).as("stddev"))
+  }
+
+  private val movingStdDevSql: String =
+    s"""WITH ${Tables.metricsSql},
+       |$centsCte,
+       |m AS (
+       |  SELECT path, ts, event_id,
+       |         count(*) OVER w AS n,
+       |         CAST(sum(cents) OVER w AS BIGINT) AS s,
+       |         CAST(sum(cents * cents) OVER w AS BIGINT) AS q
+       |  FROM c
+       |  WINDOW w AS (PARTITION BY path ORDER BY ts, event_id
+       |               ROWS BETWEEN ${StdDevPoints - 1} PRECEDING AND CURRENT ROW)
+       |)
+       |SELECT path, ts, event_id,
+       |       round(sqrt((n * q - s * s) / (n * n * 10000.0)), 6) AS stddev
+       |FROM m""".stripMargin
+
   def ops: Seq[Op] = Seq(
     Op("series_nonneg_derivative", nonNegDerivative, Some(nonNegDerivativeSql)),
     Op("series_integral", integral, Some(integralSql)),
     Op("series_top", topSeries, Some(topSeriesSql)),
     Op("series_fill", fillLast, Some(fillLastSql)),
-    Op("series_anomaly", anomaly, Some(anomalySql))
+    Op("series_anomaly", anomaly, Some(anomalySql)),
+    Op("series_summarize", summarize, Some(summarizeSql)),
+    Op("series_percentile", percentileOfSeries, Some(percentileSql)),
+    Op("series_stddev", movingStdDev, Some(movingStdDevSql))
   )
 }

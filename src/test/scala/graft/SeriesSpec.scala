@@ -86,6 +86,61 @@ class SeriesSpec extends AnyFunSuite with TestSpark {
     assert(batch.nonEmpty)
   }
 
+  test("series_summarize: buckets partition the points and conserve the exact total") {
+    val got = Series.summarize(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (_, b, _, _) =>
+      assert(b % Series.SummarizeBucketSec == 0, s"bucket $b off-grid") }
+    val nByPath = got.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val totByPath = got.groupBy(_._1).view
+      .mapValues(_.map(x => math.round(x._4 * 100)).sum).toMap
+    val want = Tables.metrics(spark, Sf).collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100)))
+      .groupBy(_._1)
+    want.foreach { case (p, xs) =>
+      assert(nByPath(p) === xs.length.toLong, s"$p point count not conserved")
+      assert(totByPath(p) === xs.map(_._2).sum, s"$p cents not conserved")
+    }
+  }
+
+  test("series_percentile: p50/p90 are the exact nearest-rank order statistics") {
+    val buckets = Series.summarize(spark, Sf).collect()
+      .map(r => (r.getLong(1), math.round(r.getDouble(3) * 100)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val got = Series.percentileOfSeries(spark, Sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (b, n) = (r.getLong(0), r.getLong(1))
+      val sums = buckets(b)
+      assert(n === sums.length.toLong)
+      def pick(p: Int) = sums(((n * p + 99) / 100).toInt - 1) / 100.0
+      assert(r.getDouble(2) === pick(50), s"p50 at bucket $b")
+      assert(r.getDouble(3) === pick(90), s"p90 at bucket $b")
+    }
+    assert(got.exists(r => r.getLong(1) > 1), "no multi-series bucket — vacuous")
+  }
+
+  test("series_stddev: trailing-window sigma matches an exact moment recount") {
+    val pts = Tables.metrics(spark, Sf).collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(x => (x._3, x._4)).toVector).toMap
+    val got = Series.movingStdDev(spark, Sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (path, ts, eid) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val series = pts(path)
+      val i = series.indexWhere(x => x._3 == ts && x._4 == eid)
+      val win = series.slice(math.max(0, i - (Series.StdDevPoints - 1)), i + 1)
+      val n = win.length.toLong
+      val s = win.map(_._2).sum
+      val q = win.map(x => x._2 * x._2).sum
+      val want = BigDecimal(math.sqrt((n * q - s * s) / (n * n * 10000.0)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) === want, s"($path,$ts,$eid)")
+    }
+  }
+
   test("series_anomaly agrees with a driver-side exact z-score recount") {
     val got = Series.anomaly(spark, Sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getBoolean(4)).toMap

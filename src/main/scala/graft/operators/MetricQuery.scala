@@ -41,9 +41,22 @@ object MetricQuery {
     * side; the rollup side is filtered by (tbl, path) BEFORE the join, so
     * at 100 TB the scan prunes to one path's partition.
     */
-  def fetch(spark: SparkSession, dir: String): DataFrame = {
-    val r = Rollups.rollups(spark, dir)
-      .filter(col("tbl") === fetchWin.table && col("path") === FetchPath)
+  /** The rollup table the fetch scenario reads — exposed for the live
+    * twin, which maintains exactly this (tbl, path) slice as stream state.
+    */
+  private[graft] val FetchTable = fetchWin.table
+
+  def fetch(spark: SparkSession, dir: String): DataFrame =
+    fetchFrom(spark, dir, Rollups.rollups(spark, dir)
+      .filter(col("tbl") === fetchWin.table && col("path") === FetchPath))
+
+  /** The grid + gap-fill half of [[fetch]] over a caller-supplied rollup
+    * slice `r(tbl, path, stat_time, stat)` — shared with
+    * `stream_series_fill`, whose `r` is drained live stream state rather
+    * than the batch aggregation.
+    */
+  private[graft] def fetchFrom(spark: SparkSession, dir: String,
+      r: DataFrame): DataFrame = {
     val grid = Tables.metrics(spark, dir)
       .agg(max("ts").as("now"))
       .select((col("now") - FetchAgeSec).as("f"), col("now").as("t"))

@@ -60,8 +60,15 @@ object Rollups {
     * (expression, window) arm — cassabon's flush output across all tables.
     * Single scan, single shuffle.
     */
-  def rollups(spark: SparkSession, dir: String): DataFrame = {
-    val m = Tables.metrics(spark, dir).withColumn("expr", exprKey(col("path")))
+  def rollups(spark: SparkSession, dir: String): DataFrame =
+    rollupsFrom(Tables.metrics(spark, dir))
+
+  /** The same flush aggregation over an arbitrary metric frame — shared
+    * with `stream_series_fill`, which runs it on the live stream (every
+    * aggregate in it is commutative, so complete mode maintains it).
+    */
+  private[graft] def rollupsFrom(metrics: DataFrame): DataFrame = {
+    val m = metrics.withColumn("expr", exprKey(col("path")))
     // expr -> its windows as array<struct<w,tbl>>, exploded: each point
     // contributes one row per window of its matched expression.
     val winArms: Column = {

@@ -138,14 +138,19 @@ object Series {
     * point stay null). Composes on the SAME fetch CTEs the oracle-gated
     * `metric_fetch` uses, so the grid semantics cannot drift.
     */
-  def fillLast(spark: SparkSession, dir: String): DataFrame = {
+  def fillLast(spark: SparkSession, dir: String): DataFrame =
+    fillLastFrom(MetricQuery.fetch(spark, dir))
+
+  /** The gap-repair window over any `fetched(path, slot_ts, stat)` frame —
+    * shared with `stream_series_fill`'s readoff.
+    */
+  private[graft] def fillLastFrom(fetched: DataFrame): DataFrame = {
     val w = Window.partitionBy("path").orderBy("slot_ts")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    MetricQuery.fetch(spark, dir)
-      .withColumn("filled", last("stat", ignoreNulls = true).over(w))
+    fetched.withColumn("filled", last("stat", ignoreNulls = true).over(w))
   }
 
-  private val fillLastSql: String =
+  private[graft] val fillLastSql: String =
     s"""WITH ${MetricQuery.fetchCtes}
        |SELECT path, slot_ts, stat,
        |       last_value(stat IGNORE NULLS) OVER (

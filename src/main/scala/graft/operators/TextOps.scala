@@ -429,12 +429,22 @@ object TextOps {
   def mixRebalance(spark: SparkSession, dir: String): DataFrame =
     mixRebalanceFrom(spark, Tables.documents(spark, dir))
 
-  def mixRebalanceFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
+  def mixRebalanceFrom(spark: SparkSession, docs: DataFrame): DataFrame =
+    mixFromCounts(spark,
+      docs.groupBy("lang").agg(count(lit(1)).as("n_docs")), docs)
+
+  /** The rate derivation + threshold verdict given a precomputed per-lang
+    * count frame — the split that lets `stream_mix` maintain the counts
+    * LIVE (they are the only corpus-derived input) and share everything
+    * downstream of them with the batch op.
+    */
+  private[graft] def mixFromCounts(spark: SparkSession, counts: DataFrame,
+      docs: DataFrame): DataFrame = {
     import spark.implicits._
     val targets = MixTargets.toDF("lang", "target_pct")
     // pass 1: per-lang counts -> rates, ONE lineage (the t_total min is a
     // window over the |langs|-row frame, not a second aggregate branch)
-    val rates = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val rates = counts
       .join(broadcast(targets), "lang")
       .withColumn("cap", expr("n_docs * 100 DIV target_pct"))
       .withColumn("t_total", min("cap").over(Window.partitionBy()))
@@ -457,7 +467,7 @@ object TextOps {
         round(col("kept") / col("total").cast("double"), 6).as("achieved_share"))
   }
 
-  private val mixRebalanceSql: String = {
+  private[graft] val mixRebalanceSql: String = {
     val targetRows = MixTargets.map { case (l, p) => s"('$l', $p)" }.mkString(", ")
     s"""WITH targets(lang, target_pct) AS (VALUES $targetRows),
        |mix_counts AS (
@@ -527,27 +537,78 @@ object TextOps {
       .select(col("kind"), col("gram"), col("tf"), col("df"), col("rank"))
   }
 
-  private val vocabBuildSql: String =
-    s"""WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-       |uni AS (SELECT doc_id, 'unigram' AS kind, unnest(t) AS gram FROM tok),
-       |bi AS (
+  /** The vocabulary pipeline as CTEs ending in `vb_ranked(kind, gram, tf,
+    * df, rank)` — shared verbatim with `vocab_coverage`'s oracle so the
+    * vocabulary the coverage probe tests against is BY CONSTRUCTION the
+    * one `vocab_build` ships.
+    */
+  private val vocabCtes: String =
+    s"""vb_tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+       |vb_uni AS (SELECT doc_id, 'unigram' AS kind, unnest(t) AS gram FROM vb_tok),
+       |vb_bi AS (
        |  SELECT doc_id, 'bigram' AS kind,
        |         unnest([t[i] || ' ' || t[i + 1] for i in generate_series(1, len(t) - 1)]) AS gram
-       |  FROM tok WHERE len(t) >= 2
+       |  FROM vb_tok WHERE len(t) >= 2
        |),
-       |cnt AS (
+       |vb_cnt AS (
        |  SELECT kind, gram, CAST(count(*) AS BIGINT) AS tf,
        |         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-       |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+       |  FROM (SELECT * FROM vb_uni UNION ALL SELECT * FROM vb_bi)
        |  GROUP BY 1, 2
        |),
-       |ranked AS (
+       |vb_ranked AS (
        |  SELECT kind, gram, tf, df,
        |         row_number() OVER (PARTITION BY kind ORDER BY tf DESC, gram) AS rank
-       |  FROM cnt
-       |)
+       |  FROM vb_cnt
+       |)""".stripMargin
+
+  private val vocabBuildSql: String =
+    s"""WITH $vocabCtes
        |SELECT kind, gram, tf, df, CAST(rank AS INT) AS rank
-       |FROM ranked WHERE rank <= $VocabTopN""".stripMargin
+       |FROM vb_ranked WHERE rank <= $VocabTopN""".stripMargin
+
+  // ---------------------------------------------------------- vocab_coverage
+
+  /** Tokenizer-coverage audit — the acceptance test run after
+    * [[vocabBuild]]: per document, how many tokens fall OUTSIDE the
+    * top-[[VocabTopN]] unigram vocabulary (the OOV mass a fixed-vocab
+    * tokenizer would shred into bytes). `oov_rate` is the one float, a
+    * single division rounded to 6.
+    *
+    * Scale shape: the vocabulary is config-sized ([[VocabTopN]] rows) and
+    * arrives BROADCAST, so the probe is a map-side hash lookup per token —
+    * the only exchange over the corpus is the per-doc count collapse,
+    * which partially combines map-side. The oracle composes the SAME
+    * `vb_*` CTEs `vocab_build` dumps.
+    */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = vocabBuild(spark, dir)
+      .filter(col("kind") === "unigram")
+      .select(col("gram"), lit(1L).as("hit"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("gram"))
+      .join(broadcast(vocab), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("hit").isNull, 1L).otherwise(0L)).as("oov_tok"))
+      .select(col("doc_id"), col("n_tok"), col("oov_tok"),
+        round(col("oov_tok") / col("n_tok").cast("double"), 6).as("oov_rate"))
+  }
+
+  private val vocabCoverageSql: String =
+    s"""WITH $vocabCtes,
+       |vc_vocab AS (
+       |  SELECT gram FROM vb_ranked WHERE kind = 'unigram' AND rank <= $VocabTopN
+       |),
+       |vc_tok AS (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS gram FROM documents
+       |)
+       |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+       |       CAST(sum(CASE WHEN v.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_tok,
+       |       round(CAST(sum(CASE WHEN v.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |             / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+       |FROM vc_tok t LEFT JOIN vc_vocab v USING (gram)
+       |GROUP BY 1""".stripMargin
 
   // ------------------------------------------------------------ pack_sequences
 
@@ -806,6 +867,7 @@ object TextOps {
     Op("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     Op("mix_rebalance", mixRebalance, Some(mixRebalanceSql)),
     Op("vocab_build", vocabBuild, Some(vocabBuildSql)),
+    Op("vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
     Op("pack_sequences", packSequencesSharded(_, _), Some(packSequencesSql))
   )
 }

@@ -155,13 +155,18 @@ object CarbonStream {
       .select(expr("try_element_at(p, 1)").as("path"),
         col("v").as("value"), col("t").as("ts"))
 
-  /** events stream -> carbon metric stream (same mapping as Tables.metrics). */
-  def toMetrics(events: DataFrame): DataFrame =
-    events.select(
+  /** events stream -> carbon metric stream (same mapping as Tables.metrics).
+    * `keepId` additionally carries `event_id` for consumers that need the
+    * LAST-rollup tiebreak key (`stream_series_fill`'s flush aggregation).
+    */
+  def toMetrics(events: DataFrame, keepId: Boolean = false): DataFrame = {
+    val base = Seq(
       concat(lit("servers."), col("event_type"), lit(".u"),
         (col("user_id") % 8).cast("string")).as("path"),
       col("value"),
       expr("ts DIV 1000000000").as("ts"))
+    events.select((if (keepId) base :+ col("event_id") else base): _*)
+  }
 
   /** 60 s average rollup over a metric stream: the streaming accumulate.
     * `update`/`append` callers add a watermark; complete-mode callers don't.
@@ -554,7 +559,45 @@ object CarbonStream {
       }
     }
 
+  /** The LIVE form of `series_fill`: the dashboard gap-repaired range read
+    * served from stream state instead of a batch aggregation. The state is
+    * the fetch scenario's (tbl, path) rollup slice maintained by the SAME
+    * flush aggregation the batch store writes
+    * ([[graft.operators.Rollups.rollupsFrom]], reused unchanged — every
+    * aggregate in it is commutative, so complete mode maintains it), with
+    * the stream pre-filtered to the fetch path: state = that path's
+    * window slots only, not the catalog. Readoff = the SAME grid+gap-fill
+    * ([[graft.operators.MetricQuery.fetchFrom]]) and repair window
+    * ([[graft.operators.Series.fillLastFrom]]) the batch pair uses.
+    * Oracle = `series_fill`'s SQL verbatim.
+    */
+  def fillQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{MetricQuery, Rollups, Series}
+    val live = Rollups.rollupsFrom(
+      toMetrics(eventsStream(spark, dir), keepId = true)
+        .filter(col("path") === MetricQuery.FetchPath))
+      .filter(col("tbl") === MetricQuery.FetchTable)
+    val sink = "stream_fill_" + UUID.randomUUID().toString.replace("-", "")
+    withStreamPartitions(spark) {
+      val q = live
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .start()
+      try {
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+      }
+    }
+    Series.fillLastFrom(
+      MetricQuery.fetchFrom(spark, dir, drainMemorySink(spark, sink)))
+  }
+
   def ops: Seq[Op] = Seq(
+    Op("stream_series_fill", fillQuery,
+      Some(graft.operators.Series.fillLastSql)),
     Op("stream_rollup", rollupQuery, Some(rollupSql)),
     Op("stream_rollup_append", rollupAppendQuery, Some(rollupAppendSql)),
     Op("stream_quantiles", quantilesQuery,

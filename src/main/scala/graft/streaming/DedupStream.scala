@@ -337,7 +337,46 @@ object DedupStream {
     CarbonStream.drainMemorySink(spark, sink)
   }
 
+  // ------------------------------------------------------------- stream_mix
+
+  /** The LIVE form of `mix_rebalance`: the per-lang count frame is the
+    * ONLY corpus-derived input to the mixing rates, and it is exactly what
+    * a stream can maintain — one complete-mode `groupBy(lang)` count,
+    * state = |langs| rows (CONFIG-sized, like `stream_heavy_hitters`'
+    * counter frame). Everything downstream of the counts — rate
+    * derivation, threshold verdict, achieved-share audit — is the SAME
+    * [[graft.operators.TextOps.mixFromCounts]] the batch op calls, probing
+    * the static corpus (the `stream_decontaminate` readoff pattern: a
+    * production deployment keeps the rate frame live and applies it to
+    * each arriving doc map-side). Oracle = `mix_rebalance`'s SQL verbatim.
+    */
+  def mixQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.readStream
+      .schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val sink = "stream_mix_" + UUID.randomUUID().toString.replace("-", "")
+    CarbonStream.withStreamPartitions(spark) {
+      val q = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .start()
+      try {
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+      }
+    }
+    graft.operators.TextOps.mixFromCounts(spark,
+      CarbonStream.drainMemorySink(spark, sink),
+      graft.model.Tables.documents(spark, dir))
+  }
+
   def ops: Seq[Op] = Seq(
+    Op("stream_mix", mixQuery,
+      Some(graft.operators.TextOps.mixRebalanceSql)),
     Op("stream_chunk", chunkQuery,
       Some(graft.operators.TextOps.chunkDocumentsSql)),
     Op("stream_dedup_exact", dedupQuery, Some(dedupSql)),

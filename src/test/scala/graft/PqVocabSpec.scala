@@ -84,6 +84,37 @@ class PqVocabSpec extends AnyFunSuite with TestSpark {
       "a bigram gram must be exactly two space-joined tokens")
   }
 
+  test("vocab_coverage: per-doc OOV recount against the shipped vocabulary") {
+    val vocab = TextOps.vocabBuild(spark, Sf).collect()
+      .filter(_.getString(0) == "unigram").map(_.getString(1)).toSet
+    // sf0.001's whole unigram population is below TopN — the vocabulary is
+    // then the full population and coverage must report zero OOV mass.
+    assert(vocab.nonEmpty && vocab.size <= TextOps.VocabTopN)
+    val got = TextOps.vocabCoverage(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val docs = graft.model.Tables.documents(spark, Sf)
+      .select("doc_id", "text").collect()
+    assert(docs.length == got.size, "one coverage row per document")
+    docs.foreach { r =>
+      val toks = r.getString(1).toLowerCase.split(" ", -1)
+      val oov = toks.count(t => !vocab.contains(t))
+      val (nTok, oovTok, rate) = got(r.getLong(0))
+      assert(nTok == toks.length.toLong, s"doc ${r.getLong(0)} token count")
+      assert(oovTok == oov.toLong, s"doc ${r.getLong(0)} OOV count")
+      val want = BigDecimal(oov.toDouble / toks.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(rate == want, s"doc ${r.getLong(0)} OOV rate")
+    }
+  }
+
+  test("stream_mix: live counts land on the batch mixing verdict exactly") {
+    val batch = TextOps.mixRebalance(spark, Sf).collect().map(_.toString).sorted
+    val live = graft.streaming.DedupStream.mixQuery(spark, Sf)
+      .collect().map(_.toString).sorted
+    assert(live === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("vocab_build passes the DuckDB oracle gate on the adversarial fixture") {
     // The fixture's empty document splits to a single empty token: the
     // bigram branch must short-circuit (sequence(1, 0) DESCENDS in Spark)

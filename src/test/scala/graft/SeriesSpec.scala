@@ -78,6 +78,14 @@ class SeriesSpec extends AnyFunSuite with TestSpark {
     assert(repaired > 0, "fixture fetch window has no repairable gap — test is vacuous")
   }
 
+  test("stream_series_fill: live rollup state serves the batch fetch+fill read") {
+    val batch = Series.fillLast(spark, Sf).collect().map(_.toString).sorted
+    val live = graft.streaming.CarbonStream.fillQuery(spark, Sf)
+      .collect().map(_.toString).sorted
+    assert(live === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("stream_anomaly: live moments land on the batch verdicts exactly") {
     val batch = Series.anomaly(spark, Sf).collect().map(_.toString).sorted
     val live = graft.streaming.CarbonStream.anomalyQuery(spark, Sf)

@@ -100,6 +100,76 @@ object Similarity {
        |       round(cos, 6) AS cosine
        |FROM ranked WHERE rank <= $TopK""".stripMargin
 
+  // ------------------------------------------------------------- knn_mutual
+
+  /** Which vectors form the mutual-kNN graph's vertex set (`vec_id %
+    * KnnGraphMod == 0`) — the same sampled-harness dial as [[ProbeMod]]:
+    * the graph primitive is exercised on a deterministic slice, because
+    * the exact kNN underneath is quadratic in the vertex count.
+    */
+  val KnnGraphMod = 5
+
+  /** Mutual-kNN graph degrees — the diversity/outlier primitive downstream
+    * curation builds on (a vector whose kNN edges are not reciprocated
+    * sits on the fringe of its region; hub-and-fringe degrees drive
+    * graph-based diversity sampling). Over the [[KnnGraphMod]] vertex
+    * slice: exact top-[[TopK]] neighbor lists WITHIN the slice, then an
+    * edge (a, b) is MUTUAL iff each appears in the other's list;
+    * `mutual_degree` ∈ [0, k] per vertex, zero-degree vertices kept.
+    *
+    * Plan shape: the kNN underneath is the [[cosineTopK]] broadcast
+    * crossJoin + per-vertex top-k window (quadratic in the SLICE, by
+    * design — the approximate paths are the 100 TB route); the mutuality
+    * test is ONE self-join of the k·|slice|-row list on the reversed edge
+    * key, then a broadcast-sized count collapse.
+    */
+  def knnMutual(spark: SparkSession, dir: String): DataFrame = {
+    val verts = fixedVecs(spark, dir).filter(col("vec_id") % KnnGraphMod === 0)
+    val probes = verts
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val knn = verts.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        expr(dotExpr("v", "qv")) / (sqrt(col("nrm")) * sqrt(col("qn"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id").as("n_id"))
+    val mutual = knn.as("x")
+      .join(knn.as("y"),
+        col("x.q_id") === col("y.n_id") && col("x.n_id") === col("y.q_id"))
+      .groupBy(col("x.q_id").as("vec_id"))
+      .agg(count(lit(1)).as("mutual_degree"))
+    verts.select("vec_id")
+      .join(mutual, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("mutual_degree"), lit(0L)).as("mutual_degree"))
+  }
+
+  private val knnMutualSql: String =
+    s"""WITH $fixedVecsCtes,
+       |km_verts AS (SELECT * FROM nv WHERE vec_id % $KnnGraphMod = 0),
+       |km_pairs AS (
+       |  SELECT p.vec_id AS q_id, n.vec_id,
+       |         CAST(list_sum([n.v[i] * p.v[i] for i in generate_series(1, len(n.v))]) AS BIGINT)
+       |           / (sqrt(n.nrm) * sqrt(p.nrm)) AS cos
+       |  FROM km_verts n CROSS JOIN km_verts p WHERE n.vec_id <> p.vec_id
+       |),
+       |km_knn AS (
+       |  SELECT q_id, vec_id AS n_id FROM (
+       |    SELECT q_id, vec_id,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |    FROM km_pairs
+       |  ) WHERE rank <= $TopK
+       |),
+       |km_mutual AS (
+       |  SELECT x.q_id AS vec_id, CAST(count(*) AS BIGINT) AS mutual_degree
+       |  FROM km_knn x JOIN km_knn y ON x.q_id = y.n_id AND x.n_id = y.q_id
+       |  GROUP BY 1
+       |)
+       |SELECT v.vec_id, coalesce(m.mutual_degree, 0) AS mutual_degree
+       |FROM km_verts v LEFT JOIN km_mutual m ON v.vec_id = m.vec_id""".stripMargin
+
   // ----------------------------------------------------------- LSH bucketing
 
   /** Multi-TABLE multi-probe LSH configuration. One hyperplane table is a
@@ -682,6 +752,58 @@ object Similarity {
        |    FROM ${p}cdist
        |  ) WHERE crn = 1
        |)""".stripMargin
+
+  // ---------------------------------------------------------- cluster_purity
+
+  /** Clustering-quality audit over the coarse quantizer's cells: per IVF
+    * cell, the member count, the majority ground-truth `label` (ties to
+    * the lowest label) and its share — the purity readout a clustering-
+    * based curation stage (SemDeDup cells, topic balancing) is judged by.
+    * Composes [[ivfAssignments]]' seed cells — the SAME inverted lists
+    * `ann_ivf` probes, `dedup_semantic` scopes, and `sketch_occupancy`
+    * watches — joined to the embeddings' label column.
+    *
+    * Plan shape: after the assignment (broadcast-centroid argmax, one
+    * shuffle on c_id), the per-(cell, label) count frame is
+    * |cells|·|labels| rows — config-sized, so the majority window and the
+    * closing division are free.
+    */
+  def clusterPurity(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val perLabel = ivfAssignments(spark, dir)
+      .join(labels, "vec_id")
+      .groupBy("c_id", "label")
+      .agg(count(lit(1)).as("n"))
+    perLabel
+      .withColumn("n_members",
+        sum("n").over(Window.partitionBy("c_id")))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("c_id").orderBy(col("n").desc, col("label"))))
+      .filter(col("r") === 1)
+      .select(col("c_id"), col("n_members"), col("label").as("top_label"),
+        col("n").as("n_top"),
+        round(col("n") / col("n_members").cast("double"), 6).as("purity"))
+  }
+
+  // lazy: renders CentroidMod via ivfAssignCtes' default, declared LATER
+  // in this object — a strict val would bake in the uninitialized 0
+  private lazy val clusterPuritySql: String =
+    s"""WITH $fixedVecsCtes,
+       |${ivfAssignCtes("cp_")},
+       |cp_lab AS (
+       |  SELECT a.c_id, e.label, CAST(count(*) AS BIGINT) AS n
+       |  FROM cp_assigned a JOIN embeddings e USING (vec_id)
+       |  GROUP BY 1, 2
+       |),
+       |cp_rank AS (
+       |  SELECT c_id, label, n,
+       |         CAST(sum(n) OVER (PARTITION BY c_id) AS BIGINT) AS n_members,
+       |         row_number() OVER (PARTITION BY c_id ORDER BY n DESC, label) AS r
+       |  FROM cp_lab
+       |)
+       |SELECT c_id, n_members, CAST(label AS INT) AS top_label, n AS n_top,
+       |       round(n / CAST(n_members AS DOUBLE), 6) AS purity
+       |FROM cp_rank WHERE r = 1""".stripMargin
 
   // ------------------------------------------------------------ k-means step
 
@@ -1528,6 +1650,8 @@ object Similarity {
     Op("ann_ivfpq", annIvfPq, Some(annIvfPqSql)),
     Op("dedup_embedding_cosine", embeddingNearDup, Some(embeddingNearDupSql)),
     Op("dedup_semantic", semanticDedup, Some(semanticDedupSql)),
+    Op("knn_mutual", knnMutual, Some(knnMutualSql)),
+    Op("cluster_purity", clusterPurity, Some(clusterPuritySql)),
     Op("kmeans_step", kmeansStep, Some(kmeansStepSql)),
     Op("kmeans_train", kmeansTrain, Some(kmeansTrainSql))
   )

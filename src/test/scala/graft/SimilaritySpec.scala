@@ -90,6 +90,57 @@ class SimilaritySpec extends AnyFunSuite with TestSpark {
     }
   }
 
+  test("knn_mutual: degrees match a driver-side exact graph recount") {
+    val emb = graft.model.Tables.embeddings(spark, Sf).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * Similarity.Scale).toLong))
+      .filter(_._1 % Similarity.KnnGraphMod == 0)
+      .toMap
+    def cos(a: Seq[Long], b: Seq[Long]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    val knn = emb.keys.map { q =>
+      q -> emb.keys.filter(_ != q).toSeq
+        .sortBy(n => (-cos(emb(q), emb(n)), n))
+        .take(Similarity.TopK).toSet
+    }.toMap
+    val want = knn.map { case (q, ns) =>
+      q -> ns.count(n => knn(n).contains(q)).toLong
+    }
+    val got = Similarity.knnMutual(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    assert(got.values.exists(_ > 0), "no mutual edge anywhere — vacuous")
+    assert(got.values.forall(d => d >= 0 && d <= Similarity.TopK))
+  }
+
+  test("cluster_purity: majority label and share recount per IVF cell") {
+    val labels = graft.model.Tables.embeddings(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val cells = Similarity.ivfAssignments(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._2).view.mapValues(_.map(x => labels(x._1))).toMap
+    val got = Similarity.clusterPurity(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(got.keySet === cells.keySet)
+    assert(got.values.map(_._1).sum === labels.size.toLong,
+      "cells must partition the vector set")
+    cells.foreach { case (cid, ls) =>
+      val (nMembers, topLabel, nTop, purity) = got(cid)
+      assert(nMembers === ls.length.toLong)
+      val byLabel = ls.groupBy(identity).view.mapValues(_.length).toMap
+      val want = byLabel.toSeq.sortBy { case (l, n) => (-n, l) }.head
+      assert(topLabel === want._1, s"cell $cid majority label")
+      assert(nTop === want._2.toLong, s"cell $cid majority count")
+      val wantP = BigDecimal(want._2.toDouble / ls.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(purity === wantP, s"cell $cid purity")
+    }
+  }
+
   test("multimodal: mapPartitions decode seam produces exactly the column-algebra result") {
     val a = Multimodal.meta(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3),

@@ -24,7 +24,9 @@ object Explain {
         "mix_rebalance", "ann_ivfpq",
         "series_nonneg_derivative", "series_integral", "series_top",
         "series_fill", "series_anomaly", "dedup_semantic",
-        "dedup_exact_substring"))
+        "dedup_exact_substring",
+        "series_summarize", "series_percentile", "series_stddev",
+        "vocab_coverage", "knn_mutual", "cluster_purity"))
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

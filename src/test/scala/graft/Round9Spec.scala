@@ -44,9 +44,12 @@ class Round9Spec extends AnyFunSuite with TestSpark {
     // share-count, and keyword-rank the empty and non-ASCII docs identically
     // in both engines (empty text = one ''-token chunk; CJK/emoji tokens
     // case-fold as no-ops and hash byte-identically over UTF-8).
+    // vocab_coverage joins too: the empty doc's '' token and the non-ASCII
+    // grams must land in/out of the tiny fixture vocabulary identically.
     Verify.dump(spark, fixtureDir, out,
       Some(Set("text_quality", "doc_fingerprint", "event_props",
-        "chunk_documents", "boilerplate_share", "text_tfidf")))
+        "chunk_documents", "boilerplate_share", "text_tfidf",
+        "vocab_coverage")))
     val log = new StringBuilder
     val exit = Process(
       Seq("python3", "tools/oracle_check.py", fixtureDir, out),

@@ -25,7 +25,7 @@ object Explain {
         "series_nonneg_derivative", "series_integral", "series_top",
         "series_fill", "series_anomaly", "dedup_semantic",
         "dedup_exact_substring",
-        "series_summarize", "series_percentile", "series_stddev",
+        "series_summarize", "series_percentile", "series_aspercent", "series_stddev",
         "vocab_coverage", "knn_mutual", "cluster_purity"))
     val spark = SparkSession.builder()
       .master("local[4]")

@@ -320,6 +320,39 @@ object Series {
        |       max(CASE WHEN r = (n_series * 90 + 99) // 100 THEN cents_sum END) / 100.0 AS p90
        |FROM ranked GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------------ asPercent
+
+  /** Graphite's `asPercent(seriesList)`: each series' share of the
+    * all-series total per aligned bucket — the composition/ratio read
+    * every capacity dashboard renders. Rides [[summarized]]'s buckets like
+    * `series_percentile`; numerator and denominator are both exact-cents
+    * bigints (the per-bucket total is a window sum over the |paths|-row
+    * bucket group), so the ONE float is the closing division, rounded
+    * to 6. Zero-total buckets yield null shares (no 0/0): guarded the
+    * same way in both engines.
+    */
+  def asPercent(spark: SparkSession, dir: String): DataFrame =
+    summarized(Tables.metrics(spark, dir))
+      .withColumn("bucket_total",
+        sum("cents_sum").over(Window.partitionBy("bucket_ts")))
+      .select(col("path"), col("bucket_ts"),
+        when(col("bucket_total") =!= 0,
+          round(col("cents_sum") * 100 / col("bucket_total").cast("double"), 6))
+          .as("pct"))
+
+  private val asPercentSql: String =
+    s"""WITH $summarizeCtes,
+       |tot AS (
+       |  SELECT path, bucket_ts, cents_sum,
+       |         CAST(sum(cents_sum) OVER (PARTITION BY bucket_ts) AS BIGINT) AS bucket_total
+       |  FROM summarized
+       |)
+       |SELECT path, bucket_ts,
+       |       CASE WHEN bucket_total <> 0
+       |            THEN round(cents_sum * 100 / CAST(bucket_total AS DOUBLE), 6)
+       |       END AS pct
+       |FROM tot""".stripMargin
+
   // --------------------------------------------------------------- stdev
 
   /** Trailing window length for [[movingStdDev]] (graphite `stdev(…, 10)`). */
@@ -371,6 +404,7 @@ object Series {
     Op("series_anomaly", anomaly, Some(anomalySql)),
     Op("series_summarize", summarize, Some(summarizeSql)),
     Op("series_percentile", percentileOfSeries, Some(percentileSql)),
+    Op("series_aspercent", asPercent, Some(asPercentSql)),
     Op("series_stddev", movingStdDev, Some(movingStdDevSql))
   )
 }

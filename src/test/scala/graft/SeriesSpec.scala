@@ -129,6 +129,29 @@ class SeriesSpec extends AnyFunSuite with TestSpark {
     assert(got.exists(r => r.getLong(1) > 1), "no multi-series bucket — vacuous")
   }
 
+  test("series_aspercent: shares recount exactly and cover each bucket's total") {
+    val sums = Series.summarize(spark, Sf).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), math.round(r.getDouble(3) * 100)))
+      .toMap
+    val totals = sums.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val got = Series.asPercent(spark, Sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val key = (r.getString(0), r.getLong(1))
+      val total = totals(key._2)
+      if (total == 0) assert(r.isNullAt(2), s"zero-total bucket ${key._2} must be null")
+      else {
+        val want = BigDecimal(sums(key) * 100 / total.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r.getDouble(2) === want, s"share at $key")
+      }
+    }
+    // shares within a bucket sum to ~100 (rounding residue < 1e-3)
+    got.filter(r => !r.isNullAt(2)).groupBy(_.getLong(1)).foreach { case (b, rs) =>
+      assert(math.abs(rs.map(_.getDouble(2)).sum - 100.0) < 1e-3, s"bucket $b shares")
+    }
+  }
+
   test("series_stddev: trailing-window sigma matches an exact moment recount") {
     val pts = Tables.metrics(spark, Sf).collect()
       .map(r => (r.getString(0), math.round(r.getDouble(1) * 100), r.getLong(2), r.getLong(3)))

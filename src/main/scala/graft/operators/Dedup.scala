@@ -512,11 +512,29 @@ object Dedup {
     *    one shuffle of the corpus, never a per-document frame on the
     *    driver.
     */
-  def cluster(spark: SparkSession, dir: String): DataFrame = {
+  def cluster(spark: SparkSession, dir: String): DataFrame =
+    componentsFrom(spark, dir, minhashLsh(spark, dir),
+      "doc_a", "doc_b", Tables.documents(spark, dir).select("doc_id"),
+      "doc_id", "cc_labels")
+
+  /** Min-label propagation over an arbitrary undirected pair frame — the
+    * connected-components engine behind `dedup_cluster` and
+    * `knn_components`. `pairs` carries one row per undirected edge
+    * (columns `aCol`, `bCol`; checkpointed eagerly here so its lineage
+    * runs ONE corpus pass); `universe(idCol)` is the full vertex
+    * population so isolated vertices come back as singletons. The loop
+    * runs on the candidate SUBGRAPH only, per-iteration localCheckpoint
+    * bounds lineage, converged labels spill through the shared-storage
+    * [[graft.model.Spill]] gate, and every block pinned inside the op is
+    * swept before returning (Round5Spec gates all three behaviors).
+    */
+  private[graft] def componentsFrom(spark: SparkSession, dir: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      universe: DataFrame, idCol: String, spillName: String): DataFrame = {
     val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
-    val pairs = minhashLsh(spark, dir).localCheckpoint() // eager: ONE corpus pass
-    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    val p = pairs.localCheckpoint()
+    val edges = p.select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(p.select(col(bCol).as("u"), col(aCol).as("v")))
       .localCheckpoint()
     var labels = edges.select(col("u").as("vid")).distinct()
       .withColumn("lbl", col("vid")).localCheckpoint()
@@ -533,19 +551,19 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
-    require(converged, s"dedup_cluster: not converged after $iter iterations")
-    val spill = graft.model.Spill.path(spark, "cc_labels", dir)
-    labels.withColumnRenamed("vid", "doc_id").write.mode("overwrite").parquet(spill)
+    require(converged, s"$spillName: not converged after $iter iterations")
+    val spill = graft.model.Spill.path(spark, spillName, dir)
+    labels.withColumnRenamed("vid", idCol).write.mode("overwrite").parquet(spill)
     spark.sparkContext.getPersistentRDDs
       .foreach { case (id, rdd) => if (!pinnedBefore.contains(id)) rdd.unpersist(false) }
-    val mapped = Tables.documents(spark, dir).select("doc_id")
-      .join(spark.read.parquet(spill), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+    val mapped = universe
+      .join(spark.read.parquet(spill), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("lbl"), col(idCol)).as("cluster_id"))
     mapped
       .withColumn("n_members",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
-      .select(col("doc_id"), col("cluster_id"), col("n_members"),
-        (col("doc_id") === col("cluster_id")).as("keep"))
+      .select(col(idCol), col("cluster_id"), col("n_members"),
+        (col(idCol) === col("cluster_id")).as("keep"))
   }
 
   /** Oracle: transitive closure over the same pairs via a recursive CTE —

@@ -123,8 +123,16 @@ object Similarity {
     * test is ONE self-join of the k·|slice|-row list on the reversed edge
     * key, then a broadcast-sized count collapse.
     */
-  def knnMutual(spark: SparkSession, dir: String): DataFrame = {
-    val verts = fixedVecs(spark, dir).filter(col("vec_id") % KnnGraphMod === 0)
+  /** The graph's vertex slice `(vec_id, v, nrm)`. */
+  private def graphVerts(spark: SparkSession, dir: String): DataFrame =
+    fixedVecs(spark, dir).filter(col("vec_id") % KnnGraphMod === 0)
+
+  /** DIRECTED mutual edges `(q_id, n_id)` — each reciprocated kNN pair
+    * appears in both directions. Shared by the degree view
+    * ([[knnMutual]]) and the component clustering ([[knnComponents]]).
+    */
+  private def mutualKnnEdges(spark: SparkSession, dir: String): DataFrame = {
+    val verts = graphVerts(spark, dir)
     val probes = verts
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val knn = verts.crossJoin(broadcast(probes))
@@ -135,20 +143,27 @@ object Similarity {
         Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))))
       .filter(col("rank") <= TopK)
       .select(col("q_id"), col("vec_id").as("n_id"))
-    val mutual = knn.as("x")
+    knn.as("x")
       .join(knn.as("y"),
         col("x.q_id") === col("y.n_id") && col("x.n_id") === col("y.q_id"))
-      .groupBy(col("x.q_id").as("vec_id"))
+      .select(col("x.q_id").as("q_id"), col("x.n_id").as("n_id"))
+  }
+
+  def knnMutual(spark: SparkSession, dir: String): DataFrame = {
+    val mutual = mutualKnnEdges(spark, dir)
+      .groupBy(col("q_id").as("vec_id"))
       .agg(count(lit(1)).as("mutual_degree"))
-    verts.select("vec_id")
+    graphVerts(spark, dir).select("vec_id")
       .join(mutual, Seq("vec_id"), "left")
       .select(col("vec_id"),
         coalesce(col("mutual_degree"), lit(0L)).as("mutual_degree"))
   }
 
-  private val knnMutualSql: String =
-    s"""WITH $fixedVecsCtes,
-       |km_verts AS (SELECT * FROM nv WHERE vec_id % $KnnGraphMod = 0),
+  /** CTE chain `km_verts … km_knn(q_id, n_id) … km_me(u, v)` — the DuckDB
+    * mirror of [[mutualKnnEdges]], shared by both graph oracles.
+    */
+  private val knnGraphCtes: String =
+    s"""km_verts AS (SELECT * FROM nv WHERE vec_id % $KnnGraphMod = 0),
        |km_pairs AS (
        |  SELECT p.vec_id AS q_id, n.vec_id,
        |         CAST(list_sum([n.v[i] * p.v[i] for i in generate_series(1, len(n.v))]) AS BIGINT)
@@ -162,13 +177,56 @@ object Similarity {
        |    FROM km_pairs
        |  ) WHERE rank <= $TopK
        |),
-       |km_mutual AS (
-       |  SELECT x.q_id AS vec_id, CAST(count(*) AS BIGINT) AS mutual_degree
+       |km_me AS (
+       |  SELECT x.q_id AS u, x.n_id AS v
        |  FROM km_knn x JOIN km_knn y ON x.q_id = y.n_id AND x.n_id = y.q_id
-       |  GROUP BY 1
+       |)""".stripMargin
+
+  private val knnMutualSql: String =
+    s"""WITH $fixedVecsCtes,
+       |$knnGraphCtes,
+       |km_mutual AS (
+       |  SELECT u AS vec_id, CAST(count(*) AS BIGINT) AS mutual_degree
+       |  FROM km_me GROUP BY 1
        |)
        |SELECT v.vec_id, coalesce(m.mutual_degree, 0) AS mutual_degree
        |FROM km_verts v LEFT JOIN km_mutual m ON v.vec_id = m.vec_id""".stripMargin
+
+  // --------------------------------------------------------- knn_components
+
+  /** Connected components of the mutual-kNN graph — graph clustering over
+    * the embedding space (the cluster view diversity sampling and
+    * near-dup group curation read; where `dedup_cluster` closes LSH
+    * CANDIDATE pairs, this closes reciprocated-neighborhood edges, the
+    * density-robust construction). Engine = the SAME min-label
+    * propagation `dedup_cluster` runs ([[graft.operators.Dedup
+    * .componentsFrom]], reused unchanged: candidate-subgraph-only loop,
+    * per-iteration localCheckpoint, spill gate, block sweep); the oracle
+    * is the same recursive-CTE closure over the shared `km_*` graph CTEs.
+    */
+  def knnComponents(spark: SparkSession, dir: String): DataFrame =
+    Dedup.componentsFrom(spark, dir,
+      mutualKnnEdges(spark, dir).filter(col("q_id") < col("n_id")),
+      "q_id", "n_id", graphVerts(spark, dir).select("vec_id"),
+      "vec_id", "knn_labels")
+
+  private val knnComponentsSql: String =
+    s"""WITH RECURSIVE $fixedVecsCtes,
+       |$knnGraphCtes,
+       |reach(v, r) AS (
+       |  SELECT u, u FROM km_me
+       |  UNION
+       |  SELECT e.v, reach.r FROM km_me e JOIN reach ON reach.v = e.u
+       |),
+       |comp AS (SELECT v, min(r) AS cluster_id FROM reach GROUP BY 1),
+       |m AS (
+       |  SELECT kv.vec_id, coalesce(c.cluster_id, kv.vec_id) AS cluster_id
+       |  FROM km_verts kv LEFT JOIN comp c ON kv.vec_id = c.v
+       |),
+       |sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members FROM m GROUP BY 1)
+       |SELECT m.vec_id, m.cluster_id, s.n_members,
+       |       m.vec_id = m.cluster_id AS keep
+       |FROM m JOIN sizes s USING (cluster_id)""".stripMargin
 
   // ----------------------------------------------------------- LSH bucketing
 
@@ -1651,6 +1709,7 @@ object Similarity {
     Op("dedup_embedding_cosine", embeddingNearDup, Some(embeddingNearDupSql)),
     Op("dedup_semantic", semanticDedup, Some(semanticDedupSql)),
     Op("knn_mutual", knnMutual, Some(knnMutualSql)),
+    Op("knn_components", knnComponents, Some(knnComponentsSql)),
     Op("cluster_purity", clusterPurity, Some(clusterPuritySql)),
     Op("kmeans_step", kmeansStep, Some(kmeansStepSql)),
     Op("kmeans_train", kmeansTrain, Some(kmeansTrainSql))

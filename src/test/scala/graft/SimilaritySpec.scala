@@ -116,6 +116,44 @@ class SimilaritySpec extends AnyFunSuite with TestSpark {
     assert(got.values.forall(d => d >= 0 && d <= Similarity.TopK))
   }
 
+  test("knn_components: clusters are the transitive closure of the mutual graph") {
+    // rebuild the mutual edge set driver-side (same recount as knn_mutual's)
+    val emb = graft.model.Tables.embeddings(spark, Sf).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * Similarity.Scale).toLong))
+      .filter(_._1 % Similarity.KnnGraphMod == 0)
+      .toMap
+    def cos(a: Seq[Long], b: Seq[Long]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    val knn = emb.keys.map { q =>
+      q -> emb.keys.filter(_ != q).toSeq
+        .sortBy(n => (-cos(emb(q), emb(n)), n))
+        .take(Similarity.TopK).toSet
+    }.toMap
+    val adj = knn.map { case (q, ns) => q -> ns.filter(n => knn(n).contains(q)) }
+    // union-find closure
+    val root = scala.collection.mutable.Map(emb.keys.map(k => k -> k).toSeq: _*)
+    def find(x: Long): Long = if (root(x) == x) x else { root(x) = find(root(x)); root(x) }
+    adj.foreach { case (q, ns) => ns.foreach { n =>
+      val (a, b) = (find(q), find(n)); if (a != b) root(math.max(a, b)) = math.min(a, b)
+    } }
+    val want = emb.keys.map(k => k -> find(k)).toMap
+    val got = Similarity.knnComponents(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(got.keySet === want.keySet)
+    want.foreach { case (v, c) => assert(got(v)._1 === c, s"component of $v") }
+    // canonical member rules: min id is the kept representative
+    got.groupBy(_._2._1).foreach { case (cid, members) =>
+      assert(members.keys.min === cid)
+      assert(members.count(_._2._3) === 1)
+      members.foreach { case (_, (_, n, _)) => assert(n === members.size.toLong) }
+    }
+    assert(got.values.exists(_._2 > 1), "no multi-vertex component — vacuous")
+  }
+
   test("cluster_purity: majority label and share recount per IVF cell") {
     val labels = graft.model.Tables.embeddings(spark, Sf).collect()
       .map(r => r.getLong(0) -> r.getInt(2)).toMap

@@ -268,13 +268,22 @@ object TextOps {
     tokenSurprisalFrom(Tables.documents(spark, dir))
 
   def tokenSurprisalFrom(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("tf"))
+    surprisalFromTf(docs, tf)
+  }
+
+  /** The surprisal readoff given a term-frequency frame — the split that
+    * lets `stream_surprisal` maintain the tf counters LIVE (they are the
+    * only corpus-wide aggregate in the score) and share the whole scoring
+    * join with the batch op. `N = Σ tf` is derived FROM the frame, so the
+    * model is self-consistent whatever produced it.
+    */
+  private[graft] def surprisalFromTf(docs: DataFrame, tf: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
-    val tf = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
-    // N = Σ tf, but computed map-only from per-doc token counts — no
-    // second token explode/shuffle just to total the corpus
-    val n = docs.agg(
-      sum(size(split(lower(col("text")), " "))).as("n_total"))
+    val n = tf.agg(sum("tf").as("n_total"))
     toks.join(broadcast(tf), "tok")
       .crossJoin(broadcast(n))
       .withColumn("b", expr("length(bin(n_total DIV tf)) - 1"))
@@ -286,7 +295,7 @@ object TextOps {
         round(col("bits") / col("n_tok"), 6).as("mean_bits"))
   }
 
-  private val tokenSurprisalSql: String =
+  private[graft] val tokenSurprisalSql: String =
     """WITH tok AS (
       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
       |), tf AS (

@@ -374,7 +374,48 @@ object DedupStream {
       graft.model.Tables.documents(spark, dir))
   }
 
+  // -------------------------------------------------------- stream_surprisal
+
+  /** The LIVE form of `token_surprisal`: the unigram LM behind the score
+    * is just the corpus term-frequency frame, and THAT is what a stream
+    * maintains — one complete-mode `groupBy(tok)` count (state =
+    * |vocabulary| rows, the `stream_index` catalog-state argument; the
+    * model's total N falls out of the frame itself as Σtf). The scoring
+    * readoff probes the static corpus with the drained model via the SAME
+    * [[graft.operators.TextOps.surprisalFromTf]] the batch op calls —
+    * exactly how a production deployment scores arriving docs against a
+    * continuously-updated corpus LM. Oracle = `token_surprisal`'s SQL
+    * verbatim.
+    */
+  def surprisalQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.readStream
+      .schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val sink = "stream_surprisal_" + UUID.randomUUID().toString.replace("-", "")
+    CarbonStream.withStreamPartitions(spark) {
+      val q = docs
+        .select(explode(split(lower(col("text")), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("tf"))
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .start()
+      try {
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+      }
+    }
+    graft.operators.TextOps.surprisalFromTf(
+      graft.model.Tables.documents(spark, dir),
+      CarbonStream.drainMemorySink(spark, sink))
+  }
+
   def ops: Seq[Op] = Seq(
+    Op("stream_surprisal", surprisalQuery,
+      Some(graft.operators.TextOps.tokenSurprisalSql)),
     Op("stream_mix", mixQuery,
       Some(graft.operators.TextOps.mixRebalanceSql)),
     Op("stream_chunk", chunkQuery,

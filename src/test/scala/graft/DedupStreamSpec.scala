@@ -12,6 +12,15 @@ import graft.streaming.DedupStream
   */
 class DedupStreamSpec extends AnyFunSuite with TestSpark {
 
+  test("stream_surprisal: the live LM scores exactly like the batch model") {
+    val batch = graft.operators.TextOps.tokenSurprisal(spark, Sf)
+      .collect().map(_.toString).sorted
+    val live = DedupStream.surprisalQuery(spark, Sf)
+      .collect().map(_.toString).sorted
+    assert(live === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("complete mode equals batch exact-dedup semantics (planted dups included)") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._

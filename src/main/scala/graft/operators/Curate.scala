@@ -34,6 +34,8 @@ object Curate {
         .select(col("doc_id"), col("keep").as("quality_ok")),
       TextOps.textRepetition(spark, dir)
         .select(col("doc_id"), (col("rep2") <= MaxRep2).as("repetition_ok")),
+      TextOps.perplexityFilter(spark, dir)
+        .select(col("doc_id"), col("perplexity_ok")),
       Dedup.decontaminate(spark, dir)
         .select(col("doc_id"), (!col("contaminated")).as("decontaminated")),
       Dedup.cluster(spark, dir)
@@ -43,10 +45,12 @@ object Curate {
     * semantics are directly testable (Round7Spec).
     */
   private[graft] def verdictFrom(quality: DataFrame, repetition: DataFrame,
+                                 perplexity: DataFrame,
                                  decontaminated: DataFrame,
                                  representative: DataFrame): DataFrame =
     quality
       .join(repetition, "doc_id")
+      .join(perplexity, "doc_id")
       .join(representative, "doc_id")
       .join(decontaminated, Seq("doc_id"), "left")
       // Eval holdout is decided by the PREDICATE, never by row absence:
@@ -58,26 +62,29 @@ object Curate {
         when(col("doc_id") % Dedup.EvalMod === 0, lit(false))
           .otherwise(coalesce(col("decontaminated"), lit(true))))
       .withColumn("keep",
-        col("quality_ok") && col("repetition_ok") &&
+        col("quality_ok") && col("repetition_ok") && col("perplexity_ok") &&
           col("decontaminated") && col("dedup_keep"))
 
   private val curateSql: String =
     s"""WITH q AS (${TextOps.textQualitySql}),
        |r AS (${TextOps.textRepetitionSql}),
+       |p AS (${TextOps.perplexityFilterSql}),
        |d AS (${Dedup.decontaminateSql}),
        |c AS (${Dedup.clusterSql})
        |SELECT q.doc_id,
        |       q.keep AS quality_ok,
        |       r.rep2 <= $MaxRep2 AS repetition_ok,
+       |       p.perplexity_ok,
        |       CASE WHEN q.doc_id % ${Dedup.EvalMod} = 0 THEN false
        |            ELSE coalesce(NOT d.contaminated, true) END AS decontaminated,
        |       c.keep AS dedup_keep,
-       |       (q.keep AND r.rep2 <= $MaxRep2
+       |       (q.keep AND r.rep2 <= $MaxRep2 AND p.perplexity_ok
        |        AND CASE WHEN q.doc_id % ${Dedup.EvalMod} = 0 THEN false
        |                 ELSE coalesce(NOT d.contaminated, true) END
        |        AND c.keep) AS keep
        |FROM q
        |JOIN r ON q.doc_id = r.doc_id
+       |JOIN p ON q.doc_id = p.doc_id
        |JOIN c ON q.doc_id = c.doc_id
        |LEFT JOIN d ON q.doc_id = d.doc_id""".stripMargin
 

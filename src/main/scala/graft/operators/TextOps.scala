@@ -312,6 +312,60 @@ object TextOps {
       |       round(CAST(sum(b) AS BIGINT) / CAST(count(*) AS DOUBLE), 6) AS mean_bits
       |FROM b GROUP BY doc_id""".stripMargin
 
+  // -------------------------------------------------------- perplexity_filter
+
+  /** How far a doc's mean surprisal may sit from the corpus median and
+    * still pass (bits). ~2% of docs fail at every fixture scale.
+    */
+  val PerplexityBand = 0.15
+
+  /** The CCNet-style perplexity filter: keep documents whose mean token
+    * surprisal sits within [[PerplexityBand]] bits of the CORPUS MEDIAN —
+    * too far below is boilerplate (every token corpus-common), too far
+    * above is gibberish (nothing but rare tokens). The cutoff is relative
+    * to the corpus's own distribution, so the gate transfers across
+    * scales where any absolute bits threshold would not.
+    *
+    * The median is the exact nearest-rank order statistic computed over
+    * the DISTINCT-value histogram: one (value, count) aggregate (partial
+    * combine map-side), a cumulative window over the |distinct values|
+    * frame — never a global sort of per-doc rows — then `min(value)` with
+    * cum ≥ (n+1) DIV 2. mean_bits is round(…,6), so the band compare is
+    * the same IEEE arithmetic in both engines.
+    */
+  def perplexityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val s = tokenSurprisal(spark, dir).select("doc_id", "mean_bits")
+    val counts = s.groupBy("mean_bits").agg(count(lit(1)).as("c"))
+    val med = counts
+      .withColumn("cum", sum("c").over(Window.orderBy("mean_bits")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum("c").over(Window.partitionBy()))
+      .filter(col("cum") >= expr("(n + 1) DIV 2"))
+      .agg(min("mean_bits").as("corpus_median"))
+    s.crossJoin(broadcast(med))
+      .select(col("doc_id"), col("mean_bits"), col("corpus_median"),
+        (abs(col("mean_bits") - col("corpus_median")) <= PerplexityBand)
+          .as("perplexity_ok"))
+  }
+
+  private[graft] val perplexityFilterSql: String =
+    s"""WITH ppl_s AS ($tokenSurprisalSql),
+       |ppl_vc AS (
+       |  SELECT mean_bits, CAST(count(*) AS BIGINT) AS c FROM ppl_s GROUP BY 1
+       |),
+       |ppl_cum AS (
+       |  SELECT mean_bits,
+       |         CAST(sum(c) OVER (ORDER BY mean_bits) AS BIGINT) AS cum,
+       |         (SELECT CAST(sum(c) AS BIGINT) FROM ppl_vc) AS n
+       |  FROM ppl_vc
+       |),
+       |ppl_med AS (
+       |  SELECT min(mean_bits) AS corpus_median FROM ppl_cum WHERE cum >= (n + 1) // 2
+       |)
+       |SELECT s.doc_id, s.mean_bits, m.corpus_median,
+       |       abs(s.mean_bits - m.corpus_median) <= $PerplexityBand AS perplexity_ok
+       |FROM ppl_s s CROSS JOIN ppl_med m""".stripMargin
+
   // ---------------------------------------------------------- doc_fingerprint
 
   val FingerprintK = 8
@@ -872,6 +926,7 @@ object TextOps {
     Op("text_repetition", textRepetition, Some(textRepetitionSql)),
     Op("text_commonness", textCommonness, Some(textCommonnessSql)),
     Op("token_surprisal", tokenSurprisal, Some(tokenSurprisalSql)),
+    Op("perplexity_filter", perplexityFilter, Some(perplexityFilterSql)),
     Op("doc_fingerprint", fingerprint, Some(fingerprintSql)),
     Op("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     Op("mix_rebalance", mixRebalance, Some(mixRebalanceSql)),

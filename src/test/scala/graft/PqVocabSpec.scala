@@ -107,6 +107,23 @@ class PqVocabSpec extends AnyFunSuite with TestSpark {
     }
   }
 
+  test("perplexity_filter: band verdicts recount against the exact nearest-rank median") {
+    val scores = TextOps.tokenSurprisal(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val sorted = scores.values.toSeq.sorted
+    val median = sorted((sorted.length + 1) / 2 - 1)
+    val got = TextOps.perplexityFilter(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getBoolean(3)))
+    assert(got.length == scores.size)
+    got.foreach { case (id, mb, med, ok) =>
+      assert(mb === scores(id))
+      assert(med === median, "corpus_median must be the nearest-rank order statistic")
+      assert(ok === (math.abs(mb - median) <= TextOps.PerplexityBand), s"doc $id")
+    }
+    assert(got.exists(!_._4), "no doc outside the band — vacuous")
+    assert(got.count(_._4) > got.length / 2, "majority must pass a median-centred band")
+  }
+
   test("stream_mix: live counts land on the batch mixing verdict exactly") {
     val batch = TextOps.mixRebalance(spark, Sf).collect().map(_.toString).sorted
     val live = graft.streaming.DedupStream.mixQuery(spark, Sf)

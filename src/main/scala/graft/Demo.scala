@@ -294,6 +294,31 @@ object Demo {
     println(s"[demo] dedup_semantic: $semDropped/${sem.count()} vectors dropped " +
       s"as in-cell duplicates (SemDeDup over the IVF cells)")
 
+    // --------------------- dashboard reads: summarize / percentile / shares
+    val buckets = Series.summarize(spark, dir).select("bucket_ts").distinct().count()
+    val p = Series.percentileOfSeries(spark, dir)
+      .agg(max("p90").as("hi"), max("n_series").as("w")).head()
+    val sigma = Series.movingStdDev(spark, dir).agg(max("stddev")).head().getDouble(0)
+    println(f"[demo] dashboard reads: $buckets%d summarize buckets, " +
+      f"widest percentile bucket spans ${p.getLong(1)}%d series (max p90=${p.getDouble(0)}%.2f), " +
+      f"max moving sigma=$sigma%.3f over ${Series.StdDevPoints}%d points")
+
+    // ------------------ tokenizer audit + perplexity gate + graph clusters
+    import graft.operators.TextOps
+    val oov = TextOps.vocabCoverage(spark, dir)
+      .agg(round(avg("oov_rate"), 4).as("m")).head().getDouble(0)
+    val ppl = TextOps.perplexityFilter(spark, dir)
+    val pplFail = ppl.filter(!col("perplexity_ok")).count()
+    val med = ppl.select("corpus_median").head().getDouble(0)
+    println(s"[demo] tokenizer coverage: mean OOV rate $oov vs the top-" +
+      s"${TextOps.VocabTopN} vocab; perplexity gate: $pplFail docs outside " +
+      s"+-${TextOps.PerplexityBand} bits of the corpus median ($med)")
+    val comps = Similarity.knnComponents(spark, dir)
+    val multi = comps.filter(col("n_members") > 1)
+    println(s"[demo] knn graph: ${multi.select("cluster_id").distinct().count()} " +
+      s"multi-vector components over ${comps.count()} vertices " +
+      s"(mutual-kNN closure; ${comps.filter(col("keep")).count()} representatives kept)")
+
     spark.stop()
   }
 }

@@ -26,7 +26,8 @@ object Explain {
         "series_fill", "series_anomaly", "dedup_semantic",
         "dedup_exact_substring",
         "series_summarize", "series_percentile", "series_aspercent", "series_stddev",
-        "vocab_coverage", "knn_mutual", "cluster_purity"))
+        "vocab_coverage", "knn_mutual", "knn_components", "cluster_purity",
+        "perplexity_filter"))
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

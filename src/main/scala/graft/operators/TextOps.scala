@@ -459,6 +459,38 @@ object TextOps {
        |WHERE bucket < CASE lang $rateCase ELSE 0 END""".stripMargin
   }
 
+  // ------------------------------------------------------------ sample_holdout
+
+  /** Holdout split percentages: (test, val) — the remainder is train. */
+  val HoldoutTestPct = 5
+  val HoldoutValPct = 5
+
+  /** Deterministic train/val/test assignment — the split every training
+    * run ships: a doc's destiny is a pure function of its id, so re-runs,
+    * backfills, and incremental arrivals land identically under any
+    * partitioning, and the split NEVER moves when the corpus grows (the
+    * property random splits lack). The hash is SALTED (`split:` prefix)
+    * so membership is independent of [[sampleStratified]]'s sampling
+    * buckets — a doc's sampling fate must not correlate with its split.
+    * Map-only: zero exchanges at any corpus size.
+    */
+  def sampleHoldout(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bucket",
+        (hash60(concat(lit("split:"), col("doc_id").cast("string"))) % 100).cast("int"))
+      .select(col("doc_id"), col("lang"), col("bucket"),
+        when(col("bucket") < HoldoutTestPct, "test")
+          .when(col("bucket") < HoldoutTestPct + HoldoutValPct, "val")
+          .otherwise("train").as("split"))
+
+  private val sampleHoldoutSql: String =
+    s"""SELECT doc_id, lang,
+       |       CAST(${hex2bigSql("md5('split:' || CAST(doc_id AS VARCHAR))")} % 100 AS INT) AS bucket,
+       |       CASE WHEN ${hex2bigSql("md5('split:' || CAST(doc_id AS VARCHAR))")} % 100 < $HoldoutTestPct THEN 'test'
+       |            WHEN ${hex2bigSql("md5('split:' || CAST(doc_id AS VARCHAR))")} % 100 < ${HoldoutTestPct + HoldoutValPct} THEN 'val'
+       |            ELSE 'train' END AS split
+       |FROM documents""".stripMargin
+
   // ----------------------------------------------------------- mix_rebalance
 
   /** Dataset mixing, the computed-rates half of [[sampleStratified]]: given
@@ -929,6 +961,7 @@ object TextOps {
     Op("perplexity_filter", perplexityFilter, Some(perplexityFilterSql)),
     Op("doc_fingerprint", fingerprint, Some(fingerprintSql)),
     Op("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
+    Op("sample_holdout", sampleHoldout, Some(sampleHoldoutSql)),
     Op("mix_rebalance", mixRebalance, Some(mixRebalanceSql)),
     Op("vocab_build", vocabBuild, Some(vocabBuildSql)),
     Op("vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),

@@ -26,6 +26,36 @@ class SamplePackSpec extends AnyFunSuite with TestSpark {
     }
   }
 
+  test("sample_holdout: split is a pure salted-hash function, bands sized as configured") {
+    def bucket(id: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"split:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      (BigInt(hex, 16) % 100).toInt
+    }
+    val rows = TextOps.sampleHoldout(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getString(3)))
+    val nDocs = Tables.documents(spark, Sf).count()
+    assert(rows.length.toLong == nDocs, "every document gets exactly one split")
+    rows.foreach { case (id, b, split) =>
+      assert(b == bucket(id), s"doc $id bucket")
+      val want =
+        if (b < TextOps.HoldoutTestPct) "test"
+        else if (b < TextOps.HoldoutTestPct + TextOps.HoldoutValPct) "val"
+        else "train"
+      assert(split == want, s"doc $id split")
+    }
+    val bySplit = rows.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(Set("train", "val", "test").subsetOf(bySplit.keySet),
+      "all three splits must be populated at fixture size")
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
+    // independence from the sampling hash: the salted split of the sampled
+    // subset must not collapse into one band
+    val sampled = TextOps.sampleStratified(spark, Sf).collect().map(_.getLong(0)).toSet
+    val sampledSplits = rows.filter(r => sampled.contains(r._1)).map(_._3).toSet
+    assert(sampledSplits.size >= 2, "sampling and split hashes correlate")
+  }
+
   test("pack_sequences: bins fill sequentially without token loss") {
     val rows = TextOps.packSequences(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -209,10 +209,49 @@ object Multimodal {
        |       ${(0 until FeatureDims).map(k => s"${hexChunkSql("content_hash", k * 4 + 1)} AS f$k").mkString(",\n       ")}
        |FROM blobs""".stripMargin
 
+  // --------------------------------------------------------- multimodal_dedup
+
+  /** Content-hash dedup WITHIN each modality — the first stage every
+    * image/audio corpus pipeline runs (byte-identical re-crawls and
+    * mirror copies dominate media duplication; perceptual near-dup comes
+    * after and plugs into the same seam the decoder does). Groups on
+    * md5(blob) per media_kind, keeps the lowest doc_id as canonical.
+    * Scale shape: digests are computed map-side and ONE exchange on
+    * (media_kind, content_hash) carries 16-byte hashes + ids — blob
+    * bytes never cross the wire.
+    */
+  def dedupBlobs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("media_kind", "content_hash")
+    blobs(spark, dir)
+      .withColumn("content_hash", md5(col("blob")))
+      .withColumn("canonical_id", min("doc_id").over(w))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .select(col("doc_id"), col("media_kind"), col("content_hash"),
+        col("canonical_id"), col("n_copies"),
+        (col("doc_id") === col("canonical_id")).as("keep"))
+  }
+
+  private val dedupBlobsSql: String =
+    s"""WITH blobs AS (
+       |  SELECT doc_id, md5(text) AS content_hash,
+       |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+       |              WHEN doc_id % 3 = 1 THEN 'audio'
+       |              ELSE 'video' END AS media_kind
+       |  FROM documents
+       |)
+       |SELECT doc_id, media_kind, content_hash,
+       |       CAST(min(doc_id) OVER w AS BIGINT) AS canonical_id,
+       |       CAST(count(*) OVER w AS BIGINT) AS n_copies,
+       |       doc_id = min(doc_id) OVER w AS keep
+       |FROM blobs
+       |WINDOW w AS (PARTITION BY media_kind, content_hash)""".stripMargin
+
   def ops: Seq[Op] = Seq(
     Op("multimodal_meta", meta, Some(metaSql)),
     Op("multimodal_frames", frames, Some(framesSql)),
     Op("multimodal_resize", resize, Some(resizeSql)),
-    Op("multimodal_features", features, Some(featuresSql))
+    Op("multimodal_features", features, Some(featuresSql)),
+    Op("multimodal_dedup", dedupBlobs, Some(dedupBlobsSql))
   )
 }

@@ -179,6 +179,30 @@ class SimilaritySpec extends AnyFunSuite with TestSpark {
     }
   }
 
+  test("multimodal_dedup: per-modality content-hash groups recount exactly") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = graft.model.Tables.documents(spark, Sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def kind(id: Long): String =
+      if (id % 3 == 0) "image" else if (id % 3 == 1) "audio" else "video"
+    val groups = docs.keys.groupBy(id => (kind(id), md5hex(docs(id))))
+    val got = Multimodal.dedupBlobs(spark, Sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      .toMap
+    assert(got.size == docs.size)
+    got.foreach { case (id, (mk, h, canon, n, keep)) =>
+      assert(mk == kind(id) && h == md5hex(docs(id)), s"doc $id hash/kind")
+      val g = groups((mk, h))
+      assert(canon == g.min, s"doc $id canonical")
+      assert(n == g.size.toLong, s"doc $id copies")
+      assert(keep == (id == g.min), s"doc $id keep")
+    }
+  }
+
   test("multimodal: mapPartitions decode seam produces exactly the column-algebra result") {
     val a = Multimodal.meta(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3),

@@ -32,5 +32,6 @@ object Registry {
       graft.streaming.CarbonStream.ops ++
       graft.streaming.DedupStream.ops ++
       graft.streaming.SessionStream.ops ++
-      graft.streaming.WireStream.ops
+      graft.streaming.WireStream.ops ++
+      graft.streaming.AnnStream.ops
 }

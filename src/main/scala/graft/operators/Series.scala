@@ -396,6 +396,134 @@ object Series {
        |       round(sqrt((n * q - s * s) / (n * n * 10000.0)), 6) AS stddev
        |FROM m""".stripMargin
 
+  // -------------------------------------------------------- movingMedian
+
+  /** Trailing window length for [[movingMedian]] (graphite `movingMedian(…, 10)`). */
+  val MedianPoints = 10
+
+  /** Graphite's `movingMedian(seriesList, points)`: per-path trailing
+    * median over the last [[MedianPoints]] points. The median is the
+    * nearest-rank ORDER STATISTIC — the ceil(n/2)-th smallest exact-cents
+    * value, picked as `(n+1) DIV 2` in integer math over the window's
+    * sorted values — so there is no interpolation float to diverge on
+    * (the `series_percentile` rule applied to a row frame); the ONE float
+    * is the closing /100 rescale. Scale shape: the same per-path window
+    * sort every series op reuses; each row's sort is over ≤ 10 elements,
+    * row-local.
+    */
+  def movingMedian(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("path").orderBy("ts", "event_id")
+      .rowsBetween(-(MedianPoints - 1), Window.currentRow)
+    cents(spark, dir)
+      .withColumn("l", array_sort(collect_list("cents").over(w)))
+      .select(col("path"), col("ts"), col("event_id"),
+        (expr("element_at(l, CAST((size(l) + 1) DIV 2 AS INT))") / lit(100.0))
+          .as("median"))
+  }
+
+  private val movingMedianSql: String =
+    s"""WITH ${Tables.metricsSql},
+       |$centsCte,
+       |m AS (
+       |  SELECT path, ts, event_id, list_sort(list(cents) OVER w) AS l
+       |  FROM c
+       |  WINDOW w AS (PARTITION BY path ORDER BY ts, event_id
+       |               ROWS BETWEEN ${MedianPoints - 1} PRECEDING AND CURRENT ROW)
+       |)
+       |SELECT path, ts, event_id, l[(len(l) + 1) // 2] / 100.0 AS median
+       |FROM m""".stripMargin
+
+  // ---------------------------------------------------------------- ewma
+
+  /** Trailing window length for [[ewma]] (the truncation horizon). */
+  val EwmaPoints = 16
+
+  /** Graphite's `exponentialMovingAverage(seriesList, points)` with the
+    * α = 1/2 smoothing both engines can run EXACTLY: weights are powers
+    * of two, so over the trailing [[EwmaPoints]]-point window the
+    * numerator Σ centsᵢ·2^posᵢ and denominator 2^n − 1 are exact bigints
+    * (truncating the geometric tail at 16 points caps the dropped mass at
+    * 2⁻¹⁶ of the weight — and both engines truncate IDENTICALLY, so the
+    * compare is exact), and the ONE float is the closing division. The
+    * per-row window is materialized as a sorted (ts, event_id, cents)
+    * struct array so the weight-by-recency assignment is deterministic
+    * under any partitioning. Scale shape: the shared per-path window
+    * sort; each row touches ≤ 16 elements, row-local.
+    */
+  def ewma(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("path").orderBy("ts", "event_id")
+      .rowsBetween(-(EwmaPoints - 1), Window.currentRow)
+    cents(spark, dir)
+      .withColumn("l", array_sort(
+        collect_list(struct(col("ts"), col("event_id"), col("cents"))).over(w)))
+      .select(col("path"), col("ts"), col("event_id"),
+        expr("""round(
+          aggregate(transform(l, (x, i) -> x.cents * shiftleft(CAST(1 AS BIGINT), i)),
+                    CAST(0 AS BIGINT), (a, b) -> a + b)
+          / ((shiftleft(CAST(1 AS BIGINT), size(l)) - 1) * CAST(100 AS DOUBLE)), 6)""")
+          .as("ewma"))
+  }
+
+  private val ewmaSql: String =
+    s"""WITH ${Tables.metricsSql},
+       |$centsCte,
+       |m AS (
+       |  SELECT path, ts, event_id,
+       |         list_sort(list({'ts': ts, 'ev': event_id, 'cents': cents}) OVER w) AS l
+       |  FROM c
+       |  WINDOW w AS (PARTITION BY path ORDER BY ts, event_id
+       |               ROWS BETWEEN ${EwmaPoints - 1} PRECEDING AND CURRENT ROW)
+       |)
+       |SELECT path, ts, event_id,
+       |       round(CAST(list_sum([l[i].cents * (CAST(1 AS BIGINT) << (i - 1))
+       |                            for i in generate_series(1, len(l))]) AS BIGINT)
+       |             / (((CAST(1 AS BIGINT) << len(l)) - 1) * 100.0), 6) AS ewma
+       |FROM m""".stripMargin
+
+  // ------------------------------------------------------------ timeShift
+
+  /** Comparison offset for [[timeShift]] (graphite `timeShift(…, "-1h")`). */
+  val ShiftSec = 3600L
+
+  /** Graphite's `timeShift` compare — the hour-over-hour dashboard read:
+    * each series' aligned-bucket total beside its value [[ShiftSec]] ago,
+    * with the absolute delta and the percent-of-previous ratio. Rides
+    * [[summarized]]'s epoch-aligned buckets (the oracle composes the SAME
+    * CTE), so the alignment cannot drift from `series_summarize`. Buckets
+    * with no predecessor keep null prev/delta/pct; zero-valued
+    * predecessors null only the ratio (no 0-division), guarded
+    * identically in both engines. Scale shape: one summarize aggregate
+    * plus a self-join keyed on (path, bucket_ts) — the grouping key the
+    * aggregate already partitioned by, carrying |paths × buckets| rows,
+    * never points.
+    */
+  def timeShift(spark: SparkSession, dir: String): DataFrame = {
+    val cur = summarized(Tables.metrics(spark, dir))
+    val prev = cur.select(col("path"),
+      (col("bucket_ts") + ShiftSec).as("bucket_ts"),
+      col("cents_sum").as("prev_cents"))
+    cur.join(prev, Seq("path", "bucket_ts"), "left")
+      .select(col("path"), col("bucket_ts"),
+        (col("cents_sum") / lit(100.0)).as("total"),
+        (col("prev_cents") / lit(100.0)).as("prev_total"),
+        ((col("cents_sum") - col("prev_cents")) / lit(100.0)).as("delta"),
+        when(col("prev_cents") =!= 0,
+          round(col("cents_sum") * 100 / col("prev_cents").cast("double"), 6))
+          .as("pct_of_prev"))
+  }
+
+  private val timeShiftSql: String =
+    s"""WITH $summarizeCtes
+       |SELECT cur.path, cur.bucket_ts,
+       |       cur.cents_sum / 100.0 AS total,
+       |       prev.cents_sum / 100.0 AS prev_total,
+       |       (cur.cents_sum - prev.cents_sum) / 100.0 AS delta,
+       |       CASE WHEN prev.cents_sum <> 0
+       |            THEN round(cur.cents_sum * 100 / CAST(prev.cents_sum AS DOUBLE), 6)
+       |       END AS pct_of_prev
+       |FROM summarized cur LEFT JOIN summarized prev
+       |  ON cur.path = prev.path AND prev.bucket_ts = cur.bucket_ts - $ShiftSec""".stripMargin
+
   def ops: Seq[Op] = Seq(
     Op("series_nonneg_derivative", nonNegDerivative, Some(nonNegDerivativeSql)),
     Op("series_integral", integral, Some(integralSql)),
@@ -405,6 +533,9 @@ object Series {
     Op("series_summarize", summarize, Some(summarizeSql)),
     Op("series_percentile", percentileOfSeries, Some(percentileSql)),
     Op("series_aspercent", asPercent, Some(asPercentSql)),
-    Op("series_stddev", movingStdDev, Some(movingStdDevSql))
+    Op("series_stddev", movingStdDev, Some(movingStdDevSql)),
+    Op("series_moving_median", movingMedian, Some(movingMedianSql)),
+    Op("series_ewma", ewma, Some(ewmaSql)),
+    Op("series_timeshift", timeShift, Some(timeShiftSql))
   )
 }

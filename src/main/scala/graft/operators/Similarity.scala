@@ -44,10 +44,16 @@ object Similarity {
     s"[CAST(floor(CAST(x AS DOUBLE) * $Scale) AS BIGINT) for x in embedding]"
 
   /** (vec_id, v fixed-point, nrm = |v|^2 exact). */
-  private[graft] def fixedVecs(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.VecMath.register(spark)
-    Tables.embeddings(spark, dir)
-      .select(col("vec_id"), expr(toFixed).as("v"))
+  private[graft] def fixedVecs(spark: SparkSession, dir: String): DataFrame =
+    fixedVecsFrom(Tables.embeddings(spark, dir))
+
+  /** The fixed-point projection over an arbitrary raw `(vec_id,
+    * embedding)` frame — row-local, so it runs unchanged on a STREAM of
+    * vectors (`stream_ann`'s ingest path).
+    */
+  private[graft] def fixedVecsFrom(raw: DataFrame): DataFrame = {
+    graft.functions.VecMath.register(raw.sparkSession)
+    raw.select(col("vec_id"), expr(toFixed).as("v"))
       .withColumn("nrm", expr(dotExpr("v", "v")))
   }
 
@@ -651,7 +657,7 @@ object Similarity {
     * deterministic and agrees bit-for-bit with the oracle's
     * `row_number() ... ORDER BY ccos DESC, c_id` at rank 1.
     */
-  private def assignNearest(vecs: DataFrame, cents: DataFrame): DataFrame =
+  private[graft] def assignNearest(vecs: DataFrame, cents: DataFrame): DataFrame =
     vecs.crossJoin(broadcast(cents))
       .withColumn("ccos",
         expr(dotExpr("v", "cv")) / (sqrt(col("nrm")) * sqrt(col("cn"))))
@@ -704,14 +710,21 @@ object Similarity {
   /** Scored IVF candidates `(q_id, vec_id, cos)` for a given quantizer and
     * probe width — shared by [[ivfFrom]] and `graft.IvfTune`.
     */
-  private[graft] def ivfCands(vecs: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
+  private[graft] def ivfCands(vecs: DataFrame, cents: DataFrame, nprobe: Int): DataFrame =
     // Corpus assignment is the sort-free max_by aggregation (see
     // [[assignNearest]]); the probe top-nprobe lists still use a window
     // rank, but only over the 1/ProbeMod probe SUBSET × k — negligible
     // beside the corpus, and filtering before the crossJoin keeps the
     // big branch free of any n×k exchange or sort.
-    val assigned = assignNearest(vecs, cents)
-    val probeLists = vecs.filter(col("vec_id") % ProbeMod === 0)
+    ivfCandsFromAssigned(assignNearest(vecs, cents),
+      ivfProbeLists(vecs, cents, nprobe))
+
+  /** Per-probe top-`nprobe` cell routing `(q_id, qv, qn, c_id)` — the
+    * query side of the IVF join, shared with `stream_ann`'s readoff.
+    */
+  private[graft] def ivfProbeLists(vecs: DataFrame, cents: DataFrame,
+      nprobe: Int): DataFrame =
+    vecs.filter(col("vec_id") % ProbeMod === 0)
       .crossJoin(broadcast(cents))
       .withColumn("ccos",
         expr(dotExpr("v", "cv")) / (sqrt(col("nrm")) * sqrt(col("cn"))))
@@ -720,11 +733,16 @@ object Similarity {
       .filter(col("crn") <= nprobe)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"), col("c_id"))
 
+  /** The inverted-list probe join over a precomputed `assigned(vec_id, v,
+    * nrm, c_id)` membership frame — shared verbatim by the batch [[ivf]]
+    * family and `stream_ann` (whose membership frame is streaming state).
+    */
+  private[graft] def ivfCandsFromAssigned(assigned: DataFrame,
+      probeLists: DataFrame): DataFrame =
     assigned.join(broadcast(probeLists), Seq("c_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         (expr(dotExpr("v", "qv")) / (sqrt(col("nrm")) * sqrt(col("qn")))).as("cos"))
-  }
 
   /** IVF oracle over an arbitrary `cents(c_id, cv, cn)` CTE chain. */
   private def ivfSqlFrom(centsCtes: String): String =
@@ -764,7 +782,7 @@ object Similarity {
   private val seedCentsCte: String =
     s"cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM nv WHERE vec_id % $CentroidMod = 1)"
 
-  private val ivfSql: String = ivfSqlFrom(seedCentsCte)
+  private[graft] val ivfSql: String = ivfSqlFrom(seedCentsCte)
 
   /** Per-vector seed-quantizer assignment `(vec_id, c_id)` at an explicit
     * centroid spacing — the IVF inverted-list membership

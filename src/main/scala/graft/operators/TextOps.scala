@@ -597,6 +597,85 @@ object TextOps {
        |FROM mix_joined CROSS JOIN mix_tot""".stripMargin
   }
 
+  // --------------------------------------------------------- mix_temperature
+
+  /** Temperature-based language rebalancing — the OTHER mixing rule
+    * multilingual pipelines run (mC4/XLM-R style): instead of hitting a
+    * named target mix ([[mixRebalance]]), sample language l with
+    * probability ∝ p_l^α (α = 1/2), flattening the distribution toward
+    * the rare languages. Realized as down-sampling: per-lang keep rate
+    * r_l = (c_min/c_l)^(1−α) = √(c_min/c_l), normalized so the RAREST
+    * language is kept whole. No target config — every language present
+    * participates.
+    *
+    * Portability: the rate is three correctly-rounded IEEE steps from
+    * exact bigint counts — ONE division c_min/c_l, ONE sqrt, ONE ×10⁴ —
+    * then `floor` to basis points, so both engines derive bit-identical
+    * thresholds at any scale (no c_min·10⁸ product to fall out of the
+    * double-exact integer range at sf10). The verdict is the salted-hash
+    * threshold `hash60('temp:'‖doc_id) % 10⁴ < rate_bp` — deterministic
+    * under any partitioning, decorrelated from [[mixRebalance]]'s and
+    * `sample_holdout`'s hashes by the salt.
+    *
+    * Scale shape: EXACTLY TWO corpus passes, each collapsing map-side to
+    * |langs| rows per partition; the |langs|-row rate frame is eagerly
+    * collected (the kmeans-centroid pattern [[mixFromCounts]] documents)
+    * and broadcast back for the keep verdict.
+    */
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame =
+    mixTemperatureFrom(spark, Tables.documents(spark, dir))
+
+  private[graft] def mixTemperatureFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val rates = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("c_min", min("n_docs").over(Window.partitionBy()))
+      .withColumn("total", sum("n_docs").over(Window.partitionBy()))
+      .withColumn("rate_bp",
+        expr("CAST(floor(sqrt(c_min / CAST(n_docs AS DOUBLE)) * 10000) AS BIGINT)"))
+      .select("lang", "n_docs", "total", "rate_bp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.toDF("lang", "n_docs", "total", "rate_bp")
+    val kept = docs
+      .join(broadcast(rates.select("lang", "rate_bp")), "lang")
+      .filter(hash60(concat(lit("temp:"), col("doc_id").cast("string"))) % 10000
+        < col("rate_bp"))
+      .groupBy("lang").agg(count(lit(1)).as("kept"))
+    rates.join(kept, Seq("lang"), "left")
+      .withColumn("kept", coalesce(col("kept"), lit(0L)))
+      .withColumn("kept_total", sum("kept").over(Window.partitionBy()))
+      .select(col("lang"), col("n_docs"), col("rate_bp"),
+        round(col("n_docs") / col("total").cast("double"), 6).as("orig_share"),
+        col("kept"),
+        round(col("kept") / col("kept_total").cast("double"), 6).as("achieved_share"))
+  }
+
+  private[graft] val mixTemperatureSql: String =
+    s"""WITH tc AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1
+       |),
+       |tm AS (SELECT min(n_docs) AS c_min, CAST(sum(n_docs) AS BIGINT) AS total FROM tc),
+       |tr AS (
+       |  SELECT lang, n_docs, total,
+       |         CAST(floor(sqrt(c_min / CAST(n_docs AS DOUBLE)) * 10000) AS BIGINT) AS rate_bp
+       |  FROM tc CROSS JOIN tm
+       |),
+       |tk AS (
+       |  SELECT d.lang, CAST(count(*) AS BIGINT) AS kept
+       |  FROM documents d JOIN tr USING (lang)
+       |  WHERE ${hex2bigSql("md5('temp:' || CAST(doc_id AS VARCHAR))")} % 10000 < rate_bp
+       |  GROUP BY 1
+       |),
+       |tj AS (
+       |  SELECT r.lang, r.n_docs, r.total, r.rate_bp, coalesce(k.kept, 0) AS kept
+       |  FROM tr r LEFT JOIN tk k USING (lang)
+       |),
+       |tt AS (SELECT CAST(sum(kept) AS BIGINT) AS kept_total FROM tj)
+       |SELECT lang, n_docs, rate_bp,
+       |       round(n_docs / CAST(total AS DOUBLE), 6) AS orig_share,
+       |       CAST(kept AS BIGINT) AS kept,
+       |       round(kept / CAST(kept_total AS DOUBLE), 6) AS achieved_share
+       |FROM tj CROSS JOIN tt""".stripMargin
+
   // ------------------------------------------------------------- vocab_build
 
   /** Corpus vocabulary construction — the BPE-precursor stage: top-N
@@ -963,6 +1042,7 @@ object TextOps {
     Op("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     Op("sample_holdout", sampleHoldout, Some(sampleHoldoutSql)),
     Op("mix_rebalance", mixRebalance, Some(mixRebalanceSql)),
+    Op("mix_temperature", mixTemperature, Some(mixTemperatureSql)),
     Op("vocab_build", vocabBuild, Some(vocabBuildSql)),
     Op("vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
     Op("pack_sequences", packSequencesSharded(_, _), Some(packSequencesSql))

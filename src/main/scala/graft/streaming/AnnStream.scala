@@ -1,0 +1,70 @@
+package graft.streaming
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.Op
+import graft.operators.Similarity
+
+/** The LIVE form of `ann_ivf` — continuous index maintenance for a
+  * retrieval corpus: embedding vectors arrive as a stream and each is
+  * routed to its IVF cell AS it arrives, so the inverted-list membership
+  * (the index itself) is maintained as streaming state instead of rebuilt
+  * in a nightly batch. This is the ingestion half every vector store runs
+  * continuously (new documents are embedded and indexed on arrival; the
+  * quantizer retrains offline and redeploys — here it is the static
+  * deterministic seed quantizer, broadcast to every micro-batch).
+  *
+  * The work splits exactly like `stream_decontaminate`: the per-vector
+  * fixed-point projection ([[Similarity.fixedVecsFrom]], reused unchanged)
+  * is row-local; the cell routing is a stream-static broadcast join
+  * against the k-row centroid frame; and the streaming aggregation is
+  * `assignNearest`'s OWN `groupBy(vec_id).max_by` — order-immune partials
+  * that converge to the argmax under any micro-batch split, complete mode.
+  * State = one (vec_id, cell) row per corpus vector: the inverted-list
+  * membership IS the index, so the state bound is the index size — the
+  * same bound the batch index occupies on disk.
+  *
+  * Readoff on the drained membership frame reuses the batch query path
+  * verbatim ([[Similarity.ivfProbeLists]] + [[Similarity.ivfCandsFromAssigned]]
+  * + [[Similarity.topKFromCands]]); oracle = `ann_ivf`'s SQL verbatim
+  * (a finite stream's converged index == the batch index).
+  */
+object AnnStream {
+
+  val embeddingsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  def annQuery(spark: SparkSession, dir: String): DataFrame = {
+    val batchVecs = Similarity.fixedVecs(spark, dir)
+    val cents = Similarity.seedCents(batchVecs)
+    val stream = spark.readStream
+      .schema(embeddingsSchema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+    val sink = "stream_ann_" + UUID.randomUUID().toString.replace("-", "")
+    CarbonStream.withStreamPartitions(spark) {
+      val q = Similarity.assignNearest(Similarity.fixedVecsFrom(stream), cents)
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .start()
+      try {
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+      }
+    }
+    val assigned = CarbonStream.drainMemorySink(spark, sink)
+    Similarity.topKFromCands(Similarity.ivfCandsFromAssigned(assigned,
+      Similarity.ivfProbeLists(batchVecs, cents, Similarity.NProbe)))
+  }
+
+  def ops: Seq[Op] = Seq(
+    Op("stream_ann", annQuery, Some(Similarity.ivfSql)))
+}

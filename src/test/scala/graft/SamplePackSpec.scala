@@ -152,6 +152,45 @@ class SamplePackSpec extends AnyFunSuite with TestSpark {
     assert(math.abs(rows.values.map(_._5).sum - 1.0) < 1e-4)
   }
 
+  test("mix_temperature: rarest language kept whole, rates follow the sqrt law, kept counts match an independent md5 oracle") {
+    import spark.implicits._
+    val perLang = Seq("en" -> 400, "de" -> 100, "es" -> 80, "fr" -> 60, "zh" -> 30)
+    var id = 0L
+    val docs = perLang.flatMap { case (l, n) =>
+      (1 to n).map { _ => id += 1; (id, s"text $id", l) }
+    }.toDF("doc_id", "text", "lang")
+    val rows = TextOps.mixTemperatureFrom(spark, docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    assert(rows.keySet === perLang.map(_._1).toSet)
+    val cMin = perLang.map(_._2).min.toLong
+    perLang.foreach { case (l, n) =>
+      val (nDocs, rateBp, origShare, kept, _) = rows(l)
+      assert(nDocs === n.toLong)
+      // the sqrt law, in the exact IEEE steps the op documents
+      assert(rateBp ===
+        math.floor(math.sqrt(cMin / n.toDouble) * 10000).toLong, s"$l rate_bp")
+      assert(math.abs(origShare - n.toDouble / 670) < 1e-6, s"$l orig_share")
+      // independent oracle: salted JVM md5 threshold
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val expectKept = docs.filter(col("lang") === l)
+        .select("doc_id").collect().map(_.getLong(0)).count { d =>
+          val hex = md.digest(s"temp:$d".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(15)
+          java.lang.Long.parseLong(hex, 16) % 10000 < rateBp
+        }
+      assert(kept === expectKept.toLong, s"$l kept")
+    }
+    // the rarest language is kept whole: rate exactly 10000 basis points
+    assert(rows("zh")._2 === 10000L)
+    assert(rows("zh")._4 === 30L)
+    // flattening: common languages are cut harder than rare ones
+    assert(rows("en")._2 < rows("de")._2)
+    assert(rows("de")._2 < rows("zh")._2)
+    assert(math.abs(rows.values.map(_._5).sum - 1.0) < 1e-4)
+  }
+
   test("boilerplate_share: duplicated texts share every chunk, partial overlap shares some") {
     import spark.implicits._
     val words = (1 to 200).map(i => s"w$i")

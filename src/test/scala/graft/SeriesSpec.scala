@@ -172,6 +172,72 @@ class SeriesSpec extends AnyFunSuite with TestSpark {
     }
   }
 
+  test("series_moving_median agrees with a driver-side sorted-window recount") {
+    val got = Series.movingMedian(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(got.nonEmpty)
+    val byPath = Tables.metrics(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), math.round(r.getDouble(1) * 100)))
+      .groupBy(_._1)
+    byPath.foreach { case (path, xs) =>
+      val series = xs.sortBy(x => (x._2, x._3))
+      series.indices.foreach { i =>
+        val win = series.slice(math.max(0, i - (Series.MedianPoints - 1)), i + 1)
+          .map(_._4).sorted
+        val want = win((win.length + 1) / 2 - 1) / 100.0
+        val (_, ts, eid, _) = series(i)
+        assert(got((path, ts, eid)) === want, s"($path,$ts,$eid)")
+      }
+    }
+  }
+
+  test("series_ewma agrees with a driver-side power-of-two weighted recount") {
+    val got = Series.ewma(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    val byPath = Tables.metrics(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), math.round(r.getDouble(1) * 100)))
+      .groupBy(_._1)
+    byPath.foreach { case (path, xs) =>
+      val series = xs.sortBy(x => (x._2, x._3))
+      series.indices.foreach { i =>
+        val win = series.slice(math.max(0, i - (Series.EwmaPoints - 1)), i + 1).map(_._4)
+        val num = win.zipWithIndex.map { case (c, j) => c * (1L << j) }.sum
+        val den = (1L << win.length) - 1
+        val want = BigDecimal(num / (den * 100.0))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val (_, ts, eid, _) = series(i)
+        assert(got((path, ts, eid)) === want, s"($path,$ts,$eid)")
+        // newest point dominates: ewma is within half a window-max of it
+        assert(math.abs(got((path, ts, eid)) - win.last / 100.0)
+          <= win.map(_.abs).max / 100.0)
+      }
+    }
+  }
+
+  test("series_timeshift: totals ride summarize's buckets, deltas and ratios check out") {
+    val sums = Series.summarize(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val rows = Series.timeShift(spark, Sf).collect()
+    assert(rows.length === sums.size, "timeshift must emit one row per summarized bucket")
+    var withPrev = 0
+    rows.foreach { r =>
+      val (path, bucket) = (r.getString(0), r.getLong(1))
+      assert(r.getDouble(2) === sums((path, bucket)))
+      sums.get((path, bucket - Series.ShiftSec)) match {
+        case Some(prev) =>
+          withPrev += 1
+          assert(r.getDouble(3) === prev)
+          assert(math.abs(r.getDouble(4) - (r.getDouble(2) - prev)) < 1e-9)
+          if (prev != 0.0)
+            assert(math.abs(r.getDouble(5) - r.getDouble(2) * 100 / prev) < 1e-4)
+          else assert(r.isNullAt(5))
+        case None =>
+          assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5))
+      }
+    }
+    assert(withPrev > 0, "fixture has no hour-adjacent buckets — test is vacuous")
+  }
+
   test("series_anomaly agrees with a driver-side exact z-score recount") {
     val got = Series.anomaly(spark, Sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getBoolean(4)).toMap

@@ -46,4 +46,14 @@ class StreamingSpec extends AnyFunSuite with TestSpark {
       assert(got === Set(("p", 60L, 3.0)), "window [0,60) must flush exactly once")
     } finally q.stop()
   }
+
+  test("stream_ann: the live-maintained IVF index answers queries exactly like the batch index") {
+    val live = graft.streaming.AnnStream.annQuery(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val batch = graft.operators.Similarity.ivf(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(live.nonEmpty)
+    assert(live === batch,
+      "converged streaming inverted lists must equal the batch index")
+  }
 }

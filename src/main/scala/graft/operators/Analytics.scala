@@ -295,6 +295,152 @@ object Analytics {
       |)
       |GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------------------- funnel_steps
+
+  /** The ordered conversion funnel over the event stream. */
+  val FunnelSteps: Seq[String] = Seq("view", "click", "purchase")
+
+  /** Ordered-funnel analysis — the product-analytics read every event
+    * pipeline serves: of the users who did step 1, how many went on to do
+    * step 2 AFTER it, then step 3 after that, and how long each hop took.
+    * "After" is strict in the engine's total event order — the SAME packed
+    * `(ts, event_id)` key LAST rollups use ([[graft.model.RollupConfig
+    * .LastKeyShift]]), so simultaneous-timestamp events order identically
+    * in both engines.
+    *
+    * Scale shape: each stage is a per-user min aggregation over ONE event
+    * type's rows (the filter pushes to the scan) joined back on user_id —
+    * the co-partitioned key every stage reuses; the closing frame is
+    * |steps| rows. Latency averages are exact integer sums with one
+    * closing division.
+    */
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val shift = graft.model.RollupConfig.LastKeyShift
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr(s"(ts DIV 1000000000) * $shift + event_id").as("k"))
+    // stage n: first step-n event strictly after the user's stage-(n-1) key
+    val s1 = ev.filter(col("event_type") === FunnelSteps.head)
+      .groupBy("user_id").agg(min("k").as("k1"))
+    val s2 = ev.filter(col("event_type") === FunnelSteps(1))
+      .join(s1, "user_id").filter(col("k") > col("k1"))
+      .groupBy("user_id", "k1").agg(min("k").as("k2"))
+    val s3 = ev.filter(col("event_type") === FunnelSteps(2))
+      .join(s2, "user_id").filter(col("k") > col("k2"))
+      .groupBy("user_id", "k2").agg(min("k").as("k3"))
+    def lat(a: String, b: String) = expr(s"$b DIV $shift - $a DIV $shift")
+    val a1 = s1.agg(count(lit(1)).as("n_users"))
+      .select(lit(1).as("step"), lit(FunnelSteps.head).as("event_type"),
+        col("n_users"), lit(null).cast("double").as("avg_step_sec"))
+    val a2 = s2.agg(count(lit(1)).as("n_users"),
+        sum(lat("k1", "k2")).as("lat"))
+      .select(lit(2).as("step"), lit(FunnelSteps(1)).as("event_type"),
+        col("n_users"),
+        round(col("lat") / col("n_users").cast("double"), 6).as("avg_step_sec"))
+    val a3 = s3.agg(count(lit(1)).as("n_users"),
+        sum(lat("k2", "k3")).as("lat"))
+      .select(lit(3).as("step"), lit(FunnelSteps(2)).as("event_type"),
+        col("n_users"),
+        round(col("lat") / col("n_users").cast("double"), 6).as("avg_step_sec"))
+    a1.unionByName(a2).unionByName(a3)
+      .withColumn("conv_pct", round(
+        col("n_users") * 100 /
+          max(when(col("step") === 1, col("n_users"))).over(Window.partitionBy())
+            .cast("double"), 6))
+  }
+
+  private val funnelSql: String = {
+    val shift = graft.model.RollupConfig.LastKeyShift
+    s"""WITH fev AS (
+       |  SELECT user_id, event_type,
+       |         (epoch_ns(ts) // 1000000000) * $shift + event_id AS k
+       |  FROM events
+       |),
+       |f1 AS (SELECT user_id, min(k) AS k1 FROM fev
+       |       WHERE event_type = '${FunnelSteps.head}' GROUP BY 1),
+       |f2 AS (SELECT e.user_id, f1.k1, min(e.k) AS k2
+       |       FROM fev e JOIN f1 ON e.user_id = f1.user_id
+       |       WHERE e.event_type = '${FunnelSteps(1)}' AND e.k > f1.k1
+       |       GROUP BY 1, 2),
+       |f3 AS (SELECT e.user_id, f2.k2, min(e.k) AS k3
+       |       FROM fev e JOIN f2 ON e.user_id = f2.user_id
+       |       WHERE e.event_type = '${FunnelSteps(2)}' AND e.k > f2.k2
+       |       GROUP BY 1, 2),
+       |steps AS (
+       |  SELECT 1 AS step, '${FunnelSteps.head}' AS event_type,
+       |         CAST(count(*) AS BIGINT) AS n_users,
+       |         CAST(NULL AS DOUBLE) AS avg_step_sec
+       |  FROM f1
+       |  UNION ALL
+       |  SELECT 2, '${FunnelSteps(1)}', CAST(count(*) AS BIGINT),
+       |         round(CAST(sum(k2 // $shift - k1 // $shift) AS BIGINT)
+       |               / CAST(count(*) AS DOUBLE), 6)
+       |  FROM f2
+       |  UNION ALL
+       |  SELECT 3, '${FunnelSteps(2)}', CAST(count(*) AS BIGINT),
+       |         round(CAST(sum(k3 // $shift - k2 // $shift) AS BIGINT)
+       |               / CAST(count(*) AS DOUBLE), 6)
+       |  FROM f3
+       |)
+       |SELECT CAST(step AS INT) AS step, event_type, n_users, avg_step_sec,
+       |       round(n_users * 100 / CAST(max(CASE WHEN step = 1 THEN n_users END)
+       |                                   OVER () AS DOUBLE), 6) AS conv_pct
+       |FROM steps""".stripMargin
+  }
+
+  // --------------------------------------------------------- cohort_retention
+
+  /** Seconds per retention-cohort bucket (epoch-aligned weeks). */
+  val CohortWeekSec = 604800L
+
+  /** Cohort retention — the other standing product-analytics read: users
+    * grouped by first-seen week, and for each later week the share of the
+    * cohort still active. All-integer algebra (epoch-week = ts DIV 7d,
+    * activity de-duplicated on (user, week) so counts are exact distinct
+    * users) with ONE closing division per row.
+    *
+    * Scale shape: a per-user min aggregation, a (user, week) distinct, and
+    * a join back on user_id — all partitioned on the user key the event
+    * stream naturally groups by; the closing (cohort, offset) aggregate is
+    * |weeks²| rows. No window over the data stream, no collect.
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr(s"ts DIV 1000000000 DIV $CohortWeekSec").as("week"))
+    val first = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+    val sizes = first.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+    ev.distinct()
+      .join(first, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("cohort_size"),
+        round(col("n_active") * 100 / col("cohort_size").cast("double"), 6)
+          .as("retention_pct"))
+  }
+
+  private val cohortSql: String =
+    s"""WITH cev AS (
+       |  SELECT DISTINCT user_id,
+       |         epoch_ns(ts) // 1000000000 // $CohortWeekSec AS week
+       |  FROM events
+       |),
+       |cfirst AS (SELECT user_id, min(week) AS cohort_week FROM cev GROUP BY 1),
+       |csizes AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+       |           FROM cfirst GROUP BY 1),
+       |cact AS (
+       |  SELECT f.cohort_week, e.week - f.cohort_week AS week_offset,
+       |         CAST(count(*) AS BIGINT) AS n_active
+       |  FROM cev e JOIN cfirst f ON e.user_id = f.user_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT a.cohort_week, a.week_offset, a.n_active, s.cohort_size,
+       |       round(a.n_active * 100 / CAST(s.cohort_size AS DOUBLE), 6)
+       |         AS retention_pct
+       |FROM cact a JOIN csizes s ON a.cohort_week = s.cohort_week""".stripMargin
+
   def ops: Seq[Op] = Seq(
     Op("q1_pricing", q1Pricing, Some(q1Sql)),
     Op("q3_shipping", q3Shipping, Some(q3Sql)),
@@ -302,6 +448,8 @@ object Analytics {
     Op("q14_promo", q14Promo, Some(q14Sql)),
     Op("q6_revenue", q6Revenue, Some(q6Sql)),
     Op("sessionize", sessionize, Some(sessionizeSql)),
-    Op("event_props", eventProps, Some(eventPropsSql))
+    Op("event_props", eventProps, Some(eventPropsSql)),
+    Op("funnel_steps", funnelSteps, Some(funnelSql)),
+    Op("cohort_retention", cohortRetention, Some(cohortSql))
   )
 }

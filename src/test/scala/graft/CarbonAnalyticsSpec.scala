@@ -59,6 +59,51 @@ class CarbonAnalyticsSpec extends AnyFunSuite with TestSpark {
     }
   }
 
+  test("funnel_steps matches a driver-side strict-order replay") {
+    val shift = graft.model.RollupConfig.LastKeyShift
+    val ev = Tables.events(spark, Sf)
+      .selectExpr("user_id", "event_type", s"(ts DIV 1000000000) * $shift + event_id AS k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def mins(step: String, prev: Map[Long, Long]): Map[Long, Long] =
+      ev.filter(e => e._2 == step && prev.get(e._1).exists(e._3 > _))
+        .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._3).min }
+    val all = ev.map(_._1).distinct.map(_ -> Long.MinValue).toMap
+    val k1 = ev.filter(_._2 == Analytics.FunnelSteps.head)
+      .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._3).min }
+    val k2 = mins(Analytics.FunnelSteps(1), k1)
+    val k3 = mins(Analytics.FunnelSteps(2), k2)
+    assert(all.nonEmpty)
+    val got = Analytics.funnelSteps(spark, Sf).collect()
+      .map(r => r.getInt(0) -> (r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getDouble(4))).toMap
+    assert(got(1)._2 === k1.size && got(2)._2 === k2.size && got(3)._2 === k3.size)
+    assert(k1.size >= k2.size && k2.size >= k3.size, "funnel must be monotone")
+    assert(got(1)._3.isEmpty && got(1)._4 === 100.0)
+    // mean hop latency recounts exactly (integer seconds, one division)
+    val lat2 = k2.map { case (u, k) => k / shift - k1(u) / shift }.sum
+    assert(got(2)._3.exists(v =>
+      math.abs(v - lat2.toDouble / k2.size) < 1e-6), "step-2 latency")
+    k2.foreach { case (u, k) => assert(k > k1(u), s"user $u step 2 not after step 1") }
+    k3.foreach { case (u, k) => assert(k > k2(u), s"user $u step 3 not after step 2") }
+  }
+
+  test("cohort_retention: week-0 is the whole cohort, shares bounded, users conserved") {
+    val rows = Analytics.cohortRetention(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, off, n, size, pct) =>
+      assert(off >= 0 && n <= size && pct <= 100.0 + 1e-9)
+      assert(math.abs(pct - n * 100.0 / size) < 1e-4)
+    }
+    // by construction every user is active in their first week
+    rows.filter(_._2 == 0).foreach { case (cw, _, n, size, _) =>
+      assert(n === size, s"cohort $cw week 0 must cover the whole cohort")
+    }
+    // cohort sizes partition the distinct-user population
+    val users = Tables.events(spark, Sf).select("user_id").distinct().count()
+    assert(rows.filter(_._2 == 0).map(_._4).sum === users)
+  }
+
   test("q1 aggregates are internally consistent (avg * count == sum)") {
     val rows = Analytics.q1Pricing(spark, Sf).collect()
     assert(rows.nonEmpty)

@@ -234,6 +234,80 @@ object Similarity {
        |       m.vec_id = m.cluster_id AS keep
        |FROM m JOIN sizes s USING (cluster_id)""".stripMargin
 
+  // ----------------------------------------------------------- knn_pagerank
+
+  /** Power-iteration rounds for [[knnPagerank]]. */
+  val PrIters = 3
+  /** Damping percent (the classic 0.85). */
+  val PrDamp = 85L
+  /** Initial rank in parts-per-million. */
+  val PrBase = 1000000L
+
+  /** PageRank centrality over the mutual-kNN graph — the third graph
+    * read beside degrees ([[knnMutual]]) and components
+    * ([[knnComponents]]): a vector central to a well-connected region
+    * ranks high, fringe/outlier vectors sink — the centrality signal
+    * graph-based diversity sampling and representative-selection
+    * curation weight documents by.
+    *
+    * All-integer power iteration, so both engines agree bit-for-bit with
+    * no float tolerance: ranks live in ppm, each round is
+    * `r' = 150000 + (85 · Σ_{u→v} (r(u) DIV deg(u))) DIV 100` — floor
+    * divisions and order-immune bigint sums only. Dangling (degree-0)
+    * vertices leak their damped mass (the documented leaky form; they
+    * still RECEIVE the base mass each round). [[PrIters]] unrolled rounds
+    * — the audit wants a stable ordering, not convergence to 1e-12.
+    *
+    * Plan shape: per round ONE inflow aggregation over the edge list
+    * joined to the rank frame on the edge's own key — at 100 TB this is
+    * the standard edge-partitioned PageRank join; the |slice|-row rank
+    * frame rides the same key partitioning every round.
+    */
+  def knnPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = mutualKnnEdges(spark, dir)
+    val verts = graphVerts(spark, dir).select("vec_id")
+    val deg = edges.groupBy("q_id").agg(count(lit(1)).as("deg"))
+    val eD = edges.join(deg, "q_id")
+    var r = verts.select(col("vec_id"), lit(PrBase).as("r"))
+    for (_ <- 1 to PrIters) {
+      val inflow = eD
+        .join(r.select(col("vec_id").as("q_id"), col("r")), "q_id")
+        .select(col("n_id").as("vec_id"), expr("r DIV deg").as("c"))
+        .groupBy("vec_id").agg(sum("c").as("inflow"))
+      r = verts.join(inflow, Seq("vec_id"), "left")
+        .select(col("vec_id"), expr(
+          s"${PrBase - PrBase * PrDamp / 100} + " +
+            s"($PrDamp * coalesce(inflow, CAST(0 AS BIGINT))) DIV 100 AS r"))
+    }
+    r.join(deg.select(col("q_id").as("vec_id"), col("deg")), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("deg"), lit(0L)).as("mutual_degree"),
+        col("r").as("pr_ppm"))
+  }
+
+  private val knnPagerankSql: String = {
+    val base = PrBase - PrBase * PrDamp / 100
+    def round(n: Int): String =
+      s"""pr$n AS (
+         |  SELECT v.vec_id,
+         |         CAST($base + (${PrDamp} * coalesce(s.inflow, 0)) // 100 AS BIGINT) AS r
+         |  FROM km_verts v LEFT JOIN (
+         |    SELECT e.v AS vec_id, CAST(sum(p.r // d.deg) AS BIGINT) AS inflow
+         |    FROM km_me e
+         |    JOIN pr_deg d ON e.u = d.u
+         |    JOIN pr${n - 1} p ON p.vec_id = e.u
+         |    GROUP BY 1
+         |  ) s ON v.vec_id = s.vec_id
+         |)""".stripMargin
+    s"""WITH $fixedVecsCtes,
+       |$knnGraphCtes,
+       |pr_deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM km_me GROUP BY 1),
+       |pr0 AS (SELECT vec_id, CAST($PrBase AS BIGINT) AS r FROM km_verts),
+       |${(1 to PrIters).map(round).mkString(",\n")}
+       |SELECT p.vec_id, coalesce(d.deg, 0) AS mutual_degree, p.r AS pr_ppm
+       |FROM pr$PrIters p LEFT JOIN pr_deg d ON p.vec_id = d.u""".stripMargin
+  }
+
   // ----------------------------------------------------------- LSH bucketing
 
   /** Multi-TABLE multi-probe LSH configuration. One hyperplane table is a
@@ -1728,6 +1802,7 @@ object Similarity {
     Op("dedup_semantic", semanticDedup, Some(semanticDedupSql)),
     Op("knn_mutual", knnMutual, Some(knnMutualSql)),
     Op("knn_components", knnComponents, Some(knnComponentsSql)),
+    Op("knn_pagerank", knnPagerank, Some(knnPagerankSql)),
     Op("cluster_purity", clusterPurity, Some(clusterPuritySql)),
     Op("kmeans_step", kmeansStep, Some(kmeansStepSql)),
     Op("kmeans_train", kmeansTrain, Some(kmeansTrainSql))

@@ -116,6 +116,47 @@ class SimilaritySpec extends AnyFunSuite with TestSpark {
     assert(got.values.forall(d => d >= 0 && d <= Similarity.TopK))
   }
 
+  test("knn_pagerank: ranks match a driver-side exact integer power iteration") {
+    val emb = graft.model.Tables.embeddings(spark, Sf).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * Similarity.Scale).toLong))
+      .filter(_._1 % Similarity.KnnGraphMod == 0)
+      .toMap
+    def cos(a: Seq[Long], b: Seq[Long]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    val knn = emb.keys.map { q =>
+      q -> emb.keys.filter(_ != q).toSeq
+        .sortBy(n => (-cos(emb(q), emb(n)), n))
+        .take(Similarity.TopK).toSet
+    }.toMap
+    val adj = knn.map { case (q, ns) => q -> ns.filter(n => knn(n).contains(q)) }
+    val base = Similarity.PrBase - Similarity.PrBase * Similarity.PrDamp / 100
+    var r = emb.keys.map(_ -> Similarity.PrBase).toMap
+    (1 to Similarity.PrIters).foreach { _ =>
+      val inflow = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      adj.foreach { case (u, ns) =>
+        if (ns.nonEmpty) {
+          val c = r(u) / ns.size
+          ns.foreach(v => inflow(v) += c)
+        }
+      }
+      r = emb.keys.map(v => v -> (base + Similarity.PrDamp * inflow(v) / 100)).toMap
+    }
+    val got = Similarity.knnPagerank(spark, Sf).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(got.keySet === emb.keySet)
+    r.foreach { case (v, want) => assert(got(v)._2 === want, s"pr of $v") }
+    // degrees match the mutual graph; dangling vertices hold exactly the base mass
+    adj.foreach { case (v, ns) => assert(got(v)._1 === ns.size.toLong) }
+    got.filter(_._2._1 == 0L).foreach { case (v, (_, pr)) =>
+      assert(pr === base, s"dangling $v must hold only the base mass")
+    }
+    assert(got.values.map(_._2).toSet.size > 1, "flat ranks — vacuous graph?")
+  }
+
   test("knn_components: clusters are the transitive closure of the mutual graph") {
     // rebuild the mutual edge set driver-side (same recount as knn_mutual's)
     val emb = graft.model.Tables.embeddings(spark, Sf).collect()

@@ -404,13 +404,22 @@ object Analytics {
     * stream naturally groups by; the closing (cohort, offset) aggregate is
     * |weeks²| rows. No window over the data stream, no collect.
     */
-  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame =
+    cohortFrom(Tables.events(spark, dir)
       .select(col("user_id"),
         expr(s"ts DIV 1000000000 DIV $CohortWeekSec").as("week"))
-    val first = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+      .distinct())
+
+  /** The retention matrix over a de-duplicated `(user_id, week)` activity
+    * frame — the split that lets `stream_cohort` maintain the activity
+    * matrix LIVE (first-seen and distinct-activity are both order-immune,
+    * so the frame is exactly what a stream can keep) and share everything
+    * downstream with the batch op.
+    */
+  private[graft] def cohortFrom(activity: DataFrame): DataFrame = {
+    val first = activity.groupBy("user_id").agg(min("week").as("cohort_week"))
     val sizes = first.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
-    ev.distinct()
+    activity
       .join(first, "user_id")
       .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
       .agg(count(lit(1)).as("n_active"))
@@ -421,7 +430,7 @@ object Analytics {
           .as("retention_pct"))
   }
 
-  private val cohortSql: String =
+  private[graft] val cohortSql: String =
     s"""WITH cev AS (
        |  SELECT DISTINCT user_id,
        |         epoch_ns(ts) // 1000000000 // $CohortWeekSec AS week

@@ -676,6 +676,42 @@ object TextOps {
        |       round(kept / CAST(kept_total AS DOUBLE), 6) AS achieved_share
        |FROM tj CROSS JOIN tt""".stripMargin
 
+  // ---------------------------------------------------------- embed_hashing
+
+  /** Output dimensionality of the hashing embedder. */
+  val EmbedDims = 64
+
+  /** The feature-hashing embedder — text to [[EmbedDims]]-dim vectors with
+    * NO trained model (the hashing trick: fastText's hashed n-gram bucket
+    * / Vowpal Wabbit input layer): each token hashes to a dimension
+    * `hash60(tok) % 64` and a sign `bit 6 of the hash`, and the doc's
+    * coordinate is the signed token count. This is the in-engine bridge
+    * from the text corpus to the whole ANN/graph/clustering family when
+    * no external embedding column exists.
+    *
+    * All-integer (portable md5-derived hash, signed counts), emitted
+    * SPARSE — only a doc's nonzero-support dimensions get a row. Scale
+    * shape: ONE exchange on (doc_id, dim) whose map-side combine
+    * collapses each partition to ≤ 64 rows per doc; the hash and sign are
+    * row-local projections.
+    */
+  def embedHashing(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .withColumn("h", hash60(col("tok")))
+      .groupBy(col("doc_id"), (col("h") % EmbedDims).cast("int").as("dim"))
+      .agg(sum(expr(s"(h DIV $EmbedDims) % 2 * 2 - 1")).as("val"))
+
+  private[graft] val embedHashingSql: String =
+    s"""WITH eh_tok AS (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+       |  FROM documents
+       |),
+       |eh AS (SELECT doc_id, ${hex2bigSql("md5(tok)")} AS h FROM eh_tok)
+       |SELECT doc_id, CAST(h % $EmbedDims AS INT) AS dim,
+       |       CAST(sum((h // $EmbedDims) % 2 * 2 - 1) AS BIGINT) AS val
+       |FROM eh GROUP BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------- vocab_build
 
   /** Corpus vocabulary construction — the BPE-precursor stage: top-N
@@ -1043,6 +1079,7 @@ object TextOps {
     Op("sample_holdout", sampleHoldout, Some(sampleHoldoutSql)),
     Op("mix_rebalance", mixRebalance, Some(mixRebalanceSql)),
     Op("mix_temperature", mixTemperature, Some(mixTemperatureSql)),
+    Op("embed_hashing", embedHashing, Some(embedHashingSql)),
     Op("vocab_build", vocabBuild, Some(vocabBuildSql)),
     Op("vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
     Op("pack_sequences", packSequencesSharded(_, _), Some(packSequencesSql))

@@ -127,7 +127,50 @@ object SessionStream {
        |FROM (SELECT a.*, max(session_seq) OVER (PARTITION BY user_id) AS mx FROM agg a)
        |WHERE session_seq < mx""".stripMargin
 
+  // ----------------------------------------------------------- stream_cohort
+
+  /** The LIVE form of `cohort_retention` — and the proof that the cohort
+    * matrix is streaming-shaped all the way down: BOTH corpus-derived
+    * inputs (first-seen week per user, de-duplicated (user, week)
+    * activity) are order-immune aggregates, so one complete-mode
+    * `groupBy(user_id, week)` maintains the activity matrix under any
+    * micro-batch split, late arrivals included. State = one row per
+    * (user, active-week) — the matrix's own size, the reference bound of
+    * the read it serves. Everything downstream of the matrix — first-seen
+    * derivation, cohort sizes, offset shares — is the SAME
+    * [[graft.operators.Analytics.cohortFrom]] the batch op calls on the
+    * drained frame. Oracle = `cohort_retention`'s SQL verbatim.
+    */
+  def cohortQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ev = CarbonStream.eventsStream(spark, dir)
+      .select(col("user_id"),
+        expr(s"ts DIV 1000000000 DIV ${graft.operators.Analytics.CohortWeekSec}")
+          .as("week"))
+    val sink = "stream_cohort_" + UUID.randomUUID().toString.replace("-", "")
+    CarbonStream.withStreamPartitions(spark) {
+      val q = ev.groupBy("user_id", "week").agg(count(lit(1)).as("n"))
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .start()
+      try {
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+      }
+    }
+    // the readoff SELF-joins the matrix (first-seen ⋈ activity); a memory
+    // sink's View keeps one attribute set, which Catalyst cannot dedup in
+    // a self-join — rebase the matrix-sized frame onto fresh attributes
+    val drained = CarbonStream.drainMemorySink(spark, sink)
+      .select("user_id", "week")
+    graft.operators.Analytics.cohortFrom(
+      spark.createDataFrame(drained.rdd, drained.schema))
+  }
+
   def ops: Seq[Op] = Seq(
-    Op("stream_sessionize", sessionizeQuery, Some(sessionizeStreamSql))
+    Op("stream_sessionize", sessionizeQuery, Some(sessionizeStreamSql)),
+    Op("stream_cohort", cohortQuery, Some(graft.operators.Analytics.cohortSql))
   )
 }

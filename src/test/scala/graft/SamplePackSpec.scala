@@ -191,6 +191,31 @@ class SamplePackSpec extends AnyFunSuite with TestSpark {
     assert(math.abs(rows.values.map(_._5).sum - 1.0) < 1e-4)
   }
 
+  test("embed_hashing matches an independent JVM md5 recount and stays sparse") {
+    val docs = graft.model.Tables.documents(spark, Sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val want = docs.flatMap { case (id, text) =>
+      text.toLowerCase.split(" ", -1).map { tok =>
+        val h = h60(tok)
+        (id, (h % TextOps.EmbedDims).toInt) -> (h / TextOps.EmbedDims % 2 * 2 - 1)
+      }
+    }.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+    val got = TextOps.embedHashing(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got === want)
+    assert(got.keys.map(_._2).forall(d => d >= 0 && d < TextOps.EmbedDims))
+    // sparse: every doc has at most EmbedDims rows
+    got.keys.groupBy(_._1).foreach { case (id, ks) =>
+      assert(ks.size <= TextOps.EmbedDims, s"doc $id over-dense")
+    }
+  }
+
   test("boilerplate_share: duplicated texts share every chunk, partial overlap shares some") {
     import spark.implicits._
     val words = (1 to 200).map(i => s"w$i")

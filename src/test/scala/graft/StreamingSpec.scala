@@ -47,6 +47,17 @@ class StreamingSpec extends AnyFunSuite with TestSpark {
     } finally q.stop()
   }
 
+  test("stream_cohort: the live activity matrix serves the batch retention read exactly") {
+    val live = graft.streaming.SessionStream.cohortQuery(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    val batch = graft.operators.Analytics.cohortRetention(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(live.nonEmpty)
+    assert(live === batch)
+  }
+
   test("stream_ann: the live-maintained IVF index answers queries exactly like the batch index") {
     val live = graft.streaming.AnnStream.annQuery(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet

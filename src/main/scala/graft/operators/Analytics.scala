@@ -328,6 +328,17 @@ object Analytics {
     val s3 = ev.filter(col("event_type") === FunnelSteps(2))
       .join(s2, "user_id").filter(col("k") > col("k2"))
       .groupBy("user_id", "k2").agg(min("k").as("k3"))
+    funnelAggFrom(s1, s2, s3)
+  }
+
+  /** The closing 3-row funnel aggregate over per-user stage frames
+    * `s1(user_id, k1)`, `s2(user_id, k1, k2)`, `s3(user_id, k2, k3)` —
+    * shared with `stream_funnel`'s readoff so the latency and conversion
+    * arithmetic cannot drift between the batch and live forms.
+    */
+  private[graft] def funnelAggFrom(s1: DataFrame, s2: DataFrame,
+      s3: DataFrame): DataFrame = {
+    val shift = graft.model.RollupConfig.LastKeyShift
     def lat(a: String, b: String) = expr(s"$b DIV $shift - $a DIV $shift")
     val a1 = s1.agg(count(lit(1)).as("n_users"))
       .select(lit(1).as("step"), lit(FunnelSteps.head).as("event_type"),
@@ -349,7 +360,7 @@ object Analytics {
             .cast("double"), 6))
   }
 
-  private val funnelSql: String = {
+  private[graft] val funnelSql: String = {
     val shift = graft.model.RollupConfig.LastKeyShift
     s"""WITH fev AS (
        |  SELECT user_id, event_type,

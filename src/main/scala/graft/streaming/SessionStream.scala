@@ -169,8 +169,114 @@ object SessionStream {
       spark.createDataFrame(drained.rdd, drained.schema))
   }
 
+  // ----------------------------------------------------------- stream_funnel
+
+  case class FunnelEvent(user_id: Long, event_type: String, k: Long)
+  case class FunnelState(k1: Option[Long], k2: Option[Long], k3: Option[Long])
+
+  /** The per-user funnel state machine: one write-once (k1, k2, k3)
+    * triple per user. Each batch's events are processed in event order;
+    * a stage key is set by the FIRST qualifying event strictly after the
+    * previous stage's key and never changes — under in-order ingest this
+    * equals the batch op's min-based definition exactly. The machine
+    * emits its (monotone, write-once) state after every batch that
+    * touched the user; the readoff takes the per-user max of each column
+    * (identical to "last", since set-once values never change).
+    */
+  def funnelMachine(events: Dataset[FunnelEvent]): DataFrame = {
+    implicit val fe = Encoders.product[FunnelEvent]
+    implicit val fs = Encoders.product[FunnelState]
+    implicit val oe = Encoders.product[(Long, Option[Long], Option[Long], Option[Long])]
+    implicit val kl = Encoders.scalaLong
+    val steps = graft.operators.Analytics.FunnelSteps
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, batch: Iterator[FunnelEvent], state: GroupState[FunnelState]) => {
+          var s = state.getOption.getOrElse(FunnelState(None, None, None))
+          batch.toSeq.sortBy(_.k).foreach { e =>
+            if (s.k1.isEmpty && e.event_type == steps.head)
+              s = s.copy(k1 = Some(e.k))
+            else if (s.k1.nonEmpty && s.k2.isEmpty &&
+              e.event_type == steps(1) && e.k > s.k1.get)
+              s = s.copy(k2 = Some(e.k))
+            else if (s.k2.nonEmpty && s.k3.isEmpty &&
+              e.event_type == steps(2) && e.k > s.k2.get)
+              s = s.copy(k3 = Some(e.k))
+          }
+          state.update(s)
+          Iterator.single((userId, s.k1, s.k2, s.k3))
+        })
+      .toDF("user_id", "k1", "k2", "k3")
+  }
+
+  /** The LIVE form of `funnel_steps` — the conversion funnel maintained as
+    * a per-user state machine over the event stream, the daemon's runtime
+    * shape (the reference never sees "all events at once"): state = ONE
+    * write-once key triple per user, independent of stream length (the
+    * `stream_sessionize` contract). The events fixture is replayed as
+    * three time-tertile mtime-ordered files so stage transitions genuinely
+    * cross micro-batch boundaries (a user's view can land in batch 0 and
+    * the click that converts them in batch 2). Readoff = per-user max of
+    * the write-once columns, then the SAME
+    * [[graft.operators.Analytics.funnelAggFrom]] closing aggregate the
+    * batch op runs; oracle = `funnel_steps`' SQL verbatim (in-order
+    * ingest == the batch min-based definition).
+    */
+  def funnelQuery(spark: SparkSession, dir: String): DataFrame = {
+    implicit val fe = Encoders.product[FunnelEvent]
+    val shift = graft.model.RollupConfig.LastKeyShift
+    val ev = graft.model.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr(s"(ts DIV 1000000000) * $shift + event_id").as("k"))
+      .as[FunnelEvent].persist()
+    val src = java.nio.file.Files.createTempDirectory("stream_funnel_src").toString
+    try {
+      val (lo, hi) = {
+        val r = ev.agg(min("k"), max("k")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+      DedupStream.writeOneFile(ev.filter(col("k") <= c1).toDF(),
+        s"$src/batch0.parquet", ageMs = 120000)
+      DedupStream.writeOneFile(ev.filter(col("k") > c1 && col("k") <= c2).toDF(),
+        s"$src/batch1.parquet", ageMs = 90000)
+      DedupStream.writeOneFile(ev.filter(col("k") > c2).toDF(),
+        s"$src/batch2.parquet", ageMs = 60000)
+    } finally ev.unpersist(blocking = true)
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    val sink = "stream_funnel_" + UUID.randomUUID().toString.replace("-", "")
+    CarbonStream.withStreamPartitions(spark) {
+      val q = funnelMachine(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(src).as[FunnelEvent])
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    val fin = CarbonStream.drainMemorySink(spark, sink)
+      .groupBy("user_id")
+      .agg(max("k1").as("k1"), max("k2").as("k2"), max("k3").as("k3"))
+    graft.operators.Analytics.funnelAggFrom(
+      fin.filter(col("k1").isNotNull).select("user_id", "k1"),
+      fin.filter(col("k2").isNotNull).select("user_id", "k1", "k2"),
+      fin.filter(col("k3").isNotNull).select("user_id", "k2", "k3"))
+  }
+
   def ops: Seq[Op] = Seq(
     Op("stream_sessionize", sessionizeQuery, Some(sessionizeStreamSql)),
-    Op("stream_cohort", cohortQuery, Some(graft.operators.Analytics.cohortSql))
+    Op("stream_cohort", cohortQuery, Some(graft.operators.Analytics.cohortSql)),
+    Op("stream_funnel", funnelQuery, Some(graft.operators.Analytics.funnelSql))
   )
 }

@@ -58,6 +58,17 @@ class StreamingSpec extends AnyFunSuite with TestSpark {
     assert(live === batch)
   }
 
+  test("stream_funnel: the state machine lands on the batch funnel exactly, transitions crossing batches") {
+    val live = graft.streaming.SessionStream.funnelQuery(spark, Sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getDouble(4))).toSet
+    val batch = graft.operators.Analytics.funnelSteps(spark, Sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getDouble(4))).toSet
+    assert(live.size === 3)
+    assert(live === batch)
+  }
+
   test("stream_ann: the live-maintained IVF index answers queries exactly like the batch index") {
     val live = graft.streaming.AnnStream.annQuery(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet

@@ -319,6 +319,23 @@ object Demo {
       s"multi-vector components over ${comps.count()} vertices " +
       s"(mutual-kNN closure; ${comps.filter(col("keep")).count()} representatives kept)")
 
+    // ------------- product-analytics reads + centrality + the text embedder
+    import graft.operators.Analytics
+    val funnel = Analytics.funnelSteps(spark, dir).orderBy("step").collect()
+    println(s"[demo] funnel: " + funnel.map(r =>
+      s"${r.getString(1)}=${r.getLong(2)} (${r.getDouble(4)}%)").mkString(" -> "))
+    val coh = Analytics.cohortRetention(spark, dir)
+      .filter(col("week_offset") > 0)
+      .agg(round(avg("retention_pct"), 2)).head()
+    println(s"[demo] cohort retention beyond week 0 averages ${coh.get(0)}%")
+    val pr = Similarity.knnPagerank(spark, dir)
+      .orderBy(col("pr_ppm").desc).limit(1).head()
+    println(s"[demo] knn_pagerank: most central vector ${pr.getLong(0)} " +
+      s"(degree ${pr.getLong(1)}, ${pr.getLong(2)} ppm over ${Similarity.PrIters} rounds)")
+    val emb = TextOps.embedHashing(spark, dir)
+    println(s"[demo] embed_hashing: ${emb.count()} sparse coordinates over " +
+      s"${emb.select("doc_id").distinct().count()} docs, ${TextOps.EmbedDims} dims")
+
     spark.stop()
   }
 }

@@ -27,7 +27,10 @@ object Explain {
         "dedup_exact_substring",
         "series_summarize", "series_percentile", "series_aspercent", "series_stddev",
         "vocab_coverage", "knn_mutual", "knn_components", "cluster_purity",
-        "perplexity_filter"))
+        "perplexity_filter",
+        "series_moving_median", "series_ewma", "series_timeshift",
+        "mix_temperature", "embed_hashing", "funnel_steps", "cohort_retention",
+        "knn_pagerank"))
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

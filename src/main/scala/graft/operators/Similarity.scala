@@ -264,7 +264,14 @@ object Similarity {
     * frame rides the same key partitioning every round.
     */
   def knnPagerank(spark: SparkSession, dir: String): DataFrame = {
-    val edges = mutualKnnEdges(spark, dir)
+    // The edge list feeds every unrolled round; left as lineage, the
+    // quadratic kNN sub-plan would be re-executed once per round (the
+    // dedup_cluster iteration-lineage problem). Spill it ONCE through the
+    // shared-storage gate — the rounds then read a k·|slice|-row parquet,
+    // and the returned plan pins zero block-manager state.
+    val spill = graft.model.Spill.path(spark, "knn_pagerank_edges", dir)
+    mutualKnnEdges(spark, dir).write.mode("overwrite").parquet(spill)
+    val edges = spark.read.parquet(spill)
     val verts = graphVerts(spark, dir).select("vec_id")
     val deg = edges.groupBy("q_id").agg(count(lit(1)).as("deg"))
     val eD = edges.join(deg, "q_id")

@@ -712,6 +712,99 @@ object TextOps {
        |       CAST(sum((h // $EmbedDims) % 2 * 2 - 1) AS BIGINT) AS val
        |FROM eh GROUP BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------- text_knn
+
+  /** Probe slice for [[textKnn]] (`doc_id % TextKnnMod == 0`) — the same
+    * sampled-harness dial the ANN family uses.
+    */
+  val TextKnnMod = 50
+  /** Neighbors returned per probe document. */
+  val TextKnnK = 5
+
+  /** Top-k similar DOCUMENTS by cosine over the [[embedHashing]] vectors —
+    * the end-to-end proof of the text→vector bridge: semantic-ish nearest
+    * neighbors over a raw text corpus with NO external embedding table
+    * (hashing-trick vectors straight into the ANN plan shape). Documents
+    * with an all-zero vector (empty text) are excluded on both engines —
+    * they have no direction to compare.
+    *
+    * Plan shape: the sparse (doc_id, dim, val) frame densifies to a
+    * 64-long array per doc (one groupBy on doc_id — the exchange
+    * `embed_hashing` already keys), then the exact brute-force
+    * broadcast-probe crossJoin + per-probe top-k the `ann_cosine_topk`
+    * baseline uses, with the native `vec_dot` kernel. Quadratic in
+    * corpus × probes BY DESIGN (the correctness baseline); the IVF/LSH
+    * scale paths apply unchanged to these vectors.
+    */
+  def textKnn(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VecMath.register(spark)
+    val dense = embedHashing(spark, dir)
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("dim"), col("val")))).as("m"))
+      .withColumn("v", expr(
+        s"transform(sequence(0, ${EmbedDims - 1}), i -> coalesce(try_element_at(m, i), CAST(0 AS BIGINT)))"))
+      .withColumn("nrm", expr("vec_dot(v, v)"))
+      .filter(col("nrm") > 0)
+      .select("doc_id", "v", "nrm")
+    val probes = dense.filter(col("doc_id") % TextKnnMod === 0)
+      .select(col("doc_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    dense.crossJoin(broadcast(probes))
+      .filter(col("doc_id") =!= col("q_id"))
+      .withColumn("cos",
+        expr("vec_dot(v, qv)") / (sqrt(col("nrm")) * sqrt(col("qn"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("doc_id"))))
+      .filter(col("rank") <= TextKnnK)
+      .select(col("q_id").as("query_doc"), col("doc_id").as("neighbor_doc"),
+        col("rank"), round(col("cos"), 6).as("cosine"))
+  }
+
+  private[graft] val textKnnSql: String =
+    s"""WITH eh_tok AS (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+       |  FROM documents
+       |),
+       |eh AS (SELECT doc_id, ${hex2bigSql("md5(tok)")} AS h FROM eh_tok),
+       |ehs AS (
+       |  SELECT doc_id, CAST(h % $EmbedDims AS INT) AS dim,
+       |         CAST(sum((h // $EmbedDims) % 2 * 2 - 1) AS BIGINT) AS val
+       |  FROM eh GROUP BY 1, 2
+       |),
+       |lists AS (
+       |  SELECT doc_id, list(dim ORDER BY dim) AS dims, list(val ORDER BY dim) AS vals
+       |  FROM ehs GROUP BY 1
+       |),
+       |dense AS (
+       |  SELECT doc_id,
+       |         [coalesce(vals[list_position(dims, i)], 0)
+       |          for i in generate_series(0, ${EmbedDims - 1})] AS v
+       |  FROM lists
+       |),
+       |nd AS (
+       |  SELECT doc_id, v, CAST(list_sum([x * x for x in v]) AS BIGINT) AS nrm
+       |  FROM dense
+       |),
+       |corpus AS (SELECT * FROM nd WHERE nrm > 0),
+       |probes AS (
+       |  SELECT doc_id AS q_id, v AS qv, nrm AS qn FROM corpus
+       |  WHERE doc_id % $TextKnnMod = 0
+       |),
+       |scored AS (
+       |  SELECT p.q_id, c.doc_id,
+       |         CAST(list_sum([c.v[i] * p.qv[i]
+       |                        for i in generate_series(1, len(c.v))]) AS BIGINT)
+       |           / (sqrt(c.nrm) * sqrt(p.qn)) AS cos
+       |  FROM corpus c CROSS JOIN probes p WHERE c.doc_id <> p.q_id
+       |),
+       |ranked AS (
+       |  SELECT q_id, doc_id, cos,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, doc_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT q_id AS query_doc, doc_id AS neighbor_doc,
+       |       CAST(rank AS INT) AS rank, round(cos, 6) AS cosine
+       |FROM ranked WHERE rank <= $TextKnnK""".stripMargin
+
   // ------------------------------------------------------------- vocab_build
 
   /** Corpus vocabulary construction — the BPE-precursor stage: top-N
@@ -1080,6 +1173,7 @@ object TextOps {
     Op("mix_rebalance", mixRebalance, Some(mixRebalanceSql)),
     Op("mix_temperature", mixTemperature, Some(mixTemperatureSql)),
     Op("embed_hashing", embedHashing, Some(embedHashingSql)),
+    Op("text_knn", textKnn, Some(textKnnSql)),
     Op("vocab_build", vocabBuild, Some(vocabBuildSql)),
     Op("vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
     Op("pack_sequences", packSequencesSharded(_, _), Some(packSequencesSql))

@@ -216,6 +216,47 @@ class SamplePackSpec extends AnyFunSuite with TestSpark {
     }
   }
 
+  test("text_knn matches a driver-side exact hashed-vector recount") {
+    val docs = graft.model.Tables.documents(spark, Sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val dense = docs.map { case (id, text) =>
+      val v = new Array[Long](TextOps.EmbedDims)
+      text.toLowerCase.split(" ", -1).foreach { tok =>
+        val h = h60(tok)
+        v((h % TextOps.EmbedDims).toInt) += h / TextOps.EmbedDims % 2 * 2 - 1
+      }
+      id -> v
+    }.filter(_._2.exists(_ != 0)).toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    val want = dense.keys.filter(_ % TextOps.TextKnnMod == 0).map { q =>
+      q -> dense.keys.filter(_ != q).toSeq
+        .sortBy(n => (-cos(dense(q), dense(n)), n))
+        .take(TextOps.TextKnnK)
+    }.toMap
+    val got = TextOps.textKnn(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> (r.getLong(1), r.getDouble(3)))
+      .groupBy(_._1._1)
+    assert(got.keySet === want.keySet)
+    want.foreach { case (q, ns) =>
+      val rows = got(q).sortBy(_._1._2)
+      assert(rows.map(_._1._2).toSeq === (1 to ns.length), s"ranks of $q")
+      rows.zip(ns).foreach { case (((_, rk), (gotN, gotCos)), wantN) =>
+        assert(gotN === wantN, s"probe $q rank $rk neighbor")
+        assert(math.abs(gotCos - cos(dense(q), dense(wantN))) < 1e-6)
+      }
+    }
+  }
+
   test("boilerplate_share: duplicated texts share every chunk, partial overlap shares some") {
     import spark.implicits._
     val words = (1 to 200).map(i => s"w$i")

@@ -46,10 +46,13 @@ class Round9Spec extends AnyFunSuite with TestSpark {
     // case-fold as no-ops and hash byte-identically over UTF-8).
     // vocab_coverage joins too: the empty doc's '' token and the non-ASCII
     // grams must land in/out of the tiny fixture vocabulary identically.
+    // embed_hashing/text_knn (r11 cont.): the empty doc's single '' token
+    // and the CJK/emoji tokens must hash to the same (dim, sign) in both
+    // engines, and the densify→cosine chain must survive the tiny corpus.
     Verify.dump(spark, fixtureDir, out,
       Some(Set("text_quality", "doc_fingerprint", "event_props",
         "chunk_documents", "boilerplate_share", "text_tfidf",
-        "vocab_coverage")))
+        "vocab_coverage", "embed_hashing", "text_knn")))
     val log = new StringBuilder
     val exit = Process(
       Seq("python3", "tools/oracle_check.py", fixtureDir, out),

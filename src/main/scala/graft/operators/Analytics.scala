@@ -461,6 +461,70 @@ object Analytics {
        |         AS retention_pct
        |FROM cact a JOIN csizes s ON a.cohort_week = s.cohort_week""".stripMargin
 
+  // -------------------------------------------------------- event_attribution
+
+  /** The conversion event type for [[eventAttribution]]. */
+  val AttributionConversion = "purchase"
+
+  /** First-touch attribution — the third standing product-analytics read
+    * beside the funnel and the cohort matrix: every user's conversions
+    * and revenue are credited to the channel (event type) of their FIRST
+    * event, in the same packed (ts, event_id) total order the funnel
+    * uses, so simultaneous first events attribute identically in both
+    * engines. Revenue is exact cents with ONE closing division.
+    *
+    * Scale shape: one per-user `min_by` aggregate (the arg-min rides the
+    * unique packed key — no window) and one per-user conversion
+    * aggregate, joined on the user key both already produced; the
+    * closing channel frame is |event types| rows.
+    */
+  def eventAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val shift = graft.model.RollupConfig.LastKeyShift
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        expr(s"(ts DIV 1000000000) * $shift + event_id").as("k"))
+    val first = ev.groupBy("user_id")
+      .agg(min_by(col("event_type"), col("k")).as("channel"))
+    val conv = ev.filter(col("event_type") === AttributionConversion)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_conv"), sum("cents").as("conv_cents"))
+    first.join(conv, Seq("user_id"), "left")
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_users"),
+        sum(coalesce(col("n_conv"), lit(0L))).as("n_conversions"),
+        sum(coalesce(col("conv_cents"), lit(0L))).as("cents"))
+      .select(col("channel"), col("n_users"), col("n_conversions"),
+        (col("cents") / lit(100.0)).as("revenue"),
+        round(col("cents") / (col("n_users") * lit(100.0)), 6)
+          .as("revenue_per_user"))
+  }
+
+  private val attributionSql: String = {
+    val shift = graft.model.RollupConfig.LastKeyShift
+    s"""WITH aev AS (
+       |  SELECT user_id, event_type,
+       |         CAST(round(value * 100) AS BIGINT) AS cents,
+       |         (epoch_ns(ts) // 1000000000) * $shift + event_id AS k
+       |  FROM events
+       |),
+       |afirst AS (
+       |  SELECT user_id, arg_min(event_type, k) AS channel FROM aev GROUP BY 1
+       |),
+       |aconv AS (
+       |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_conv,
+       |         CAST(sum(cents) AS BIGINT) AS conv_cents
+       |  FROM aev WHERE event_type = '$AttributionConversion' GROUP BY 1
+       |)
+       |SELECT f.channel, CAST(count(*) AS BIGINT) AS n_users,
+       |       CAST(sum(coalesce(c.n_conv, 0)) AS BIGINT) AS n_conversions,
+       |       CAST(sum(coalesce(c.conv_cents, 0)) AS BIGINT) / 100.0 AS revenue,
+       |       round(CAST(sum(coalesce(c.conv_cents, 0)) AS BIGINT)
+       |             / (count(*) * 100.0), 6) AS revenue_per_user
+       |FROM afirst f LEFT JOIN aconv c ON f.user_id = c.user_id
+       |GROUP BY 1""".stripMargin
+  }
+
   def ops: Seq[Op] = Seq(
     Op("q1_pricing", q1Pricing, Some(q1Sql)),
     Op("q3_shipping", q3Shipping, Some(q3Sql)),
@@ -470,6 +534,7 @@ object Analytics {
     Op("sessionize", sessionize, Some(sessionizeSql)),
     Op("event_props", eventProps, Some(eventPropsSql)),
     Op("funnel_steps", funnelSteps, Some(funnelSql)),
-    Op("cohort_retention", cohortRetention, Some(cohortSql))
+    Op("cohort_retention", cohortRetention, Some(cohortSql)),
+    Op("event_attribution", eventAttribution, Some(attributionSql))
   )
 }

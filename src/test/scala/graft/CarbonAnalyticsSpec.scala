@@ -104,6 +104,32 @@ class CarbonAnalyticsSpec extends AnyFunSuite with TestSpark {
     assert(rows.filter(_._2 == 0).map(_._4).sum === users)
   }
 
+  test("event_attribution: users partition by first touch, conversions and revenue conserved") {
+    val rows = Analytics.eventAttribution(spark, Sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val ev = Tables.events(spark, Sf)
+    val users = ev.select("user_id").distinct().count()
+    assert(rows.values.map(_._1).sum === users, "first touch must partition users")
+    val purchases = ev.filter(col("event_type") === Analytics.AttributionConversion)
+    assert(rows.values.map(_._2).sum === purchases.count(), "conversions conserved")
+    val totalRev = purchases
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)"))).head().getLong(0) / 100.0
+    assert(math.abs(rows.values.map(_._3).sum - totalRev) < 1e-6, "revenue conserved")
+    // driver recount of the first-touch channel per user
+    val shift = graft.model.RollupConfig.LastKeyShift
+    val first = ev.selectExpr("user_id", "event_type",
+        s"(ts DIV 1000000000) * $shift + event_id AS k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1).map { case (_, xs) => xs.minBy(_._3)._2 }
+    first.groupBy(identity).foreach { case (ch, xs) =>
+      assert(rows(ch)._1 === xs.size.toLong, s"channel $ch user count")
+    }
+    rows.foreach { case (ch, (n, _, rev, rpu)) =>
+      assert(math.abs(rpu - rev / n) < 1e-5, s"channel $ch revenue_per_user")
+    }
+  }
+
   test("q1 aggregates are internally consistent (avg * count == sum)") {
     val rows = Analytics.q1Pricing(spark, Sf).collect()
     assert(rows.nonEmpty)

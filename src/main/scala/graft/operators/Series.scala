@@ -480,6 +480,81 @@ object Series {
        |             / (((CAST(1 AS BIGINT) << len(l)) - 1) * 100.0), 6) AS ewma
        |FROM m""".stripMargin
 
+  // ---------------------------------------------------------- holtForecast
+
+  /** Trailing window length for [[holtForecast]] (the truncation horizon). */
+  val HoltPoints = 12
+  /** Sub-cent fixed-point scale for the smoothing state (2^16). */
+  val HoltScale = 65536L
+
+  /** Graphite's `holtWintersForecast` reduced to the portable core the
+    * aberration dashboards read: one-step-ahead double exponential
+    * smoothing (level + trend, α = β = 1/2) over the trailing
+    * [[HoltPoints]] points — the forecast whose deviation band
+    * `series_anomaly`'s z-test is the testable half of.
+    *
+    * α = β = 1/2 makes every smoothing step a HALVING, so the whole
+    * recurrence runs in integer fixed-point (cents · 2¹⁶): S' =
+    * (x + S + B) >> 1, B' = ((S' − S) >> 1) + (B >> 1). The shifts are
+    * ARITHMETIC (floor) in both engines — Spark `shiftright` and DuckDB
+    * `>>` agree on negatives where `DIV`/`//` would not (Spark DIV
+    * truncates, DuckDB // truncates, >> floors) — so the fold is
+    * bit-identical under any data; truncation error per step is bounded
+    * by 2⁻¹⁶ cents. Seeding is the window's first point (S = x₁, B = 0),
+    * identical by construction in both folds. Scale shape: the shared
+    * per-path window sort; the fold is row-local over ≤ 12 elements.
+    */
+  def holtForecast(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("path").orderBy("ts", "event_id")
+      .rowsBetween(-(HoltPoints - 1), Window.currentRow)
+    cents(spark, dir)
+      .withColumn("l", array_sort(
+        collect_list(struct(col("ts"), col("event_id"), col("cents"))).over(w)))
+      .select(col("path"), col("ts"), col("event_id"),
+        expr(s"""aggregate(
+          l,
+          named_struct('s', CAST(0 AS BIGINT), 'b', CAST(0 AS BIGINT), 'n', CAST(0 AS BIGINT)),
+          (acc, x) -> CASE WHEN acc.n = 0
+            THEN named_struct('s', x.cents * CAST($HoltScale AS BIGINT),
+                              'b', CAST(0 AS BIGINT), 'n', CAST(1 AS BIGINT))
+            ELSE named_struct(
+              's', shiftright(x.cents * CAST($HoltScale AS BIGINT) + acc.s + acc.b, 1),
+              'b', shiftright(shiftright(x.cents * CAST($HoltScale AS BIGINT) + acc.s + acc.b, 1) - acc.s, 1)
+                   + shiftright(acc.b, 1),
+              'n', acc.n + 1) END,
+          acc -> round((acc.s + acc.b) / ($HoltScale * CAST(100 AS DOUBLE)), 6))""")
+          .as("forecast"))
+  }
+
+  private val holtForecastSql: String =
+    s"""WITH ${Tables.metricsSql},
+       |$centsCte,
+       |m AS (
+       |  SELECT path, ts, event_id,
+       |         list_sort(list({'ts': ts, 'ev': event_id, 'cents': cents}) OVER w) AS l
+       |  FROM c
+       |  WINDOW w AS (PARTITION BY path ORDER BY ts, event_id
+       |               ROWS BETWEEN ${HoltPoints - 1} PRECEDING AND CURRENT ROW)
+       |),
+       |f AS (
+       |  -- the accumulator is a 2-element LIST [s, b], not a struct: DuckDB's
+       |  -- list_reduce mis-evaluates struct-building lambdas whose fields share
+       |  -- subexpressions (the 'b' field sees a partially-updated accumulator);
+       |  -- the list form folds correctly
+       |  SELECT path, ts, event_id,
+       |    list_reduce(
+       |      list_transform(l, e -> [CAST(e.cents AS BIGINT) * $HoltScale,
+       |                              CAST(0 AS BIGINT)]),
+       |      (acc, e) -> [(e[1] + acc[1] + acc[2]) >> 1,
+       |                   ((((e[1] + acc[1] + acc[2]) >> 1) - acc[1]) >> 1)
+       |                   + (acc[2] >> 1)]
+       |    ) AS st
+       |  FROM m
+       |)
+       |SELECT path, ts, event_id,
+       |       round((st[1] + st[2]) / ($HoltScale * 100.0), 6) AS forecast
+       |FROM f""".stripMargin
+
   // ------------------------------------------------------------ timeShift
 
   /** Comparison offset for [[timeShift]] (graphite `timeShift(…, "-1h")`). */
@@ -536,6 +611,7 @@ object Series {
     Op("series_stddev", movingStdDev, Some(movingStdDevSql)),
     Op("series_moving_median", movingMedian, Some(movingMedianSql)),
     Op("series_ewma", ewma, Some(ewmaSql)),
-    Op("series_timeshift", timeShift, Some(timeShiftSql))
+    Op("series_timeshift", timeShift, Some(timeShiftSql)),
+    Op("series_holt_forecast", holtForecast, Some(holtForecastSql))
   )
 }

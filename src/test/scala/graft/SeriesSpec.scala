@@ -238,6 +238,34 @@ class SeriesSpec extends AnyFunSuite with TestSpark {
     assert(withPrev > 0, "fixture has no hour-adjacent buckets — test is vacuous")
   }
 
+  test("series_holt_forecast agrees with a driver-side integer fold, floor shifts on negatives") {
+    val got = Series.holtForecast(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    val byPath = Tables.metrics(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), math.round(r.getDouble(1) * 100)))
+      .groupBy(_._1)
+    var negSeen = false
+    byPath.foreach { case (path, xs) =>
+      val series = xs.sortBy(x => (x._2, x._3))
+      series.indices.foreach { i =>
+        val win = series.slice(math.max(0, i - (Series.HoltPoints - 1)), i + 1).map(_._4)
+        var s = win.head * Series.HoltScale
+        var b = 0L
+        win.tail.foreach { c =>
+          val s2 = (c * Series.HoltScale + s + b) >> 1
+          b = ((s2 - s) >> 1) + (b >> 1)
+          if (b < 0) negSeen = true
+          s = s2
+        }
+        val want = BigDecimal((s + b) / (Series.HoltScale * 100.0))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val (_, ts, eid, _) = series(i)
+        assert(got((path, ts, eid)) === want, s"($path,$ts,$eid)")
+      }
+    }
+    assert(negSeen, "no negative trend state anywhere — the floor-shift clause is untested")
+  }
+
   test("series_anomaly agrees with a driver-side exact z-score recount") {
     val got = Series.anomaly(spark, Sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getBoolean(4)).toMap

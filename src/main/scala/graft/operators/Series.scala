@@ -526,7 +526,7 @@ object Series {
           .as("forecast"))
   }
 
-  private val holtForecastSql: String =
+  private[graft] val holtForecastSql: String =
     s"""WITH ${Tables.metricsSql},
        |$centsCte,
        |m AS (

@@ -274,9 +274,113 @@ object SessionStream {
       fin.filter(col("k3").isNotNull).select("user_id", "k2", "k3"))
   }
 
+  // ------------------------------------------------------------- stream_holt
+
+  case class HoltEvt(path: String, ts: Long, event_id: Long, cents: Long)
+  case class HoltPt(ts: Long, ev: Long, cents: Long)
+  case class HoltWin(pts: List[HoltPt])
+  case class HoltOut(path: String, ts: Long, event_id: Long, forecast: Double)
+
+  /** The per-path windowed-smoother state machine: state = the trailing
+    * ≤ [[graft.operators.Series.HoltPoints]] points (the window IS what a
+    * windowed smoother needs — bounded, independent of stream length),
+    * and every arriving point emits its one-step-ahead forecast from the
+    * SAME integer-halving fold the batch op runs. Under in-order ingest
+    * the emitted rows equal the batch output row-for-row.
+    */
+  def holtMachine(events: Dataset[HoltEvt]): Dataset[HoltOut] = {
+    import graft.operators.Series.{HoltPoints, HoltScale}
+    implicit val he = Encoders.product[HoltEvt]
+    implicit val hw = Encoders.product[HoltWin]
+    implicit val ho = Encoders.product[HoltOut]
+    implicit val ks = Encoders.STRING
+    events.groupByKey(_.path)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (path: String, batch: Iterator[HoltEvt], state: GroupState[HoltWin]) => {
+          var win = state.getOption.map(_.pts).getOrElse(Nil)
+          val out = batch.toSeq.sortBy(e => (e.ts, e.event_id)).map { e =>
+            win = (win :+ HoltPt(e.ts, e.event_id, e.cents)).takeRight(HoltPoints)
+            var s = win.head.cents * HoltScale
+            var b = 0L
+            win.tail.foreach { p =>
+              val s2 = (p.cents * HoltScale + s + b) >> 1
+              b = ((s2 - s) >> 1) + (b >> 1)
+              s = s2
+            }
+            HoltOut(path, e.ts, e.event_id,
+              BigDecimal((s + b) / (HoltScale * 100.0))
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+          state.update(HoltWin(win))
+          out.iterator
+        })
+  }
+
+  /** The LIVE form of `series_holt_forecast` — continuous aberration
+    * monitoring, the shape a carbon daemon's alerting actually runs
+    * (every arriving point immediately yields its forecast; the deviation
+    * test consumes the stream of (actual, forecast) pairs). The metric
+    * fixture replays as three time-tertile mtime-ordered files so the
+    * trailing window genuinely carries across micro-batch boundaries.
+    * Oracle = `series_holt_forecast`'s SQL verbatim: in-order ingest
+    * emits the batch output row-for-row.
+    */
+  def holtQuery(spark: SparkSession, dir: String): DataFrame = {
+    implicit val he = Encoders.product[HoltEvt]
+    val shift = graft.model.RollupConfig.LastKeyShift
+    val ev = CarbonStream.toMetrics(
+        graft.model.Tables.events(spark, dir), keepId = true)
+      .select(col("path"), col("ts"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .as[HoltEvt].persist()
+    val src = java.nio.file.Files.createTempDirectory("stream_holt_src").toString
+    try {
+      val (lo, hi) = {
+        val r = ev.agg(min(expr(s"ts * $shift + event_id")),
+          max(expr(s"ts * $shift + event_id"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+      def k = expr(s"ts * $shift + event_id")
+      DedupStream.writeOneFile(ev.filter(k <= c1).toDF(),
+        s"$src/batch0.parquet", ageMs = 120000)
+      DedupStream.writeOneFile(ev.filter(k > c1 && k <= c2).toDF(),
+        s"$src/batch1.parquet", ageMs = 90000)
+      DedupStream.writeOneFile(ev.filter(k > c2).toDF(),
+        s"$src/batch2.parquet", ageMs = 60000)
+    } finally ev.unpersist(blocking = true)
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cents",
+        org.apache.spark.sql.types.LongType)))
+    val sink = "stream_holt_" + UUID.randomUUID().toString.replace("-", "")
+    CarbonStream.withStreamPartitions(spark) {
+      val q = holtMachine(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(src).as[HoltEvt])
+        .toDF()
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    CarbonStream.drainMemorySink(spark, sink)
+  }
+
   def ops: Seq[Op] = Seq(
     Op("stream_sessionize", sessionizeQuery, Some(sessionizeStreamSql)),
     Op("stream_cohort", cohortQuery, Some(graft.operators.Analytics.cohortSql)),
-    Op("stream_funnel", funnelQuery, Some(graft.operators.Analytics.funnelSql))
+    Op("stream_funnel", funnelQuery, Some(graft.operators.Analytics.funnelSql)),
+    Op("stream_holt", holtQuery, Some(graft.operators.Series.holtForecastSql))
   )
 }

@@ -69,6 +69,15 @@ class StreamingSpec extends AnyFunSuite with TestSpark {
     assert(live === batch)
   }
 
+  test("stream_holt: every live forecast equals the batch windowed smoother, windows crossing batches") {
+    val live = graft.streaming.SessionStream.holtQuery(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    val batch = graft.operators.Series.holtForecast(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(live.nonEmpty)
+    assert(live === batch)
+  }
+
   test("stream_ann: the live-maintained IVF index answers queries exactly like the batch index") {
     val live = graft.streaming.AnnStream.annQuery(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet

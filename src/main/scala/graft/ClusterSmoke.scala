@@ -25,6 +25,7 @@ object ClusterSmoke {
     def labels(spark: SparkSession)
         : (Set[(Long, Long, Long, Boolean)], Seq[(Int, String, String, Long)],
            Set[(String, Long, Int, Long, Long, Double)],
+           Set[(String, Long, Long, Double, Long, Double)],
            Set[(Long, Long, Option[Long], Boolean)]) =
       try {
         val lbl = graft.operators.Dedup.cluster(spark, sf)
@@ -44,6 +45,13 @@ object ClusterSmoke {
           .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3),
             r.getLong(4), r.getDouble(5)))
           .toSet
+        // mix_temperature shares the eager-collect rate-frame pattern; its
+        // sqrt-law rates and salted-hash kept counts must match too
+        val temp = graft.operators.TextOps.mixTemperature(spark, sf)
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3), r.getLong(4), r.getDouble(5)))
+          .toSet
         // dedup_semantic's cell assignment rides a broadcast centroid frame
         // + max_by argmax; its keep/drop verdicts must be bit-stable under
         // forked executors (broadcast serialization path)
@@ -52,7 +60,7 @@ object ClusterSmoke {
           .map(r => (r.getLong(0), r.getLong(1),
             if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getBoolean(3)))
           .toSet
-        (lbl, merges, mix, sem)
+        (lbl, merges, mix, temp, sem)
       } finally spark.stop()
 
     def builder(master: String) = SparkSession.builder()
@@ -61,11 +69,11 @@ object ClusterSmoke {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 
-    val (expected, expectedMerges, expectedMix, expectedSem) =
+    val (expected, expectedMerges, expectedMix, expectedTemp, expectedSem) =
       labels(builder("local[2]").getOrCreate())
 
     val spillRoot = Files.createTempDirectory("cluster_smoke_spill").toString
-    val (clustered, clusterMerges, clusterMix, clusterSem) = labels(
+    val (clustered, clusterMerges, clusterMix, clusterTemp, clusterSem) = labels(
       builder("local-cluster[2,2,1024]")
         .appName("graft-cluster-smoke")
         .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
@@ -84,6 +92,8 @@ object ClusterSmoke {
       s"multi-JVM BPE merge trajectory diverges: $clusterMerges vs $expectedMerges")
     require(expectedMix.nonEmpty && clusterMix == expectedMix,
       s"multi-JVM mix_rebalance diverges: $clusterMix vs $expectedMix")
+    require(expectedTemp.nonEmpty && clusterTemp == expectedTemp,
+      s"multi-JVM mix_temperature diverges: $clusterTemp vs $expectedTemp")
     require(expectedSem.exists(!_._4) && clusterSem == expectedSem,
       s"multi-JVM dedup_semantic diverges: ${(clusterSem diff expectedSem).take(5)}")
     // the marker ClusterSmokeSpec greps for

@@ -480,27 +480,39 @@ object Analytics {
     */
   def eventAttribution(spark: SparkSession, dir: String): DataFrame = {
     val shift = graft.model.RollupConfig.LastKeyShift
-    val ev = Tables.events(spark, dir)
+    attributionFrom(attributionPerUser(Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
-        expr(s"(ts DIV 1000000000) * $shift + event_id").as("k"))
-    val first = ev.groupBy("user_id")
-      .agg(min_by(col("event_type"), col("k")).as("channel"))
-    val conv = ev.filter(col("event_type") === AttributionConversion)
-      .groupBy("user_id")
-      .agg(count(lit(1)).as("n_conv"), sum("cents").as("conv_cents"))
-    first.join(conv, Seq("user_id"), "left")
-      .groupBy("channel")
+        expr(s"(ts DIV 1000000000) * $shift + event_id").as("k"))))
+  }
+
+  /** The per-user attribution state `(user_id, channel, n_conv,
+    * conv_cents)` — ONE aggregate whose parts are all order-immune
+    * (arg-min on a unique key, conditional count/sum), which is why
+    * `stream_attribution` can maintain it live in complete mode.
+    */
+  private[graft] def attributionPerUser(ev: DataFrame): DataFrame =
+    ev.groupBy("user_id").agg(
+      min_by(col("event_type"), col("k")).as("channel"),
+      sum(when(col("event_type") === AttributionConversion, lit(1L))
+        .otherwise(lit(0L))).as("n_conv"),
+      sum(when(col("event_type") === AttributionConversion, col("cents"))
+        .otherwise(lit(0L))).as("conv_cents"))
+
+  /** The closing channel aggregate — shared with `stream_attribution`'s
+    * readoff so the crediting arithmetic cannot drift.
+    */
+  private[graft] def attributionFrom(perUser: DataFrame): DataFrame =
+    perUser.groupBy("channel")
       .agg(count(lit(1)).as("n_users"),
-        sum(coalesce(col("n_conv"), lit(0L))).as("n_conversions"),
-        sum(coalesce(col("conv_cents"), lit(0L))).as("cents"))
+        sum("n_conv").as("n_conversions"),
+        sum("conv_cents").as("cents"))
       .select(col("channel"), col("n_users"), col("n_conversions"),
         (col("cents") / lit(100.0)).as("revenue"),
         round(col("cents") / (col("n_users") * lit(100.0)), 6)
           .as("revenue_per_user"))
-  }
 
-  private val attributionSql: String = {
+  private[graft] val attributionSql: String = {
     val shift = graft.model.RollupConfig.LastKeyShift
     s"""WITH aev AS (
        |  SELECT user_id, event_type,

@@ -377,10 +377,49 @@ object SessionStream {
     CarbonStream.drainMemorySink(spark, sink)
   }
 
+  // ------------------------------------------------------ stream_attribution
+
+  /** The LIVE form of `event_attribution` — and the reason first-touch is
+    * the attribution rule streaming systems prefer: the per-user state
+    * `(channel, n_conv, conv_cents)` is ONE aggregate whose parts are all
+    * order-immune (arg-min on the unique packed key, conditional
+    * count/sum), so a complete-mode `groupBy(user_id)` maintains it under
+    * any micro-batch split — late events included, no state machine
+    * needed (contrast `stream_funnel`, whose strict-order stages do need
+    * one). State = one row per user, the reference bound of the read.
+    * Readoff = the SAME [[graft.operators.Analytics.attributionFrom]]
+    * channel collapse; oracle = `event_attribution`'s SQL verbatim.
+    */
+  def attributionQuery(spark: SparkSession, dir: String): DataFrame = {
+    val shift = graft.model.RollupConfig.LastKeyShift
+    val ev = CarbonStream.eventsStream(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        expr(s"(ts DIV 1000000000) * $shift + event_id").as("k"))
+    val sink = "stream_attr_" + UUID.randomUUID().toString.replace("-", "")
+    CarbonStream.withStreamPartitions(spark) {
+      val q = graft.operators.Analytics.attributionPerUser(ev)
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .start()
+      try {
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+      }
+    }
+    graft.operators.Analytics.attributionFrom(
+      CarbonStream.drainMemorySink(spark, sink))
+  }
+
   def ops: Seq[Op] = Seq(
     Op("stream_sessionize", sessionizeQuery, Some(sessionizeStreamSql)),
     Op("stream_cohort", cohortQuery, Some(graft.operators.Analytics.cohortSql)),
     Op("stream_funnel", funnelQuery, Some(graft.operators.Analytics.funnelSql)),
-    Op("stream_holt", holtQuery, Some(graft.operators.Series.holtForecastSql))
+    Op("stream_holt", holtQuery, Some(graft.operators.Series.holtForecastSql)),
+    Op("stream_attribution", attributionQuery,
+      Some(graft.operators.Analytics.attributionSql))
   )
 }

@@ -78,6 +78,17 @@ class StreamingSpec extends AnyFunSuite with TestSpark {
     assert(live === batch)
   }
 
+  test("stream_attribution: the live per-user state serves the batch crediting exactly") {
+    val live = graft.streaming.SessionStream.attributionQuery(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toSet
+    val batch = graft.operators.Analytics.eventAttribution(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toSet
+    assert(live.nonEmpty)
+    assert(live === batch)
+  }
+
   test("stream_ann: the live-maintained IVF index answers queries exactly like the batch index") {
     val live = graft.streaming.AnnStream.annQuery(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet

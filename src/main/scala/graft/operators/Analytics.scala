@@ -537,6 +537,78 @@ object Analytics {
        |GROUP BY 1""".stripMargin
   }
 
+  // --------------------------------------------------------------- user_rfm
+
+  /** RFM segmentation — the classic user-value read: each user scored
+    * 1–4 by quartile on Recency (latest event, the packed key), Frequency
+    * (event count), and Monetary (exact purchase cents), then labeled
+    * with the three-digit segment ("444" = recent, frequent, high-spend).
+    *
+    * The quartile rule is pure integer rank algebra — `score =
+    * ((rank−1)·4) DIV n + 1` over a `row_number` whose ORDER BY ends in
+    * the unique user_id — so ties are broken identically in both engines
+    * and every score is deterministic under any partitioning (no ntile
+    * remainder-placement subtleties to diverge on).
+    *
+    * Scale shape: one per-user aggregate, then three rank windows over
+    * the |users|-row RFM frame (the output's own size) — the sort is the
+    * only exchange past the user aggregate.
+    */
+  def userRfm(spark: SparkSession, dir: String): DataFrame = {
+    val shift = graft.model.RollupConfig.LastKeyShift
+    val per = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        expr(s"(ts DIV 1000000000) * $shift + event_id").as("k"))
+      .groupBy("user_id")
+      .agg(max("k").as("r_v"), count(lit(1)).as("f_v"),
+        sum(when(col("event_type") === AttributionConversion, col("cents"))
+          .otherwise(lit(0L))).as("m_v"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    def score(v: String) = expr(
+      s"(($v - 1) * 4) DIV n + 1").cast("int")
+    per
+      .withColumn("rr", row_number().over(Window.orderBy(col("r_v"), col("user_id"))).cast("long"))
+      .withColumn("fr", row_number().over(Window.orderBy(col("f_v"), col("user_id"))).cast("long"))
+      .withColumn("mr", row_number().over(Window.orderBy(col("m_v"), col("user_id"))).cast("long"))
+      .select(col("user_id"),
+        score("rr").as("r_score"), score("fr").as("f_score"),
+        score("mr").as("m_score"),
+        concat(score("rr"), score("fr"), score("mr")).as("segment"))
+  }
+
+  private val rfmSql: String = {
+    val shift = graft.model.RollupConfig.LastKeyShift
+    s"""WITH rev AS (
+       |  SELECT user_id, event_type,
+       |         CAST(round(value * 100) AS BIGINT) AS cents,
+       |         (epoch_ns(ts) // 1000000000) * $shift + event_id AS k
+       |  FROM events
+       |),
+       |rper AS (
+       |  SELECT user_id, max(k) AS r_v, CAST(count(*) AS BIGINT) AS f_v,
+       |         CAST(sum(CASE WHEN event_type = '$AttributionConversion'
+       |                       THEN cents ELSE 0 END) AS BIGINT) AS m_v
+       |  FROM rev GROUP BY 1
+       |),
+       |ranked AS (
+       |  SELECT user_id,
+       |         CAST(count(*) OVER () AS BIGINT) AS n,
+       |         CAST(row_number() OVER (ORDER BY r_v, user_id) AS BIGINT) AS rr,
+       |         CAST(row_number() OVER (ORDER BY f_v, user_id) AS BIGINT) AS fr,
+       |         CAST(row_number() OVER (ORDER BY m_v, user_id) AS BIGINT) AS mr
+       |  FROM rper
+       |)
+       |SELECT user_id,
+       |       CAST((rr - 1) * 4 // n + 1 AS INT) AS r_score,
+       |       CAST((fr - 1) * 4 // n + 1 AS INT) AS f_score,
+       |       CAST((mr - 1) * 4 // n + 1 AS INT) AS m_score,
+       |       CAST((rr - 1) * 4 // n + 1 AS VARCHAR)
+       |         || CAST((fr - 1) * 4 // n + 1 AS VARCHAR)
+       |         || CAST((mr - 1) * 4 // n + 1 AS VARCHAR) AS segment
+       |FROM ranked""".stripMargin
+  }
+
   def ops: Seq[Op] = Seq(
     Op("q1_pricing", q1Pricing, Some(q1Sql)),
     Op("q3_shipping", q3Shipping, Some(q3Sql)),
@@ -547,6 +619,7 @@ object Analytics {
     Op("event_props", eventProps, Some(eventPropsSql)),
     Op("funnel_steps", funnelSteps, Some(funnelSql)),
     Op("cohort_retention", cohortRetention, Some(cohortSql)),
-    Op("event_attribution", eventAttribution, Some(attributionSql))
+    Op("event_attribution", eventAttribution, Some(attributionSql)),
+    Op("user_rfm", userRfm, Some(rfmSql))
   )
 }

@@ -130,6 +130,32 @@ class CarbonAnalyticsSpec extends AnyFunSuite with TestSpark {
     }
   }
 
+  test("user_rfm: quartile scores partition users evenly and order by the underlying metric") {
+    val rows = Analytics.userRfm(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+      .toMap
+    val users = Tables.events(spark, Sf).select("user_id").distinct().count()
+    assert(rows.size.toLong === users)
+    rows.values.foreach { case (r, f, m, seg) =>
+      assert(Seq(r, f, m).forall(s => s >= 1 && s <= 4))
+      assert(seg === s"$r$f$m")
+    }
+    // rank-quartiles split the population into four near-equal bands
+    Seq[((Int, Int, Int, String)) => Int](_._1, _._2, _._3).foreach { dim =>
+      val sizes = rows.values.groupBy(dim).view.mapValues(_.size).toMap
+      assert(sizes.keySet === Set(1, 2, 3, 4))
+      assert(sizes.values.max - sizes.values.min <= 1, s"uneven quartiles: $sizes")
+    }
+    // monotone in frequency: a user with strictly more events never scores lower
+    val freq = Tables.events(spark, Sf).groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (u, (_, fs, _, _)) =>
+      rows.foreach { case (v, (_, gs, _, _)) =>
+        if (freq(u) > freq(v)) assert(fs >= gs, s"user $u vs $v frequency order")
+      }
+    }
+  }
+
   test("q1 aggregates are internally consistent (avg * count == sum)") {
     val rows = Analytics.q1Pricing(spark, Sf).collect()
     assert(rows.nonEmpty)

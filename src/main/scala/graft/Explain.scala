@@ -30,7 +30,8 @@ object Explain {
         "perplexity_filter",
         "series_moving_median", "series_ewma", "series_timeshift",
         "mix_temperature", "embed_hashing", "funnel_steps", "cohort_retention",
-        "knn_pagerank", "text_knn", "event_attribution", "series_holt_forecast"))
+        "knn_pagerank", "text_knn", "event_attribution", "series_holt_forecast",
+        "user_rfm"))
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

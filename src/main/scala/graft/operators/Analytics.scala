@@ -556,18 +556,30 @@ object Analytics {
     */
   def userRfm(spark: SparkSession, dir: String): DataFrame = {
     val shift = graft.model.RollupConfig.LastKeyShift
-    val per = Tables.events(spark, dir)
+    rfmFrom(rfmPerUser(Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
-        expr(s"(ts DIV 1000000000) * $shift + event_id").as("k"))
-      .groupBy("user_id")
+        expr(s"(ts DIV 1000000000) * $shift + event_id").as("k"))))
+  }
+
+  /** The per-user RFM state `(user_id, r_v, f_v, m_v)` — ONE aggregate of
+    * order-immune parts (max, count, conditional sum), which is why
+    * `stream_rfm` can maintain it live in complete mode.
+    */
+  private[graft] def rfmPerUser(ev: DataFrame): DataFrame =
+    ev.groupBy("user_id")
       .agg(max("k").as("r_v"), count(lit(1)).as("f_v"),
         sum(when(col("event_type") === AttributionConversion, col("cents"))
           .otherwise(lit(0L))).as("m_v"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+
+  /** The quartile scoring over any per-user RFM frame — shared with
+    * `stream_rfm`'s readoff so the rank algebra cannot drift.
+    */
+  private[graft] def rfmFrom(perUser: DataFrame): DataFrame = {
     def score(v: String) = expr(
       s"(($v - 1) * 4) DIV n + 1").cast("int")
-    per
+    perUser
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
       .withColumn("rr", row_number().over(Window.orderBy(col("r_v"), col("user_id"))).cast("long"))
       .withColumn("fr", row_number().over(Window.orderBy(col("f_v"), col("user_id"))).cast("long"))
       .withColumn("mr", row_number().over(Window.orderBy(col("m_v"), col("user_id"))).cast("long"))
@@ -577,7 +589,7 @@ object Analytics {
         concat(score("rr"), score("fr"), score("mr")).as("segment"))
   }
 
-  private val rfmSql: String = {
+  private[graft] val rfmSql: String = {
     val shift = graft.model.RollupConfig.LastKeyShift
     s"""WITH rev AS (
        |  SELECT user_id, event_type,

@@ -414,12 +414,49 @@ object SessionStream {
       CarbonStream.drainMemorySink(spark, sink))
   }
 
+  // -------------------------------------------------------------- stream_rfm
+
+  /** The LIVE form of `user_rfm` — continuous user-value scoring: the
+    * per-user RFM state (latest packed key, event count, purchase cents)
+    * is ONE aggregate of order-immune parts, so a complete-mode
+    * `groupBy(user_id)` maintains it under any micro-batch split (the
+    * `stream_attribution` contract); the quartile RANKS are a global
+    * property, so they happen at read time on the drained |users|-row
+    * frame via the SAME [[graft.operators.Analytics.rfmFrom]] scoring —
+    * exactly how a live RFM dashboard splits the work. State = one row
+    * per user. Oracle = `user_rfm`'s SQL verbatim.
+    */
+  def rfmQuery(spark: SparkSession, dir: String): DataFrame = {
+    val shift = graft.model.RollupConfig.LastKeyShift
+    val ev = CarbonStream.eventsStream(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        expr(s"(ts DIV 1000000000) * $shift + event_id").as("k"))
+    val sink = "stream_rfm_" + UUID.randomUUID().toString.replace("-", "")
+    CarbonStream.withStreamPartitions(spark) {
+      val q = graft.operators.Analytics.rfmPerUser(ev)
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .start()
+      try {
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+      }
+    }
+    graft.operators.Analytics.rfmFrom(
+      CarbonStream.drainMemorySink(spark, sink))
+  }
+
   def ops: Seq[Op] = Seq(
     Op("stream_sessionize", sessionizeQuery, Some(sessionizeStreamSql)),
     Op("stream_cohort", cohortQuery, Some(graft.operators.Analytics.cohortSql)),
     Op("stream_funnel", funnelQuery, Some(graft.operators.Analytics.funnelSql)),
     Op("stream_holt", holtQuery, Some(graft.operators.Series.holtForecastSql)),
     Op("stream_attribution", attributionQuery,
-      Some(graft.operators.Analytics.attributionSql))
+      Some(graft.operators.Analytics.attributionSql)),
+    Op("stream_rfm", rfmQuery, Some(graft.operators.Analytics.rfmSql))
   )
 }

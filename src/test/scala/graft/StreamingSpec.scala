@@ -89,6 +89,17 @@ class StreamingSpec extends AnyFunSuite with TestSpark {
     assert(live === batch)
   }
 
+  test("stream_rfm: live per-user state scores users exactly like the batch quartiles") {
+    val live = graft.streaming.SessionStream.rfmQuery(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+      .toSet
+    val batch = graft.operators.Analytics.userRfm(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+      .toSet
+    assert(live.nonEmpty)
+    assert(live === batch)
+  }
+
   test("stream_ann: the live-maintained IVF index answers queries exactly like the batch index") {
     val live = graft.streaming.AnnStream.annQuery(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet

@@ -480,6 +480,40 @@ object Series {
        |             / (((CAST(1 AS BIGINT) << len(l)) - 1) * 100.0), 6) AS ewma
        |FROM m""".stripMargin
 
+  // ----------------------------------------------------------- groupByNode
+
+  /** Which dot-segment [[groupByNode]] groups on (0-based; node 1 of
+    * `servers.<type>.u<n>` is the event type — the natural rollup axis).
+    */
+  val GroupNode = 1
+
+  /** Graphite's `groupByNode(seriesList, node, "sum")`: collapse every
+    * series sharing the [[GroupNode]]-th dot-segment into one, on the
+    * SAME epoch-aligned buckets `series_summarize` uses (the oracle
+    * composes the shared `summarized` CTE, so the alignment cannot
+    * drift) — the hierarchy rollup the metric tree UI renders when a
+    * node is folded. Totals in exact cents, ONE closing division;
+    * `n_series` counts the distinct member series per group so the
+    * collapse is auditable. Scale shape: one |paths × buckets|-row
+    * re-aggregate on top of the summarize frame — never the points.
+    */
+  def groupByNode(spark: SparkSession, dir: String): DataFrame =
+    summarized(Tables.metrics(spark, dir))
+      .withColumn("node", expr(s"split(path, '\\\\.')[${GroupNode}]"))
+      .groupBy("node", "bucket_ts")
+      .agg(count_distinct(col("path")).as("n_series"),
+        sum("n_points").as("n_points"),
+        (sum("cents_sum") / lit(100.0)).as("total"))
+
+  private val groupByNodeSql: String =
+    s"""WITH $summarizeCtes
+       |SELECT string_split(path, '.')[${GroupNode + 1}] AS node, bucket_ts,
+       |       CAST(count(DISTINCT path) AS BIGINT) AS n_series,
+       |       CAST(sum(n_points) AS BIGINT) AS n_points,
+       |       CAST(sum(cents_sum) AS BIGINT) / 100.0 AS total
+       |FROM summarized
+       |GROUP BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------- holtForecast
 
   /** Trailing window length for [[holtForecast]] (the truncation horizon). */
@@ -612,6 +646,7 @@ object Series {
     Op("series_moving_median", movingMedian, Some(movingMedianSql)),
     Op("series_ewma", ewma, Some(ewmaSql)),
     Op("series_timeshift", timeShift, Some(timeShiftSql)),
-    Op("series_holt_forecast", holtForecast, Some(holtForecastSql))
+    Op("series_holt_forecast", holtForecast, Some(holtForecastSql)),
+    Op("series_group_by_node", groupByNode, Some(groupByNodeSql))
   )
 }

@@ -266,6 +266,24 @@ class SeriesSpec extends AnyFunSuite with TestSpark {
     assert(negSeen, "no negative trend state anywhere — the floor-shift clause is untested")
   }
 
+  test("series_group_by_node: groups cover the summarize frame and conserve the exact total") {
+    val sums = Series.summarize(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val got = Series.groupByNode(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    val want = sums.groupBy { case (p, b, _, _) => (p.split("\\.")(Series.GroupNode), b) }
+    assert(got.keySet === want.keySet)
+    want.foreach { case (k, xs) =>
+      val (nSeries, nPoints, total) = got(k)
+      assert(nSeries === xs.map(_._1).distinct.size.toLong, s"$k n_series")
+      assert(nPoints === xs.map(_._3).sum, s"$k n_points")
+      assert(math.abs(total - xs.map(_._4).sum) < 1e-6, s"$k total")
+    }
+    // the node really collapses: fewer groups than series-buckets
+    assert(got.size < sums.length)
+  }
+
   test("series_anomaly agrees with a driver-side exact z-score recount") {
     val got = Series.anomaly(spark, Sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getBoolean(4)).toMap

@@ -30,10 +30,11 @@ import graft.streaming.CarbonStream
   * Round11Spec drives over real sockets.
   */
 final class Daemon(spark: SparkSession, store: String,
-    nowSec: Option[Long] = None) {
+    nowSec: Option[Long] = None,
+    healthCheckFile: Option[java.nio.file.Path] = None) {
 
   private val httpd = new MetricsHttpServer(
-    new MetricsHttpServer.StoreBackend(spark, store, nowSec))
+    new MetricsHttpServer.StoreBackend(spark, store, nowSec), healthCheckFile)
   @volatile private var ingestQ: StreamingQuery = _
 
   /** Bind the API (port 0 = ephemeral); returns the bound port. */
@@ -44,8 +45,35 @@ final class Daemon(spark: SparkSession, store: String,
     * deterministically; the daemon keeps serving while it runs.
     */
   def startIngest(srcDir: String, glob: String = "*.parquet"): StreamingQuery = {
-    ingestQ = CarbonStream.startRollupFlush(spark, srcDir, store, glob)
+    ingestQ = CarbonStream.startRollupFlush(spark, srcDir, store, glob,
+      () => rollupDefs)
     ingestQ
+  }
+
+  /** The rollup dispatch config in force — every flush cycle reads it, so
+    * [[reload]]'s swap takes effect at the next cycle boundary.
+    */
+  @volatile private var rollupDefs: Seq[graft.model.RollupDef] =
+    graft.model.RollupConfig.reference
+
+  def rollupConfig: Seq[graft.model.RollupDef] = rollupDefs
+
+  /** The SIGHUP live-reload path (cassabon.go:86-180): re-read a cassabon
+    * `rollups:` yaml ([[graft.model.RollupConfigFile]] — the reference's
+    * LoadRollups edge cases included), and if it parses CLEAN swap the
+    * dispatch config used by every SUBSEQUENT flush cycle; slices already
+    * in the store keep the shape they were written with, exactly like the
+    * reference re-dispatching only new metrics. A dirty config (any
+    * rejected expression) is REFUSED and the old config stays in force —
+    * the daemon's log-and-keep-running behavior. Returns the load result
+    * so the caller can report what was rejected; pair with
+    * [[graft.operators.Rollups.redispatchBetween]] for the impact table
+    * (`rollup_redispatch`'s delta over explicit configs).
+    */
+  def reload(configPath: String): graft.model.RollupConfigFile.Loaded = {
+    val loaded = graft.model.RollupConfigFile.load(configPath)
+    if (loaded.clean) rollupDefs = loaded.defs
+    loaded
   }
 
   @volatile private var udp: UdpListener = _
@@ -60,7 +88,8 @@ final class Daemon(spark: SparkSession, store: String,
   def startUdpIngest(srcDir: String): Int = {
     require(udp == null && tcp == null, "one wire arm per daemon")
     udp = new UdpListener
-    ingestQ = CarbonStream.startMetricRollupFlush(spark, srcDir, store)
+    ingestQ = CarbonStream.startMetricRollupFlush(spark, srcDir, store,
+      config = () => rollupDefs)
     udpSrcDir = srcDir
     udp.port
   }
@@ -88,7 +117,8 @@ final class Daemon(spark: SparkSession, store: String,
   def startTcpIngest(srcDir: String): Int = {
     require(udp == null && tcp == null, "one wire arm per daemon")
     tcp = new TcpListener
-    ingestQ = CarbonStream.startMetricRollupFlush(spark, srcDir, store)
+    ingestQ = CarbonStream.startMetricRollupFlush(spark, srcDir, store,
+      config = () => rollupDefs)
     tcpSrcDir = srcDir
     tcp.port
   }
@@ -102,6 +132,30 @@ final class Daemon(spark: SparkSession, store: String,
   }
 
   def tcpListener: TcpListener = tcp
+
+  private val reloadSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Peer the active wire arm: install the isMine split (owned lines
+    * buffer locally, non-owned ship to the owning peer — the reference's
+    * live forwarding, carbon_plaintext.go:246-252) and wire the
+    * flush-on-peerlist-change contract: a valid CHANGED
+    * `<<peerlist={json}>>` wire command first stages every pending
+    * accepted row as one slice (accepted under the OLD ring, they must
+    * land before routing changes — "flushing and reloading",
+    * carbon_plaintext.go:269-280 → OnPeerChange), then the ring swaps for
+    * subsequent lines. `peers` must include the listener's own
+    * `selfHostPort` among its values.
+    */
+  def enablePeering(peers: Map[String, String]): Unit = {
+    require(udp != null || tcp != null, "start a wire arm first")
+    val (h, srcDir) =
+      if (tcp != null) (tcp.handler, tcpSrcDir) else (udp.handler, udpSrcDir)
+    h.onPeerChange = _ => {
+      h.flush(spark, srcDir, s"peer_reload_${reloadSeq.incrementAndGet()}.parquet")
+      ()
+    }
+    if (tcp != null) tcp.enablePeering(peers) else udp.enablePeering(peers)
+  }
 
   def ingestQuery: StreamingQuery = ingestQ
 

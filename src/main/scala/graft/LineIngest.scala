@@ -14,6 +14,17 @@ import org.apache.spark.sql.SparkSession
   * float and floors. Accepted rows buffer in arrival order (`event_id` =
   * arrival index — the LAST tiebreak key) until a flush stages them as
   * ONE parquet slice for the daemon's rollup stream.
+  *
+  * PEERING (off by default — single-node ingest keeps everything): once
+  * [[enablePeering]] installs a [[PeerRing]], every accepted metric takes
+  * the isMine split (carbon_plaintext.go:246-252): owned lines buffer
+  * locally, non-owned lines ship to the owning peer's carbon socket over
+  * a [[StubbornConn]] — the reference's live forwarding path, which a
+  * 2-node deployment needs so no node double-counts paths it doesn't
+  * own. A valid, CHANGED `<<peerlist={json}>>` wire command then flushes
+  * pending rows (via [[onPeerChange]] — the daemon stages them as a
+  * slice under the OLD ring) and swaps the ring for subsequent lines
+  * (processPeerCommand, carbon_plaintext.go:258-283).
   */
 private[graft] final class LineIngest {
 
@@ -23,8 +34,37 @@ private[graft] final class LineIngest {
   val receivedOk = new AtomicLong(0)
   val receivedFail = new AtomicLong(0)
   val peerCmds = new AtomicLong(0)
+  /** Rejected peer commands — carbon.err.peer.validate / .cmd
+    * (carbon_plaintext.go:264-282). Only bumped in peering mode; the
+    * single-node form records commands without judging them.
+    */
+  val peerCmdErrors = new AtomicLong(0)
+  /** Metric lines shipped to their owning peer instead of buffered. */
+  val forwardedLines = new AtomicLong(0)
   /** Last peer wire-command payload seen (`<<name=payload>>`). */
   val lastPeerCmd = new AtomicReference[(String, String)]()
+
+  @volatile private var ring: PeerRing = _
+  private var fwd: PeerForwarder = _
+  /** Daemon hook, invoked BEFORE the ring swaps on a changed valid
+    * peerlist (the reference's "flushing and reloading": pending rows
+    * were accepted under the old ring and must land as a slice first).
+    */
+  @volatile var onPeerChange: Map[String, String] => Unit = _
+
+  /** Install the isMine split: `self` must be this listener's advertised
+    * host:port and appear among `peers` values ([[graft.model.PeerList]]
+    * front-door rules).
+    */
+  def enablePeering(self: String, peers: Map[String, String],
+      forwarder: PeerForwarder = new PeerForwarder()): Unit = {
+    graft.model.PeerList.validate(self, peers).left.foreach(e => throw new IllegalArgumentException(e))
+    fwd = forwarder
+    ring = new PeerRing(self, peers)
+  }
+
+  def peerRing: Option[PeerRing] = Option(ring)
+  def forwarder: Option[PeerForwarder] = Option(fwd)
 
   private val buffered = ArrayBuffer.empty[(String, Double, Long, Long)]
   private val arrivals = new AtomicLong(0)
@@ -46,6 +86,7 @@ private[graft] final class LineIngest {
     case peerCmdRe(cmd, payload) =>
       peerCmds.incrementAndGet()
       lastPeerCmd.set((cmd, payload))
+      if (ring != null) processPeerCommand(cmd, payload)
     case _ =>
       val fields = line.trim.split("\\s+").filter(_.nonEmpty)
       val parsed =
@@ -54,13 +95,51 @@ private[graft] final class LineIngest {
           yield (fields(0), v, math.floor(t).toLong)
       parsed match {
         case Some((path, v, t)) =>
-          receivedOk.incrementAndGet()
-          buffered.synchronized {
-            buffered += ((path, v, t, arrivals.getAndIncrement()))
+          // isMine split (carbon_plaintext.go:246-252): owned → local
+          // buffer, non-owned → the ORIGINAL line to the owning peer.
+          // ReceiveOK bumps on BOTH branches, like the reference.
+          val r = ring
+          val mineOrSingle = r == null || {
+            val (idx, mine) = r.ownerOf(path)
+            if (!mine) {
+              forwardedLines.incrementAndGet()
+              fwd.send(r.ring(idx), line)
+            }
+            mine
           }
+          if (mineOrSingle) {
+            buffered.synchronized {
+              buffered += ((path, v, t, arrivals.getAndIncrement()))
+            }
+          }
+          receivedOk.incrementAndGet(): Unit
         case None =>
           receivedFail.incrementAndGet(): Unit
       }
+  }
+
+  /** processPeerCommand (carbon_plaintext.go:258-283): only `peerlist` is
+    * a known command; its payload must unmarshal, validate against this
+    * listener's own address, and DIFFER from the ring in use before
+    * anything happens — then pending rows flush (daemon hook) and the
+    * ring swaps. Every rejection path only bumps the error counter, like
+    * the reference's warn-and-continue.
+    */
+  private def processPeerCommand(cmd: String, payload: String): Unit = cmd match {
+    case "peerlist" =>
+      graft.model.PeerList.parseWirePayload(payload) match {
+        case Some(peers) if graft.model.PeerList.validate(ring.selfHostPort, peers).isRight =>
+          if (!ring.isEqual(ring.selfHostPort, peers)) {
+            val cb = onPeerChange
+            if (cb != null) cb(peers)
+            ring = new PeerRing(ring.selfHostPort, peers)
+            fwd.reconcile(ring)
+          }
+        case _ =>
+          peerCmdErrors.incrementAndGet(): Unit
+      }
+    case _ =>
+      peerCmdErrors.incrementAndGet(): Unit
   }
 
   /** Number of metric rows accepted and not yet flushed. */

@@ -30,6 +30,19 @@ final class TcpListener {
   def peerCmds: AtomicLong = ingest.peerCmds
   def lastPeerCmd: AtomicReference[(String, String)] = ingest.lastPeerCmd
 
+  /** The shared metricHandler — peering/forwarding surfaces live there. */
+  private[graft] def handler: LineIngest = ingest
+
+  def selfHostPort: String = "127.0.0.1:" + port
+
+  /** Install the isMine peer split (see [[LineIngest.enablePeering]]):
+    * owned lines buffer here, non-owned lines ship to their owner's
+    * carbon socket over a [[StubbornConn]]. `peers` must include
+    * [[selfHostPort]] among its values.
+    */
+  def enablePeering(peers: Map[String, String]): Unit =
+    ingest.enablePeering(selfHostPort, peers)
+
   /** Connections accepted so far (the reference's conns gauge). */
   val connections = new AtomicLong(0)
 
@@ -115,5 +128,6 @@ final class TcpListener {
     server.close()
     acceptor.join(2000)
     handlers.forEach(_.join(1000))
+    ingest.forwarder.foreach(_.close())
   }
 }

@@ -31,6 +31,22 @@ final class UdpListener {
   def peerCmds: AtomicLong = ingest.peerCmds
   def lastPeerCmd: AtomicReference[(String, String)] = ingest.lastPeerCmd
 
+  /** The shared metricHandler — peering/forwarding surfaces live there. */
+  private[graft] def handler: LineIngest = ingest
+
+  /** This listener's advertised carbon address — peer FORWARDING is TCP
+    * in the reference whatever the receive transport, so the address a
+    * UDP node advertises in the peers map must be its TCP twin's; for
+    * the isMine split itself only ring membership matters.
+    */
+  def selfHostPort: String = "127.0.0.1:" + port
+
+  /** Install the isMine peer split (see [[LineIngest.enablePeering]]);
+    * `peers` must include [[selfHostPort]] among its values.
+    */
+  def enablePeering(peers: Map[String, String]): Unit =
+    ingest.enablePeering(selfHostPort, peers)
+
   private val socket = new DatagramSocket(0, InetAddress.getByName("127.0.0.1"))
   socket.setSoTimeout(250)
   private var carry = ""
@@ -77,5 +93,6 @@ final class UdpListener {
     running = false
     socket.close()
     reader.join(2000)
+    ingest.forwarder.foreach(_.close())
   }
 }

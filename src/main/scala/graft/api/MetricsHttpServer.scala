@@ -27,7 +27,8 @@ import org.apache.spark.sql.SparkSession
   * channel-serialized index/metric managers; a production deployment
   * fronts the engine with whatever pool it needs, the routes don't change.
   */
-final class MetricsHttpServer(backend: MetricsHttpServer.Backend) {
+final class MetricsHttpServer(backend: MetricsHttpServer.Backend,
+    healthCheckFile: Option[java.nio.file.Path] = None) {
 
   /** The r10 shape: every route answered from the fixture-derived frames. */
   def this(spark: SparkSession, dir: String) =
@@ -76,9 +77,24 @@ final class MetricsHttpServer(backend: MetricsHttpServer.Backend) {
       "github" -> Json.str("https://github.com/jeffpierce/cassabon"),
       "version" -> Json.str("r11")))
 
+  /** The ops-controlled DEAD override — healthHandler's LB-drain knob
+    * (api/api.go:65-80): when the configured healthcheck file reads
+    * "DEAD" (trimmed, case-insensitive), the route answers DEAD whatever
+    * the engine's own state, so an operator can drain a node from the
+    * load balancer without stopping it. A missing/unreadable file means
+    * no override (the reference ignores the read error).
+    */
+  private def drainFileSaysDead: Boolean =
+    healthCheckFile.exists { p =>
+      try new String(java.nio.file.Files.readAllBytes(p), UTF_8)
+        .trim.toUpperCase == "DEAD"
+      catch { case _: java.io.IOException => false }
+    }
+
   private def health(ex: HttpExchange): Unit = {
     // healthHandler: plain-text ALIVE/DEAD for the load balancer
-    val body = (if (backend.healthcheck()) "ALIVE" else "DEAD").getBytes(UTF_8)
+    val alive = !drainFileSaysDead && backend.healthcheck()
+    val body = (if (alive) "ALIVE" else "DEAD").getBytes(UTF_8)
     ex.getResponseHeaders.set("Content-Type", "text/plain; charset=utf-8")
     ex.sendResponseHeaders(200, body.length)
     ex.getResponseBody.write(body)

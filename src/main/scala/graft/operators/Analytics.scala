@@ -574,19 +574,60 @@ object Analytics {
 
   /** The quartile scoring over any per-user RFM frame — shared with
     * `stream_rfm`'s readoff so the rank algebra cannot drift.
+    *
+    * The rank rule is `score = ((rank−1)·4) DIV n + 1` with rank =
+    * row_number ordered by (value, user_id) — but it is NOT computed as
+    * three partition-less rank windows (each of which would funnel every
+    * user through one task). Rearranged: `score ≥ s+1 ⟺ rank ≥
+    * ceil(s·n/4)+1`, so the whole segmentation is determined by at most
+    * NINE cut pairs — the (value, user_id) order statistics at the three
+    * quartile boundary ranks of each dimension. Those are read exactly via
+    * [[Partitioning.withGlobalRank]] (a distributed range sort of the slim
+    * tagged (dim, value, user_id) projection — each dimension has exactly
+    * n rows, so global position p in the union maps to in-dimension rank
+    * p − dim·n), collected (≤ 9 rows), and scoring becomes a map-side
+    * lexicographic compare against the broadcast cut pairs. The per-user
+    * frame is touched once, with no exchange past its own aggregation.
     */
   private[graft] def rfmFrom(perUser: DataFrame): DataFrame = {
-    def score(v: String) = expr(
-      s"(($v - 1) * 4) DIV n + 1").cast("int")
-    perUser
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-      .withColumn("rr", row_number().over(Window.orderBy(col("r_v"), col("user_id"))).cast("long"))
-      .withColumn("fr", row_number().over(Window.orderBy(col("f_v"), col("user_id"))).cast("long"))
-      .withColumn("mr", row_number().over(Window.orderBy(col("m_v"), col("user_id"))).cast("long"))
-      .select(col("user_id"),
-        score("rr").as("r_score"), score("fr").as("f_score"),
-        score("mr").as("m_score"),
-        concat(score("rr"), score("fr"), score("mr")).as("segment"))
+    val dims = Seq("r_v", "f_v", "m_v")
+    val pu = perUser.persist()
+    try {
+      val n = pu.count()
+      // rank thresholds for scores 2..4: rank ≥ ceil(s·n/4)+1, s = 1..3
+      val thresholds = (1 to 3).map(s => (s * n + 3) / 4 + 1).filter(_ <= n)
+      val tagged = dims.zipWithIndex.map { case (c, d) =>
+        pu.select(lit(d).as("dim"), col(c).cast("long").as("v"),
+          col("user_id").as("u"))
+      }.reduce(_ union _)
+      // cut pairs collected with the tiebreak's NATIVE type (user_id is a
+      // bigint in the fixture — a string cast would change the sort order)
+      val cuts: Map[Int, Seq[(Long, Any)]] =
+        if (thresholds.isEmpty || n == 0) Map.empty
+        else Partitioning.withGlobalRank(tagged, Seq("dim", "v", "u")) { g =>
+          g.withColumn("rk", col("grank") - col("dim") * lit(n))
+            .where(col("rk").isin(thresholds: _*))
+            .select("dim", "rk", "v", "u").collect()
+            .groupBy(_.getInt(0))
+            .map { case (d, rows) =>
+              d -> rows.sortBy(_.getLong(1)).map(r => (r.getLong(2), r.get(3))).toSeq
+            }
+        }
+      def score(vc: String, d: Int) = cuts.getOrElse(d, Seq.empty)
+        .foldLeft(lit(1)) { case (e, (cv, cu)) =>
+          e + when(col(vc) > cv ||
+            (col(vc) === cv && col("user_id") >= lit(cu)), 1).otherwise(0)
+        }.cast("int")
+      val scored = dims.zipWithIndex.map { case (c, d) => score(c, d) }
+      pu.select(col("user_id"),
+        scored(0).as("r_score"), scored(1).as("f_score"),
+        scored(2).as("m_score"),
+        concat(scored(0), scored(1), scored(2)).as("segment"))
+    } finally {
+      // the cut pairs are already collected; the returned plan recomputes
+      // the per-user aggregate once when evaluated (as the window form did)
+      pu.unpersist(); ()
+    }
   }
 
   private[graft] val rfmSql: String = {

@@ -482,14 +482,16 @@ object Dedup {
     * on, because transitive chains (A~B, B~C) must collapse to ONE kept
     * document, not two independent pair-wise drops.
     *
-    * Spark realization: iterative min-label propagation on the pair graph
-    * until fixpoint — label(v) := min(label(v), min over neighbors) — the
-    * standard distributed CC. Each iteration is one equality join + one
-    * groupBy ON THE CANDIDATE SUBGRAPH (pairs ≪ corpus; at 100 TB the
-    * loop never touches the document table), and the iteration count is
-    * the cluster diameter, which for near-dup graphs is small. Singletons
-    * join in only at the end, map-side against the converged label table.
-    * The iteration cap is a loud failure, not a silent truncation.
+    * Spark realization: iterative min-label propagation WITH POINTER
+    * DOUBLING on the pair graph until fixpoint — label(v) :=
+    * min(label(v), min over neighbors, label(label(v))) — each round is
+    * one edge join + one groupBy + one label self-join ON THE CANDIDATE
+    * SUBGRAPH (pairs ≪ corpus; at 100 TB the loop never touches the
+    * document table), and the doubling shortcut makes the round count
+    * O(log diameter) instead of O(diameter) — a chain-shaped component no
+    * longer costs one fixed-price round per link. Singletons join in only
+    * at the end, map-side against the converged label table. The
+    * iteration cap is a loud failure, not a silent truncation.
     *
     * Scale/hygiene posture:
     *  - every iteration `localCheckpoint`s the label frame, so the logical
@@ -528,6 +530,11 @@ object Dedup {
     * [[graft.model.Spill]] gate, and every block pinned inside the op is
     * swept before returning (Round5Spec gates all three behaviors).
     */
+  /** Rounds the last [[componentsFrom]] run took to converge — the spec
+    * surface for the O(log diameter) pointer-doubling bound.
+    */
+  private[graft] val lastIterations = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private[graft] def componentsFrom(spark: SparkSession, dir: String,
       pairs: DataFrame, aCol: String, bCol: String,
       universe: DataFrame, idCol: String, spillName: String): DataFrame = {
@@ -541,16 +548,31 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < 50) {
+      // min-label propagation: one hop along the edges per round …
       val prop = edges.join(labels, edges("u") === labels("vid"))
         .select(edges("v").as("vid"), labels("lbl"))
-      val next = labels.select(col("vid"), col("lbl")).union(prop)
+      val hop = labels.select(col("vid"), col("lbl")).union(prop)
         .groupBy("vid").agg(min("lbl").as("lbl")).localCheckpoint()
+      // … then POINTER DOUBLING: shortcut each vertex to its label's own
+      // label (l(v) := min(l(v), l(l(v))) — a self-join of the label table,
+      // sound because l(v) is always a vertex of v's component). Hop alone
+      // needs O(diameter) rounds — a chain-shaped component at 100× scale
+      // means hundreds of fixed-cost rounds; with the shortcut the covered
+      // distance better-than-doubles per round, so convergence is
+      // O(log diameter) (Round12Spec pins a 64-vertex path converging in
+      // ≤ 2·log₂ rounds).
+      val ptr = hop.select(col("vid").as("pvid"), col("lbl").as("plbl"))
+      val next = hop.join(ptr, hop("lbl") === ptr("pvid"), "left")
+        .select(hop("vid"),
+          least(hop("lbl"), coalesce(col("plbl"), hop("lbl"))).as("lbl"))
+        .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("lbl", "prev"), "vid")
         .filter(col("lbl") =!= col("prev")).count()
       labels = next
       converged = changed == 0
       iter += 1
     }
+    lastIterations.set(iter)
     require(converged, s"$spillName: not converged after $iter iterations")
     val spill = graft.model.Spill.path(spark, spillName, dir)
     labels.withColumnRenamed("vid", idCol).write.mode("overwrite").parquet(spill)

@@ -1,7 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 import graft.functions.Pearson
 
@@ -21,5 +22,51 @@ object Partitioning {
   def byPeer(metrics: DataFrame, peers: Int): DataFrame = {
     Pearson.register(metrics.sparkSession)
     metrics.repartition(peers, expr(s"pearson_hash8(path) % $peers"))
+  }
+
+  /** EXACT global 1-based rank without a single-task global window — the
+    * distributed order-statistic primitive behind `user_rfm`'s quartile
+    * cut-points and `perplexity_filter`'s corpus median.
+    *
+    * A `row_number().over(Window.orderBy(...))` with no partitionBy is the
+    * classic scale-killer: Spark plans it as ONE task holding the whole
+    * frame. The exchange here is instead Spark's own distributed sort
+    * (`repartitionByRange` — the same range exchange `orderBy` plans), the
+    * window is partitioned by the physical partition id (each task ranks
+    * only its own range slice), and local ranks lift to global ranks with
+    * the P-row per-partition count frame collected to the driver (P =
+    * shuffle partitions, config-sized). The plan therefore scales exactly
+    * like a distributed sort, which is the information-theoretic floor for
+    * an exact rank.
+    *
+    * `sortCols` must be a total order (add a unique tiebreak column when
+    * rank identity matters; for pure order statistics ties are harmless —
+    * any row at position k carries the k-th value). `use` runs against the
+    * ranked frame while its range-shuffled input is pinned; the pin is
+    * dropped before returning, so callers must materialize (collect) inside
+    * `use` — by construction order-statistic reads are tiny (a handful of
+    * cut rows), so that is the natural shape.
+    */
+  private[graft] def withGlobalRank[A](df: DataFrame, sortCols: Seq[String],
+      parts: Int = 32)(use: DataFrame => A): A = {
+    val keys = sortCols.map(col)
+    val ranged = df.repartitionByRange(parts, keys: _*)
+      .withColumn("pid", spark_partition_id()).persist()
+    try {
+      val counts = ranged.groupBy("pid").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val maxPid = if (counts.isEmpty) 0 else counts.keys.max
+      var acc = 0L
+      val offsets = (0 to maxPid).map { p =>
+        val o = acc; acc += counts.getOrElse(p, 0L); p -> o
+      }.toMap
+      val local = row_number()
+        .over(Window.partitionBy("pid").orderBy(keys: _*)).cast("long")
+      use(ranged
+        .withColumn("grank", local + element_at(typedLit(offsets), col("pid")))
+        .drop("pid"))
+    } finally {
+      ranged.unpersist(); ()
+    }
   }
 }

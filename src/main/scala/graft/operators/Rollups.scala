@@ -120,10 +120,20 @@ object Rollups {
   def rollupsMergeable(spark: SparkSession, dir: String): DataFrame =
     mergeableFrom(Tables.metrics(spark, dir))
 
-  def mergeableFrom(metrics: DataFrame): DataFrame = {
-    val m = metrics.withColumn("expr", exprKey(col("path")))
+  def mergeableFrom(metrics: DataFrame): DataFrame =
+    mergeableWith(metrics, RollupConfig.reference)
+
+  /** [[mergeableFrom]] over an EXPLICIT config — the live reload path:
+    * `Daemon.reload` swaps the def list a SIGHUP'd cassabon re-parses
+    * (cassabon.go:86-180, config_parser.go LoadRollups), and every flush
+    * cycle after the swap aggregates under the new dispatch while slices
+    * already in the store keep the shape they were written with (the
+    * reference likewise re-dispatches only subsequent metrics).
+    */
+  def mergeableWith(metrics: DataFrame, config: Seq[RollupDef]): DataFrame = {
+    val m = metrics.withColumn("expr", exprKeyFor(config)(col("path")))
     val winArms: Column = {
-      val ds = RollupConfig.reference
+      val ds = config
       ds.tail.foldLeft(when(col("expr") === ds.head.key, winArray(ds.head))) {
         (acc, d) => acc.when(col("expr") === d.key, winArray(d))
       }

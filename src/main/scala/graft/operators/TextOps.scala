@@ -326,26 +326,39 @@ object TextOps {
     * to the corpus's own distribution, so the gate transfers across
     * scales where any absolute bits threshold would not.
     *
-    * The median is the exact nearest-rank order statistic computed over
-    * the DISTINCT-value histogram: one (value, count) aggregate (partial
-    * combine map-side), a cumulative window over the |distinct values|
-    * frame — never a global sort of per-doc rows — then `min(value)` with
-    * cum ≥ (n+1) DIV 2. mean_bits is round(…,6), so the band compare is
-    * the same IEEE arithmetic in both engines.
+    * The median is the exact nearest-rank order statistic — the value at
+    * position `(n+1) DIV 2` of the per-doc mean_bits order — read via
+    * [[Partitioning.withGlobalRank]]: a distributed range sort of the
+    * one-double-per-doc projection, ranked per range slice and lifted to
+    * global positions by the config-sized per-partition count frame. (The
+    * previous form ran the cumulative sum in a partition-less window over
+    * the distinct-value histogram — smaller than a per-doc sort, but
+    * `mean_bits = round(total/n, 6)` has near-|docs| distinct cardinality
+    * in the worst case, so the one-task frame grew with the corpus; the
+    * range-sorted rank is bounded per task by the partition size at ANY
+    * corpus size.) mean_bits is round(…,6), so the band compare is the
+    * same IEEE arithmetic in both engines, and ties make the position
+    * read order-independent: any row at position k carries the k-th value.
     */
   def perplexityFilter(spark: SparkSession, dir: String): DataFrame = {
-    val s = tokenSurprisal(spark, dir).select("doc_id", "mean_bits")
-    val counts = s.groupBy("mean_bits").agg(count(lit(1)).as("c"))
-    val med = counts
-      .withColumn("cum", sum("c").over(Window.orderBy("mean_bits")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("n", sum("c").over(Window.partitionBy()))
-      .filter(col("cum") >= expr("(n + 1) DIV 2"))
-      .agg(min("mean_bits").as("corpus_median"))
-    s.crossJoin(broadcast(med))
-      .select(col("doc_id"), col("mean_bits"), col("corpus_median"),
-        (abs(col("mean_bits") - col("corpus_median")) <= PerplexityBand)
+    val s = tokenSurprisal(spark, dir).select("doc_id", "mean_bits").persist()
+    try {
+      val n = s.count()
+      val corpusMedian =
+        if (n == 0) 0.0
+        else Partitioning.withGlobalRank(
+          s.select(col("mean_bits").as("v")), Seq("v")) { g =>
+          g.where(col("grank") === (n + 1) / 2).select("v").head.getDouble(0)
+        }
+      s.select(col("doc_id"), col("mean_bits"),
+        lit(corpusMedian).as("corpus_median"),
+        (abs(col("mean_bits") - lit(corpusMedian)) <= PerplexityBand)
           .as("perplexity_ok"))
+    } finally {
+      // median already collected; the caller's eval recomputes the
+      // surprisal aggregate once, as the crossJoin form did
+      s.unpersist(); ()
+    }
   }
 
   private[graft] val perplexityFilterSql: String =

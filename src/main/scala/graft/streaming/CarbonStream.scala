@@ -500,7 +500,9 @@ object CarbonStream {
     * cannot touch files it didn't fold.
     */
   def startRollupFlush(spark: SparkSession, srcDir: String, store: String,
-      glob: String = "*.parquet")
+      glob: String = "*.parquet",
+      config: () => Seq[graft.model.RollupDef] =
+        () => graft.model.RollupConfig.reference)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // one flush cycle per staged file
     val events = eventsStream(spark, srcDir, glob, maxFilesPerTrigger = Some(1))
@@ -516,8 +518,10 @@ object CarbonStream {
     metrics.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // config() is read PER FLUSH CYCLE — the daemon's SIGHUP reload
+        // swaps it between cycles, never inside one
         graft.sources.RollupStore.appendStateSlice(
-          graft.operators.Rollups.mergeableFrom(batch), store)
+          graft.operators.Rollups.mergeableWith(batch, config()), store)
       }
       .start()
   }
@@ -529,7 +533,9 @@ object CarbonStream {
     * simply absent because the socket already delivers metric rows.
     */
   def startMetricRollupFlush(spark: SparkSession, srcDir: String, store: String,
-      glob: String = "*.parquet")
+      glob: String = "*.parquet",
+      config: () => Seq[graft.model.RollupDef] =
+        () => graft.model.RollupConfig.reference)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
@@ -543,7 +549,7 @@ object CarbonStream {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.sources.RollupStore.appendStateSlice(
-          graft.operators.Rollups.mergeableFrom(batch), store)
+          graft.operators.Rollups.mergeableWith(batch, config()), store)
       }
       .start()
   }

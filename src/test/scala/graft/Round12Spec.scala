@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Analytics, Dedup, Partitioning}
+
+/** Round-12 gates: the scale fixes the r11 verdict mandated.
+  *
+  *  1. Partition-less data-sized windows are BANNED in engine code — a
+  *     `Window.orderBy(...)` / `Window.partitionBy()` with no keys plans
+  *     as ONE task holding the whole frame, the classic 100×-scale
+  *     killer (`user_rfm`'s three global rank sorts and
+  *     `perplexity_filter`'s histogram cumsum were the last two on a
+  *     data-sized frame). The scan pins every remaining occurrence to an
+  *     audited allowlist of bounded frames.
+  *  2. `rfmFrom`'s broadcast cut-point scoring must equal the rank-window
+  *     DEFINITION exactly (the oracle already gates it cross-engine at
+  *     both scales; this pins the algebra on adversarial ties).
+  *  3. `componentsFrom`'s pointer doubling must converge a 64-vertex PATH
+  *     (worst-case diameter) in ≤ 2·log₂(64) rounds — plain min-label
+  *     propagation needs 63.
+  *  4. `withGlobalRank` must assign exactly 1..n across range partitions.
+  */
+class Round12Spec extends AnyFunSuite with TestSpark {
+
+  // ------------------------------------------------------------- window ban
+
+  /** Engine-code occurrences of partition-less windows, per file. Every
+    * entry is audited bounded:
+    *  - Similarity: pq codebook rank over a `.limit(PqCodebookK)` frame
+    *    (K = 32 rows, constant);
+    *  - Series: series_top's rank over the per-path aggregate (the metric
+    *    path catalog — the store's key universe, not the point stream);
+    *  - TextOps orderBy: `packSequencesGlobal`, the SPEC-ONLY reference
+    *    form SamplePackSpec compares the sharded engine form against
+    *    (its scaladoc says "never run this at scale");
+    *  - TextOps partitionBy(): five global scalars over the mixing
+    *    families' per-language rate/count frames (config-sized);
+    *  - Analytics partitionBy(): funnel's step-1 denominator over the
+    *    |steps|-row funnel frame (3 rows).
+    */
+  private val WindowAllowlist: Map[String, Int] = Map(
+    "Similarity.scala" -> 1,
+    "Series.scala" -> 1,
+    "TextOps.scala" -> 6,
+    "Analytics.scala" -> 1)
+
+  test("partition-less windows only on audited bounded frames") {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala")
+    val hits = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .flatMap { p =>
+        val code = java.nio.file.Files.readAllLines(p).asScala
+          .map(_.trim)
+          // strip comment lines: scaladoc bodies and line comments may
+          // legitimately DISCUSS the banned pattern
+          .filterNot(l => l.startsWith("*") || l.startsWith("/*") || l.startsWith("//"))
+        val n = code.count(l =>
+          l.contains("Window.orderBy(") || l.contains("Window.partitionBy()"))
+        if (n == 0) None else Some(p.getFileName.toString -> n)
+      }.toMap
+    assert(hits == WindowAllowlist,
+      s"partition-less window census drifted: got $hits, audited $WindowAllowlist — " +
+        "a new Window.orderBy/empty partitionBy funnels a data-sized frame " +
+        "through ONE task; use Partitioning.withGlobalRank (exact distributed " +
+        "rank) or aggregate+broadcast instead, or audit the bound here")
+  }
+
+  // ------------------------------------------------- rfm cut-point algebra
+
+  test("rfmFrom broadcast cut-points equal the rank-window definition on ties") {
+    import spark.implicits._
+    // 37 users (n not divisible by 4), heavy ties on every dimension so the
+    // user_id tiebreak decides scores at the quartile boundaries
+    val users = (1 to 37).map { i =>
+      (i.toLong * 7 % 37, (i % 5).toLong, (i % 3).toLong, (i % 4).toLong)
+    }
+    val pu = users.toDF("user_id", "r_v", "f_v", "m_v")
+    val got = Analytics.rfmFrom(pu)
+      .select("user_id", "r_score", "f_score", "m_score", "segment")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+      .sortBy(_._1)
+    // the definition, computed directly on the driver
+    val n = users.size
+    def scores(v: Seq[(Long, Long)]): Map[Long, Int] =
+      v.sortBy(identity).zipWithIndex.map { case ((_, uid), i) =>
+        uid -> (i * 4 / n + 1)
+      }.toMap
+    val rs = scores(users.map(u => (u._2, u._1)))
+    val fs = scores(users.map(u => (u._3, u._1)))
+    val ms = scores(users.map(u => (u._4, u._1)))
+    val want = users.map(_._1).sorted.map { uid =>
+      (uid, rs(uid), fs(uid), ms(uid), s"${rs(uid)}${fs(uid)}${ms(uid)}")
+    }
+    assert(got.toSeq == want)
+  }
+
+  // ------------------------------------------- pointer-doubling components
+
+  test("componentsFrom converges a 64-vertex path in <= 2*log2(64) rounds") {
+    import spark.implicits._
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+    val universe = (0L until 64L).toDF("id")
+    val out = Dedup.componentsFrom(spark, Sf, pairs, "a", "b",
+      universe, "id", "r12_chain_labels")
+    val rows = out.collect()
+    assert(rows.length == 64)
+    assert(rows.forall(_.getLong(1) == 0L), "path graph must collapse to component 0")
+    assert(rows.forall(_.getLong(2) == 64L))
+    val iters = Dedup.lastIterations.get()
+    assert(iters <= 12,
+      s"pointer doubling should need <= 12 rounds on a 64-path, took $iters " +
+        "(plain min-label propagation needs 63 — the doubling join regressed)")
+  }
+
+  // ----------------------------------------------------- global rank exact
+
+  test("withGlobalRank assigns exactly 1..n and respects the sort order") {
+    import spark.implicits._
+    // duplicates + skew: values i % 17, 1000 rows over 4 shuffle partitions
+    val df = (1 to 1000).map(i => (i % 17).toLong).toDF("v")
+    val (ranks, ordered) = Partitioning.withGlobalRank(df, Seq("v")) { g =>
+      val rows = g.select("grank", "v").collect().map(r => (r.getLong(0), r.getLong(1)))
+      (rows.map(_._1).sorted.toSeq, rows.sortBy(_._1).map(_._2).toSeq)
+    }
+    assert(ranks == (1L to 1000L))
+    assert(ordered == ordered.sorted, "values must be non-decreasing in rank order")
+  }
+}

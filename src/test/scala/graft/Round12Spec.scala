@@ -115,6 +115,126 @@ class Round12Spec extends AnyFunSuite with TestSpark {
         "(plain min-label propagation needs 63 — the doubling join regressed)")
   }
 
+  // --------------------------------------------------- daemon: LB drain
+
+  test("healthcheck DEAD-file override drains the node without stopping it") {
+    val store = java.nio.file.Files.createTempDirectory("r12_health_store").toString
+    val drain = java.nio.file.Files.createTempDirectory("r12_health").resolve("healthcheck.txt")
+    val daemon = new Daemon(spark, store, Some(0L), healthCheckFile = Some(drain))
+    try {
+      val port = daemon.startHttp()
+      val http = java.net.http.HttpClient.newHttpClient()
+      def health(): String = http.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:$port/healthcheck")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+      assert(health() == "ALIVE", "missing drain file = no override (api.go:70)")
+      java.nio.file.Files.writeString(drain, " dead \n")
+      assert(health() == "DEAD", "trimmed case-insensitive DEAD drains (api.go:71-74)")
+      java.nio.file.Files.writeString(drain, "anything else")
+      assert(health() == "ALIVE", "only the exact word DEAD drains")
+      java.nio.file.Files.delete(drain)
+      assert(health() == "ALIVE")
+    } finally daemon.stop()
+  }
+
+  // ------------------------------------- daemon: peerlist command mid-ingest
+
+  test("a wire <<peerlist>> mid-ingest flushes pending as a slice and reroutes") {
+    val store = java.nio.file.Files.createTempDirectory("r12_peer_store").toString
+    val src = java.nio.file.Files.createTempDirectory("r12_peer_src")
+    val daemon = new Daemon(spark, store, Some(0L))
+    try {
+      val port = daemon.startTcpIngest(src.toString)
+      val self = daemon.tcpListener.selfHostPort
+      daemon.enablePeering(Map("a" -> self)) // 1-ring: everything owned
+      val sock = new java.net.Socket("127.0.0.1", port)
+      val out = sock.getOutputStream
+      def send(l: String): Unit = { out.write((l + "\n").getBytes("UTF-8")); out.flush() }
+      (1 to 3).foreach(i => send(s"servers.reload.p$i $i.0 ${600 * i}"))
+      send(s"""<<peerlist={"a":"$self","b":"127.0.0.1:1"}>>""")
+      val end = System.currentTimeMillis() + 8000
+      while (daemon.tcpListener.handler.peerRing.forall(_.ring.length != 2)
+        && System.currentTimeMillis() < end) Thread.sleep(20)
+      assert(daemon.tcpListener.handler.peerRing.exists(_.ring.length == 2),
+        "the ring must swap to the wire-delivered list")
+      assert(daemon.tcpListener.pending == 0,
+        "pending rows accepted under the old ring must have flushed")
+      import scala.jdk.CollectionConverters._
+      val staged = java.nio.file.Files.list(src).iterator().asScala.map(_.getFileName.toString).toSet
+      assert(staged.contains("peer_reload_1.parquet"), s"flush slice missing: $staged")
+      sock.close()
+      // the flushed slice drains into the store like any other cycle
+      daemon.ingestQuery.processAllAvailable()
+      val paths = graft.sources.RollupStore.readFinalized(spark, store)
+        .select("path").distinct().collect().map(_.getString(0)).toSet
+      assert(paths == (1 to 3).map(i => s"servers.reload.p$i").toSet)
+    } finally {
+      daemon.stop()
+    }
+  }
+
+  // ------------------------------------------- daemon: SIGHUP config reload
+
+  test("Daemon.reload swaps the rollup dispatch for subsequent flush cycles only") {
+    import graft.model.RollupConfig
+    import graft.operators.Rollups
+    val store = java.nio.file.Files.createTempDirectory("r12_reload_store").toString
+    val src = java.nio.file.Files.createTempDirectory("r12_reload_src")
+    val cfg = java.nio.file.Files.createTempDirectory("r12_reload_cfg").resolve("rollups.yaml")
+    val daemon = new Daemon(spark, store, Some(0L))
+    try {
+      val port = daemon.startTcpIngest(src.toString)
+      val sock = new java.net.Socket("127.0.0.1", port)
+      val out = sock.getOutputStream
+      def send(l: String): Unit = { out.write((l + "\n").getBytes("UTF-8")); out.flush() }
+      val batch1 = Seq(("servers.click.u1", 2.0, 60L), ("servers.click.u1", 4.0, 80L),
+        ("servers.error.u2", 9.0, 120L))
+      val batch2 = Seq(("servers.click.u1", 6.0, 200L), ("servers.signup.u5", 3.0, 260L))
+      batch1.foreach { case (p, v, t) => send(s"$p $v $t") }
+      val end1 = System.currentTimeMillis() + 8000
+      while (daemon.tcpListener.pending < 3 && System.currentTimeMillis() < end1) Thread.sleep(20)
+      daemon.tcpFlush("b1.parquet")
+      daemon.ingestQuery.processAllAvailable()
+
+      // a DIRTY config is refused: the old dispatch stays in force
+      java.nio.file.Files.writeString(cfg,
+        "rollups:\n  default:\n    retention: [ 1m:2h ]\n    aggregation: mode\n")
+      assert(!daemon.reload(cfg.toString).clean)
+      assert(daemon.rollupConfig == RollupConfig.reference)
+
+      // a CLEAN default-only config swaps for the NEXT cycle
+      java.nio.file.Files.writeString(cfg,
+        "rollups:\n  default:\n    retention: [ 1m:2h ]\n    aggregation: average\n")
+      val loaded = daemon.reload(cfg.toString)
+      assert(loaded.clean && daemon.rollupConfig == loaded.defs)
+      batch2.foreach { case (p, v, t) => send(s"$p $v $t") }
+      val end2 = System.currentTimeMillis() + 8000
+      while (daemon.tcpListener.pending < 2 && System.currentTimeMillis() < end2) Thread.sleep(20)
+      daemon.tcpFlush("b2.parquet")
+      daemon.ingestQuery.processAllAvailable()
+      sock.close()
+
+      // stored rows == batch write set of cycle 1 under the OLD config
+      // merged with cycle 2 under the NEW config (event_id = arrival index)
+      import spark.implicits._
+      def metricDf(rows: Seq[(String, Double, Long)], idBase: Long) =
+        rows.zipWithIndex.map { case ((p, v, t), i) => (p, v, t, idBase + i) }
+          .toDF("path", "value", "ts", "event_id")
+      val want = Rollups.finalize(Rollups.mergeAll(
+        Rollups.mergeableWith(metricDf(batch1, 0), RollupConfig.reference)
+          .unionByName(Rollups.mergeableWith(metricDf(batch2, 3), loaded.defs))))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2, t._3))
+      val got = graft.sources.RollupStore.readFinalized(spark, store)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2, t._3))
+      assert(got.toSeq == want.toSeq)
+    } finally {
+      daemon.stop()
+    }
+  }
+
   // ----------------------------------------------------- global rank exact
 
   test("withGlobalRank assigns exactly 1..n and respects the sort order") {

@@ -521,6 +521,42 @@ object Carbon {
   private[graft] val CmsDepth = 3
   val CmsBucketBits = 4
 
+  /** The 100 TB-shaped width: w = 2^12 = 4096 buckets per depth row —
+    * one constant away from the demo width, measured (not asserted) by
+    * `sketch_occupancy`'s `cms_bucket`/`cms_bucket_prod` families and
+    * pinned by Round12Spec's dial law (wider ⇒ smaller max bucket ⇒
+    * smaller overestimate). Production sizing rule: w ≈ e/ε for an ε·N
+    * overestimate bound — 4096 gives ε ≈ 6.6·10⁻⁴ of total points.
+    */
+  val CmsBucketBitsProd = 12
+
+  /** Per-path CMS bucket assignments `(j, bucket)` — the collision census
+    * frame `sketch_occupancy` audits (one row per path per depth row; a
+    * bucket's occupancy is how many catalog paths share the counter).
+    */
+  private[graft] def cmsAssignments(spark: SparkSession, dir: String,
+      bucketBits: Int): DataFrame = {
+    val bs = cmsBuckets(bucketBits)
+    Tables.metrics(spark, dir).select("path").distinct()
+      .withColumn("h", graft.model.Portable.hash60(col("path")))
+      .select(explode(array((0 until CmsDepth).map(j =>
+        struct(lit(j).as("j"), bs(j).as("bucket"))): _*)).as("jb"))
+      .select(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+  }
+
+  /** The assignment frame as oracle CTEs (prefix-parameterized like the
+    * dedup family builders): defines `<p>assign(j, bucket)` over the
+    * `metrics` CTE, which the composer must provide.
+    */
+  private[graft] def cmsAssignCtes(p: String, bucketBits: Int): String = {
+    val w = 1L << bucketBits
+    val slices = (0 until CmsDepth).map(j =>
+      s"SELECT $j AS j, (h // ${1L << (20 * j)}) % $w AS bucket FROM ${p}ph")
+    s"""${p}ph AS (SELECT ${graft.model.Portable.hex2bigSql("md5(path)")} AS h
+       |           FROM (SELECT DISTINCT path FROM metrics)),
+       |${p}assign AS (${slices.mkString(" UNION ALL ")})""".stripMargin
+  }
+
   /** [[topPaths]] at 100 TB: the exact op's per-path counters grow with
     * the path catalog — fine for carbon paths, unbounded for high-card
     * key streams (per-user, per-URL). This is the count-min answer: each

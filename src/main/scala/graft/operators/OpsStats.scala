@@ -193,6 +193,47 @@ object OpsStats {
   val HllRegs = 64
   private val HllAlpha = 0.709 // alpha_m for m = 64 (Flajolet et al. 2007)
 
+  /** The 100 TB-shaped register count: m = 1024 puts the standard error
+    * at 1.04/√1024 ≈ 3.3% from 1 KB of mergeable state per group — one
+    * constant away from the demo width, measured by `sketch_occupancy`'s
+    * `hll_register`/`hll_register_prod` families and Round12Spec's
+    * accuracy law (wider ⇒ smaller rel_err on the same corpus).
+    */
+  val HllRegsProd = 1024
+
+  /** alpha_m, Flajolet et al. 2007 §4 (the m ≥ 128 closed form plus the
+    * published small-m constants the demo width uses).
+    */
+  private[graft] def hllAlphaFor(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => HllAlpha
+    case _ => 0.7213 / (1 + 1.079 / m)
+  }
+
+  /** Per-(type, user) register coordinates at width `m` — the DISTINCT
+    * key census `sketch_occupancy` audits (a register's occupancy is how
+    * many distinct keys share it; the estimate error the width dial
+    * bounds is a function of exactly that crowding).
+    */
+  private[graft] def hllRegisterAssign(spark: SparkSession, dir: String,
+      m: Int): DataFrame = {
+    import graft.model.Portable
+    Tables.events(spark, dir).select("event_type", "user_id").distinct()
+      .withColumn("h", Portable.hash60(col("user_id").cast("string")))
+      .select(col("event_type"), (col("h") % m).as("r"))
+  }
+
+  /** The register-assignment frame as oracle CTEs: defines
+    * `<p>assign(event_type, r)` over the raw `events` parquet.
+    */
+  private[graft] def hllAssignCtes(p: String, m: Int): String = {
+    import graft.model.Portable
+    val h = Portable.hex2bigSql("md5(CAST(user_id AS VARCHAR))")
+    s"""${p}keys AS (SELECT DISTINCT event_type, user_id FROM events),
+       |${p}assign AS (SELECT event_type, $h % $m AS r FROM ${p}keys)""".stripMargin
+  }
+
   /** The SCALE form of a distinct count: exact `count(DISTINCT …)` is a
     * full shuffle of the key universe; the HLL register frame is 64 small
     * integers per group — mergeable by `max` exactly like the rollup
@@ -209,12 +250,20 @@ object OpsStats {
     * oracle-gated. `n_exact`/`rel_err` ride along as the measurement
     * harness (the ann_recall pattern): the op reports its own error.
     */
-  def cardinalitySketch(spark: SparkSession, dir: String): DataFrame = {
-    val rows = hllRegisterRows(Tables.events(spark, dir))
+  def cardinalitySketch(spark: SparkSession, dir: String): DataFrame =
+    cardinalitySketchWith(spark, dir, HllRegs)
+
+  /** The width-parameterized form — the production preset is
+    * `cardinalitySketchWith(…, HllRegsProd)`; Round12Spec pins the
+    * accuracy law (wider ⇒ rel_err shrinks on the same corpus).
+    */
+  private[graft] def cardinalitySketchWith(spark: SparkSession, dir: String,
+      m: Int): DataFrame = {
+    val rows = hllRegisterRowsWith(Tables.events(spark, dir), m)
     val regs = rows.groupBy("event_type", "r").agg(max("rank").as("m"))
     val exact = rows.groupBy("event_type")
       .agg(countDistinct("user_id").as("n_exact"))
-    hllFinalize(regs, exact)
+    hllFinalizeWith(regs, exact, m)
   }
 
   /** Per-event register coordinates: (r, rank) for each row — the map-only
@@ -222,34 +271,52 @@ object OpsStats {
     * (`stream_cardinality`) run before their `max(rank)` registers. Pure
     * deterministic expressions, so it runs unchanged on a streaming frame.
     */
-  private[graft] def hllRegisterRows(events: DataFrame): DataFrame = {
+  private[graft] def hllRegisterRows(events: DataFrame): DataFrame =
+    hllRegisterRowsWith(events, HllRegs)
+
+  /** Rank budget at width `m`: `w = h DIV m` keeps `60 − log₂m` hash
+    * bits, so ranks run 1..(that + 1) — 55 at the demo width, 51 at the
+    * production 1024.
+    */
+  private[graft] def hllMaxRank(m: Int): Int =
+    61 - (63 - java.lang.Long.numberOfLeadingZeros(m.toLong))
+
+  private[graft] def hllRegisterRowsWith(events: DataFrame, m: Int): DataFrame = {
     import graft.model.Portable
+    require(m >= 16 && Integer.bitCount(m) == 1, s"register count $m must be a power of two >= 16")
+    val maxRank = hllMaxRank(m)
     events
       .withColumn("h", Portable.hash60(col("user_id").cast("string")))
-      .withColumn("r", col("h") % HllRegs)
-      .withColumn("w", expr(s"h DIV $HllRegs"))
+      .withColumn("r", col("h") % m)
+      .withColumn("w", expr(s"h DIV $m"))
       .withColumn("rank",
-        expr("CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END"))
+        expr(s"CASE WHEN w = 0 THEN $maxRank ELSE $maxRank - length(bin(w)) END"))
   }
 
   /** The estimate readoff over a drained register frame `(event_type, r,
     * m)` plus the exact-count measurement frame — shared by batch and
     * streaming so the two ops cannot diverge in the finalization algebra.
     */
-  private[graft] def hllFinalize(regs: DataFrame, exact: DataFrame): DataFrame = {
+  private[graft] def hllFinalize(regs: DataFrame, exact: DataFrame): DataFrame =
+    hllFinalizeWith(regs, exact, HllRegs)
+
+  private[graft] def hllFinalizeWith(regs: DataFrame, exact: DataFrame,
+      m: Int): DataFrame = {
+    val maxRank = hllMaxRank(m)
+    // the harmonic sum stays exact at any width: m · 2^maxRank = 2^61
     val perType = regs.groupBy("event_type").agg(
       count(lit(1)).as("used"),
-      sum(expr("shiftleft(cast(1 as bigint), cast(55 - m as int))")).as("s_present"))
+      sum(expr(s"shiftleft(cast(1 as bigint), cast($maxRank - m as int))")).as("s_present"))
     perType.join(exact, "event_type")
-      .withColumn("v", lit(HllRegs.toLong) - col("used"))
+      .withColumn("v", lit(m.toLong) - col("used"))
       .withColumn("s", col("s_present")
-        + col("v") * expr("shiftleft(cast(1 as bigint), 55)"))
+        + col("v") * expr(s"shiftleft(cast(1 as bigint), $maxRank)"))
       .withColumn("e_raw",
-        lit(HllAlpha) * lit((HllRegs * HllRegs).toDouble)
-          * expr("shiftleft(cast(1 as bigint), 55)") / col("s"))
+        lit(hllAlphaFor(m)) * lit((m.toLong * m).toDouble)
+          * expr(s"shiftleft(cast(1 as bigint), $maxRank)") / col("s"))
       .withColumn("est", round(
-        when(col("e_raw") <= lit(2.5 * HllRegs) && col("v") > 0,
-          lit(HllRegs.toDouble) * log(lit(HllRegs.toDouble) / col("v")))
+        when(col("e_raw") <= lit(2.5 * m) && col("v") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
           .otherwise(col("e_raw")), 6))
       .select(col("event_type"), col("n_exact"), col("est"),
         round(abs(col("est") - col("n_exact")) / col("n_exact"), 6).as("rel_err"))

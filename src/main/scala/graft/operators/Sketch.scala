@@ -75,6 +75,25 @@ object Sketch {
       // the df cap bounds before the position join
       .unionByName(occupancyOf(
         Dedup.substrWindows(spark, dir), "substr_window", Seq("h")))
+      // the CONSTANT-state sketches at their demo and PRODUCTION widths —
+      // the two dials the r11 verdict flagged as demo-narrow. cms bucket
+      // occupancy = catalog paths sharing a counter (each collision
+      // inflates an estimate); hll register occupancy = distinct keys
+      // sharing a register (the crowding the error bound is a function
+      // of). Round12Spec pins the law: the _prod row's max_occ is
+      // strictly below its demo twin's.
+      .unionByName(occupancyOf(
+        Carbon.cmsAssignments(spark, dir, Carbon.CmsBucketBits),
+        "cms_bucket", Seq("j", "bucket")))
+      .unionByName(occupancyOf(
+        Carbon.cmsAssignments(spark, dir, Carbon.CmsBucketBitsProd),
+        "cms_bucket_prod", Seq("j", "bucket")))
+      .unionByName(occupancyOf(
+        OpsStats.hllRegisterAssign(spark, dir, OpsStats.HllRegs),
+        "hll_register", Seq("event_type", "r")))
+      .unionByName(occupancyOf(
+        OpsStats.hllRegisterAssign(spark, dir, OpsStats.HllRegsProd),
+        "hll_register_prod", Seq("event_type", "r")))
   }
 
   /** One WITH clause composing all four signature chains under
@@ -99,7 +118,12 @@ object Sketch {
             Similarity.tablePlanesFor(Similarity.NumTables, Similarity.PlanesPerTable))},
        |${Similarity.ivfAssignCtes("ivf_", Similarity.CentroidMod)},
        |${Similarity.pqCodesCtes("pqo_")},
-       |${Dedup.substrWinCtes("es_")}
+       |${Dedup.substrWinCtes("es_")},
+       |${graft.model.Tables.metricsSql},
+       |${Carbon.cmsAssignCtes("cm4_", Carbon.CmsBucketBits)},
+       |${Carbon.cmsAssignCtes("cmp_", Carbon.CmsBucketBitsProd)},
+       |${OpsStats.hllAssignCtes("hl6_", OpsStats.HllRegs)},
+       |${OpsStats.hllAssignCtes("hlp_", OpsStats.HllRegsProd)}
        |${stats("minhash_band", "mh_sigs", "band, sig")}
        |UNION ALL
        |${stats("simhash_piece", "sh_pieces", "t, piece")}
@@ -112,7 +136,15 @@ object Sketch {
        |UNION ALL
        |${stats("pq_cell", "(SELECT sub, code FROM pqo_coded WHERE rn = 1)", "sub, code")}
        |UNION ALL
-       |${stats("substr_window", "es_win", "h")}""".stripMargin
+       |${stats("substr_window", "es_win", "h")}
+       |UNION ALL
+       |${stats("cms_bucket", "cm4_assign", "j, bucket")}
+       |UNION ALL
+       |${stats("cms_bucket_prod", "cmp_assign", "j, bucket")}
+       |UNION ALL
+       |${stats("hll_register", "hl6_assign", "event_type, r")}
+       |UNION ALL
+       |${stats("hll_register_prod", "hlp_assign", "event_type, r")}""".stripMargin
   }
 
   def ops: Seq[Op] = Seq(

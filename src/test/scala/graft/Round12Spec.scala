@@ -235,6 +235,45 @@ class Round12Spec extends AnyFunSuite with TestSpark {
     }
   }
 
+  // ------------------------------------------- production sketch widths
+
+  test("production sketch widths: widening the dial shrinks crowding and error") {
+    import graft.operators.{Carbon, OpsStats, Sketch}
+    val occ = Sketch.occupancy(spark, Sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    // the dial law, measured (Round8Spec pattern): the production width's
+    // bucket/register crowding sits below the demo width's. The hll half
+    // runs at sf0.01 — sf0.001 has only 15 users per type, so both widths
+    // can land the identical one-birthday-pair census.
+    assert(occ("cms_bucket_prod")._1 < occ("cms_bucket")._1,
+      s"cms: prod max_occ ${occ("cms_bucket_prod")._1} !< demo ${occ("cms_bucket")._1}")
+    assert(occ("hll_register_prod")._1 <= occ("hll_register")._1)
+    val Sf01 = "/root/testdata/sf0.01"
+    val hllDemo = graft.operators.Sketch.occupancyOf(
+      OpsStats.hllRegisterAssign(spark, Sf01, OpsStats.HllRegs),
+      "d", Seq("event_type", "r")).head()
+    val hllProd = graft.operators.Sketch.occupancyOf(
+      OpsStats.hllRegisterAssign(spark, Sf01, OpsStats.HllRegsProd),
+      "p", Seq("event_type", "r")).head()
+    assert(hllProd.getLong(2) < hllDemo.getLong(2),
+      s"hll sf0.01: prod max_occ ${hllProd.getLong(2)} !< demo ${hllDemo.getLong(2)}")
+    assert(hllProd.getDouble(3) < hllDemo.getDouble(3))
+    // and the crowding translates to answers: production CMS overestimates
+    // vanish on this catalog; production HLL is strictly more accurate
+    val overDemo = Carbon.heavyHittersWith(spark, Sf, Carbon.CmsBucketBits)
+      .agg(sum("over_est")).head().getLong(0)
+    val overProd = Carbon.heavyHittersWith(spark, Sf, Carbon.CmsBucketBitsProd)
+      .agg(sum("over_est")).head().getLong(0)
+    assert(overProd == 0 && overDemo > overProd,
+      s"cms over_est: demo $overDemo, prod $overProd")
+    val errDemo = OpsStats.cardinalitySketchWith(spark, Sf01, OpsStats.HllRegs)
+      .agg(max("rel_err")).head().getDouble(0)
+    val errProd = OpsStats.cardinalitySketchWith(spark, Sf01, OpsStats.HllRegsProd)
+      .agg(max("rel_err")).head().getDouble(0)
+    assert(errProd < errDemo && errProd < 0.02,
+      s"hll rel_err: demo $errDemo, prod $errProd")
+  }
+
   // ----------------------------------------------------- global rank exact
 
   test("withGlobalRank assigns exactly 1..n and respects the sort order") {

@@ -353,11 +353,13 @@ object Analytics {
       .select(lit(3).as("step"), lit(FunnelSteps(2)).as("event_type"),
         col("n_users"),
         round(col("lat") / col("n_users").cast("double"), 6).as("avg_step_sec"))
+    // NULL (not NaN) on an empty funnel: Spark's 0/0.0 is NaN while SQL
+    // engines differ — the CASE guard keeps the degenerate corpus portable
+    val base = max(when(col("step") === 1, col("n_users")))
+      .over(Window.partitionBy())
     a1.unionByName(a2).unionByName(a3)
-      .withColumn("conv_pct", round(
-        col("n_users") * 100 /
-          max(when(col("step") === 1, col("n_users"))).over(Window.partitionBy())
-            .cast("double"), 6))
+      .withColumn("conv_pct", when(base > 0,
+        round(col("n_users") * 100 / base.cast("double"), 6)))
   }
 
   private[graft] val funnelSql: String = {
@@ -394,8 +396,9 @@ object Analytics {
        |  FROM f3
        |)
        |SELECT CAST(step AS INT) AS step, event_type, n_users, avg_step_sec,
-       |       round(n_users * 100 / CAST(max(CASE WHEN step = 1 THEN n_users END)
-       |                                   OVER () AS DOUBLE), 6) AS conv_pct
+       |       CASE WHEN max(CASE WHEN step = 1 THEN n_users END) OVER () > 0
+       |            THEN round(n_users * 100 / CAST(max(CASE WHEN step = 1 THEN n_users END)
+       |                                            OVER () AS DOUBLE), 6) END AS conv_pct
        |FROM steps""".stripMargin
   }
 

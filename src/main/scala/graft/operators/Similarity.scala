@@ -268,7 +268,9 @@ object Similarity {
     // quadratic kNN sub-plan would be re-executed once per round (the
     // dedup_cluster iteration-lineage problem). Spill it ONCE through the
     // shared-storage gate — the rounds then read a k·|slice|-row parquet,
-    // and the returned plan pins zero block-manager state.
+    // and the returned plan pins zero block-manager state. Retention is
+    // Spill's documented GC contract: overwrite-per-(tag, input), one copy
+    // ever on disk, `rm -r <spillRoot>` reclaims at any quiet moment.
     val spill = graft.model.Spill.path(spark, "knn_pagerank_edges", dir)
     mutualKnnEdges(spark, dir).write.mode("overwrite").parquet(spill)
     val edges = spark.read.parquet(spill)

@@ -34,16 +34,20 @@ import graft.operators.Similarity
   */
 object AnnStream {
 
-  val embeddingsSchema: StructType = StructType(Seq(
-    StructField("vec_id", LongType),
-    StructField("embedding", ArrayType(FloatType)),
-    StructField("label", IntegerType)))
+  /** Stream schema DERIVED from the on-disk batch table at runtime — the
+    * `Tables.normalizeTs`/`eventsStream` convention: a hand-rolled
+    * `ArrayType(FloatType)` here would break silently if a fixture
+    * regeneration ships DOUBLE[] embeddings (exactly how events.ts bit r9),
+    * while the batch path adapted. One footer read per query start.
+    */
+  private def embeddingsSchema(spark: SparkSession, dir: String): StructType =
+    spark.read.parquet(s"$dir/embeddings.parquet").schema
 
   def annQuery(spark: SparkSession, dir: String): DataFrame = {
     val batchVecs = Similarity.fixedVecs(spark, dir)
     val cents = Similarity.seedCents(batchVecs)
     val stream = spark.readStream
-      .schema(embeddingsSchema)
+      .schema(embeddingsSchema(spark, dir))
       .option("pathGlobFilter", "embeddings.parquet")
       .parquet(dir)
     val sink = "stream_ann_" + UUID.randomUUID().toString.replace("-", "")

@@ -172,7 +172,8 @@ object SessionStream {
   // ----------------------------------------------------------- stream_funnel
 
   case class FunnelEvent(user_id: Long, event_type: String, k: Long)
-  case class FunnelState(k1: Option[Long], k2: Option[Long], k3: Option[Long])
+  case class FunnelState(k1: Option[Long], k2: Option[Long], k3: Option[Long],
+    lastK: Long)
 
   /** The per-user funnel state machine: one write-once (k1, k2, k3)
     * triple per user. Each batch's events are processed in event order;
@@ -182,6 +183,13 @@ object SessionStream {
     * emits its (monotone, write-once) state after every batch that
     * touched the user; the readoff takes the per-user max of each column
     * (identical to "last", since set-once values never change).
+    *
+    * In-order ingest is a CONTRACT, not an assumption: unlike the
+    * order-immune live twins, a write-once machine fed a late event would
+    * silently diverge from the batch min-based definition — so the state
+    * carries the per-user high-water key and a regression FAILS the query
+    * loudly (Round12Spec drives it). A deployment that must absorb late
+    * events buffers/reorders upstream of the machine.
     */
   def funnelMachine(events: Dataset[FunnelEvent]): DataFrame = {
     implicit val fe = Encoders.product[FunnelEvent]
@@ -192,8 +200,15 @@ object SessionStream {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (userId: Long, batch: Iterator[FunnelEvent], state: GroupState[FunnelState]) => {
-          var s = state.getOption.getOrElse(FunnelState(None, None, None))
-          batch.toSeq.sortBy(_.k).foreach { e =>
+          var s = state.getOption.getOrElse(FunnelState(None, None, None, Long.MinValue))
+          val evs = batch.toSeq.sortBy(_.k)
+          evs.headOption.foreach { e =>
+            if (e.k < s.lastK) throw new IllegalStateException(
+              s"stream_funnel: out-of-order ingest for user $userId " +
+                s"(k ${e.k} < high-water ${s.lastK}) — the write-once machine " +
+                "requires in-order delivery; reorder upstream")
+          }
+          evs.foreach { e =>
             if (s.k1.isEmpty && e.event_type == steps.head)
               s = s.copy(k1 = Some(e.k))
             else if (s.k1.nonEmpty && s.k2.isEmpty &&
@@ -203,6 +218,7 @@ object SessionStream {
               e.event_type == steps(2) && e.k > s.k2.get)
               s = s.copy(k3 = Some(e.k))
           }
+          evs.lastOption.foreach(e => s = s.copy(lastK = e.k))
           state.update(s)
           Iterator.single((userId, s.k1, s.k2, s.k3))
         })
@@ -252,26 +268,31 @@ object SessionStream {
       org.apache.spark.sql.types.StructField("k",
         org.apache.spark.sql.types.LongType)))
     val sink = "stream_funnel_" + UUID.randomUUID().toString.replace("-", "")
-    CarbonStream.withStreamPartitions(spark) {
-      val q = funnelMachine(
-        spark.readStream.schema(schema)
-          .option("maxFilesPerTrigger", 1)
-          .parquet(src).as[FunnelEvent])
-        .writeStream
-        .format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
+    try {
+      CarbonStream.withStreamPartitions(spark) {
+        val q = funnelMachine(
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src).as[FunnelEvent])
+          .writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode("append")
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
+      val fin = CarbonStream.drainMemorySink(spark, sink)
+        .groupBy("user_id")
+        .agg(max("k1").as("k1"), max("k2").as("k2"), max("k3").as("k3"))
+      graft.operators.Analytics.funnelAggFrom(
+        fin.filter(col("k1").isNotNull).select("user_id", "k1"),
+        fin.filter(col("k2").isNotNull).select("user_id", "k1", "k2"),
+        fin.filter(col("k3").isNotNull).select("user_id", "k2", "k3"))
+    } finally {
+      // the drained memory sink holds the rows; the replay files are done
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(src))
     }
-    val fin = CarbonStream.drainMemorySink(spark, sink)
-      .groupBy("user_id")
-      .agg(max("k1").as("k1"), max("k2").as("k2"), max("k3").as("k3"))
-    graft.operators.Analytics.funnelAggFrom(
-      fin.filter(col("k1").isNotNull).select("user_id", "k1"),
-      fin.filter(col("k2").isNotNull).select("user_id", "k1", "k2"),
-      fin.filter(col("k3").isNotNull).select("user_id", "k2", "k3"))
   }
 
   // ------------------------------------------------------------- stream_holt
@@ -298,7 +319,16 @@ object SessionStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (path: String, batch: Iterator[HoltEvt], state: GroupState[HoltWin]) => {
           var win = state.getOption.map(_.pts).getOrElse(Nil)
-          val out = batch.toSeq.sortBy(e => (e.ts, e.event_id)).map { e =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts, e.event_id))
+          // same in-order contract as the funnel machine: the window's
+          // last point is the high-water mark, a regression fails loudly
+          for (first <- sorted.headOption; last <- win.lastOption)
+            if (Ordering[(Long, Long)].lt((first.ts, first.event_id), (last.ts, last.ev)))
+              throw new IllegalStateException(
+                s"stream_holt: out-of-order ingest for path $path " +
+                  s"((${first.ts},${first.event_id}) < high-water (${last.ts},${last.ev})) — " +
+                  "the windowed smoother requires in-order delivery; reorder upstream")
+          val out = sorted.map { e =>
             win = (win :+ HoltPt(e.ts, e.event_id, e.cents)).takeRight(HoltPoints)
             var s = win.head.cents * HoltScale
             var b = 0L
@@ -360,21 +390,26 @@ object SessionStream {
       org.apache.spark.sql.types.StructField("cents",
         org.apache.spark.sql.types.LongType)))
     val sink = "stream_holt_" + UUID.randomUUID().toString.replace("-", "")
-    CarbonStream.withStreamPartitions(spark) {
-      val q = holtMachine(
-        spark.readStream.schema(schema)
-          .option("maxFilesPerTrigger", 1)
-          .parquet(src).as[HoltEvt])
-        .toDF()
-        .writeStream
-        .format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
+    try {
+      CarbonStream.withStreamPartitions(spark) {
+        val q = holtMachine(
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src).as[HoltEvt])
+          .toDF()
+          .writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode("append")
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
+      CarbonStream.drainMemorySink(spark, sink)
+    } finally {
+      // the drained memory sink holds the rows; the replay files are done
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(src))
     }
-    CarbonStream.drainMemorySink(spark, sink)
   }
 
   // ------------------------------------------------------ stream_attribution

@@ -274,6 +274,52 @@ class Round12Spec extends AnyFunSuite with TestSpark {
       s"hll rel_err: demo $errDemo, prod $errProd")
   }
 
+  // ------------------------------------------ in-order ingest is a contract
+
+  test("the write-once stream machines fail loudly on out-of-order ingest") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.SessionStream
+    implicit val sq = spark.sqlContext
+    def chain(e: Throwable): Seq[String] =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).map(_.getMessage).toSeq
+
+    implicit val fe = org.apache.spark.sql.Encoders.product[SessionStream.FunnelEvent]
+    val fms = MemoryStream[SessionStream.FunnelEvent]
+    val fq = SessionStream.funnelMachine(fms.toDS())
+      .writeStream.format("memory").queryName("r12_ooo_funnel")
+      .outputMode("append").start()
+    try {
+      fms.addData(SessionStream.FunnelEvent(1L, "view", 100L))
+      fq.processAllAvailable()
+      fms.addData(SessionStream.FunnelEvent(1L, "click", 50L)) // late: k regresses
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        fq.processAllAvailable()
+      }
+      assert(chain(ex).exists(m => m != null && m.contains("out-of-order")),
+        s"expected the out-of-order guard, got: ${chain(ex)}")
+    } finally {
+      fq.stop(); spark.catalog.dropTempView("r12_ooo_funnel")
+    }
+
+    implicit val he = org.apache.spark.sql.Encoders.product[SessionStream.HoltEvt]
+    val hms = MemoryStream[SessionStream.HoltEvt]
+    val hq = SessionStream.holtMachine(hms.toDS()).toDF()
+      .writeStream.format("memory").queryName("r12_ooo_holt")
+      .outputMode("append").start()
+    try {
+      hms.addData(SessionStream.HoltEvt("p", 100L, 1L, 500L))
+      hq.processAllAvailable()
+      hms.addData(SessionStream.HoltEvt("p", 50L, 0L, 500L)) // late point
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        hq.processAllAvailable()
+      }
+      assert(chain(ex).exists(m => m != null && m.contains("out-of-order")),
+        s"expected the out-of-order guard, got: ${chain(ex)}")
+    } finally {
+      hq.stop(); spark.catalog.dropTempView("r12_ooo_holt")
+    }
+  }
+
   // ----------------------------------------------------- global rank exact
 
   test("withGlobalRank assigns exactly 1..n and respects the sort order") {

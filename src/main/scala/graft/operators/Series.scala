@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -633,6 +633,195 @@ object Series {
        |FROM summarized cur LEFT JOIN summarized prev
        |  ON cur.path = prev.path AND prev.bucket_ts = cur.bucket_ts - $ShiftSec""".stripMargin
 
+  // ------------------------------------------------------------- linreg
+
+  /** Forecast horizon for [[linreg]]'s `forecast_next` (one summarize
+    * bucket ahead — the grid a dashboard would render the fit onto).
+    */
+  val LinregAheadSec: Long = SummarizeBucketSec
+
+  /** The per-path least-squares moment tuple `(n, Σx, Σy, Σxy, Σx², x_last)`
+    * with x = ts seconds and y = exact cents — ONE order-immune aggregate
+    * per path, which is why it is also exactly what a stream can maintain
+    * (`stream_linreg`). Σxy and Σx² exceed int64 at epoch-second scale, so
+    * the sums run in decimal(38) (Spark) / HUGEINT (DuckDB) — exact integer
+    * arithmetic in both engines.
+    */
+  private[graft] def linregMomentsFrom(cents: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    cents.groupBy("path").agg(
+      count(lit(1)).as("n"),
+      sum(col("ts").cast(dec)).as("sx"),
+      sum(col("cents").cast(dec)).as("sy"),
+      sum(col("ts").cast(dec) * col("cents").cast(dec)).as("sxy"),
+      sum(col("ts").cast(dec) * col("ts").cast(dec)).as("sxx"),
+      max(col("ts")).as("x_last"))
+  }
+
+  /** The fit readoff over a moment frame — shared verbatim by
+    * `series_linreg` and `stream_linreg`'s drained-state readoff. Slope and
+    * the two fitted points are exact integer RATIOS (numerator and
+    * denominator both decimal(38)); the only float per column is one
+    * double cast each side of ONE IEEE division, then `round(…, 6)` —
+    * bit-identical across engines. Paths with zero x-variance (single
+    * point, or all points sharing a timestamp) have no defined line and
+    * yield nulls.
+    */
+  private[graft] def linregFrom(m: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    def fitAt(x: Column): Column = {
+      val fn = col("den") * col("sy") +
+        col("num") * (col("n").cast(dec) * x.cast(dec) - col("sx"))
+      val fd = col("n").cast(dec) * col("den")
+      round(fn.cast("double") / (fd.cast("double") * lit(100.0)), 6)
+    }
+    m.withColumn("num", col("n").cast(dec) * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", col("n").cast(dec) * col("sxx") - col("sx") * col("sx"))
+      .select(col("path"), col("n"),
+        when(col("den") =!= 0,
+          round(col("num").cast("double") / (col("den").cast("double") * lit(100.0)), 6))
+          .as("slope"),
+        when(col("den") =!= 0, fitAt(col("x_last"))).as("fit_last"),
+        when(col("den") =!= 0, fitAt(col("x_last") + LinregAheadSec))
+          .as("forecast_next"))
+  }
+
+  /** Graphite's `linearRegression(seriesList)`: the per-path least-squares
+    * line over (ts, value), reported as slope (value units per second),
+    * the fit at the path's last point, and the one-bucket-ahead forecast —
+    * the trend read capacity planning runs. Scale shape: ONE groupBy(path)
+    * aggregate with map-side partial combine (the moment tuple is six
+    * numbers per path), then a map-only readoff over the |paths|-row
+    * frame; nothing widens with the point count.
+    */
+  def linreg(spark: SparkSession, dir: String): DataFrame =
+    linregFrom(linregMomentsFrom(cents(spark, dir)))
+
+  private[graft] val linregSql: String =
+    s"""WITH ${Tables.metricsSql},
+       |$centsCte,
+       |lm AS (
+       |  SELECT path, count(*) AS n,
+       |         sum(CAST(ts AS HUGEINT)) AS sx,
+       |         sum(CAST(cents AS HUGEINT)) AS sy,
+       |         sum(CAST(ts AS HUGEINT) * cents) AS sxy,
+       |         sum(CAST(ts AS HUGEINT) * ts) AS sxx,
+       |         max(ts) AS x_last
+       |  FROM c GROUP BY 1
+       |),
+       |ld AS (
+       |  SELECT path, n, sx, sy, sxy, sxx, x_last,
+       |         CAST(n AS HUGEINT) * sxy - sx * sy AS num,
+       |         CAST(n AS HUGEINT) * sxx - sx * sx AS den
+       |  FROM lm
+       |)
+       |SELECT path, CAST(n AS BIGINT) AS n,
+       |       CASE WHEN den <> 0
+       |            THEN round(CAST(num AS DOUBLE) / (CAST(den AS DOUBLE) * 100.0), 6)
+       |       END AS slope,
+       |       CASE WHEN den <> 0
+       |            THEN round(CAST(den * sy + num * (CAST(n AS HUGEINT) * x_last - sx) AS DOUBLE)
+       |                       / (CAST(CAST(n AS HUGEINT) * den AS DOUBLE) * 100.0), 6)
+       |       END AS fit_last,
+       |       CASE WHEN den <> 0
+       |            THEN round(CAST(den * sy + num * (CAST(n AS HUGEINT) * (x_last + $LinregAheadSec) - sx) AS DOUBLE)
+       |                       / (CAST(CAST(n AS HUGEINT) * den AS DOUBLE) * 100.0), 6)
+       |       END AS forecast_next
+       |FROM ld""".stripMargin
+
+  // --------------------------------------------------- removeAbovePercentile
+
+  /** Percentile cut for [[removeOutliers]] (graphite
+    * `removeAbovePercentile(seriesList, 90)`).
+    */
+  val RemovePercentile = 90L
+
+  /** Graphite's `removeAbovePercentile(seriesList, p)`: null out each
+    * path's points above that path's p-th percentile — the spike-clipping
+    * read dashboards stack under `movingAverage`. The cut is the
+    * nearest-rank ORDER STATISTIC (`(n·p + 99) DIV 100`-th smallest
+    * exact-cents value — the `series_percentile` rule), so the verdict is
+    * pure integer comparison; removed points keep their row (stat = null)
+    * exactly like the reference's gap semantics. Scale shape: one per-path
+    * rank window (the same exchange every series op reuses) collapsing to
+    * a |paths|-row cut frame that broadcasts back onto the scan.
+    */
+  def removeOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val c = cents(spark, dir)
+    val w = Window.partitionBy("path").orderBy("cents", "ts", "event_id")
+    val cuts = c
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("path")))
+      .groupBy("path")
+      .agg(max(when(col("r") === expr(s"(n * $RemovePercentile + 99) DIV 100"),
+        col("cents"))).as("cut_cents"))
+    c.join(broadcast(cuts), "path")
+      .select(col("path"), col("ts"), col("event_id"),
+        (col("cents") > col("cut_cents")).as("removed"),
+        when(col("cents") <= col("cut_cents"), col("value")).as("kept_value"),
+        (col("cut_cents") / lit(100.0)).as("cut"))
+  }
+
+  private val removeOutliersSql: String =
+    s"""WITH ${Tables.metricsSql},
+       |$centsCte,
+       |rr AS (
+       |  SELECT path, ts, event_id, value, cents,
+       |         row_number() OVER (PARTITION BY path
+       |                            ORDER BY cents, ts, event_id) AS r,
+       |         CAST(count(*) OVER (PARTITION BY path) AS BIGINT) AS n
+       |  FROM c
+       |),
+       |cuts AS (
+       |  SELECT path,
+       |         max(CASE WHEN r = (n * $RemovePercentile + 99) // 100
+       |                  THEN cents END) AS cut_cents
+       |  FROM rr GROUP BY 1
+       |)
+       |SELECT c.path, c.ts, c.event_id,
+       |       c.cents > cut_cents AS removed,
+       |       CASE WHEN c.cents <= cut_cents THEN c.value END AS kept_value,
+       |       cut_cents / 100.0 AS cut
+       |FROM c JOIN cuts ON c.path = cuts.path""".stripMargin
+
+  // ------------------------------------------------------------- hitcount
+
+  /** Graphite's `hitcount(seriesList, "10min")`: convert a rate series to
+    * per-bucket hit totals — each point contributes value × (seconds since
+    * the path's previous point), re-bucketed onto the epoch-aligned
+    * [[SummarizeBucketSec]] grid. Each path's FIRST point has no preceding
+    * interval and contributes 0 (the reference skips the pre-history
+    * interval the same way). The products are exact cents·seconds bigints;
+    * the ONE float is the closing /100. Scale shape: the shared per-path
+    * window sort, then one groupBy whose map-side combine collapses to
+    * |paths × buckets| rows.
+    */
+  def hitcount(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("path").orderBy("ts", "event_id")
+    cents(spark, dir)
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .groupBy(col("path"),
+        (col("ts") - pmod(col("ts"), lit(SummarizeBucketSec))).as("bucket_ts"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(coalesce((col("ts") - col("prev_ts")) * col("cents"), lit(0L)))
+          .as("hc"))
+      .select(col("path"), col("bucket_ts"), col("n_points"),
+        (col("hc") / lit(100.0)).as("hits"))
+  }
+
+  private val hitcountSql: String =
+    s"""WITH ${Tables.metricsSql},
+       |$centsCte,
+       |hl AS (
+       |  SELECT path, ts, cents,
+       |         lag(ts) OVER (PARTITION BY path ORDER BY ts, event_id) AS prev_ts
+       |  FROM c
+       |)
+       |SELECT path, ts - ts % $SummarizeBucketSec AS bucket_ts,
+       |       CAST(count(*) AS BIGINT) AS n_points,
+       |       CAST(sum(coalesce((ts - prev_ts) * cents, 0)) AS BIGINT) / 100.0 AS hits
+       |FROM hl GROUP BY 1, 2""".stripMargin
+
   def ops: Seq[Op] = Seq(
     Op("series_nonneg_derivative", nonNegDerivative, Some(nonNegDerivativeSql)),
     Op("series_integral", integral, Some(integralSql)),
@@ -647,6 +836,9 @@ object Series {
     Op("series_ewma", ewma, Some(ewmaSql)),
     Op("series_timeshift", timeShift, Some(timeShiftSql)),
     Op("series_holt_forecast", holtForecast, Some(holtForecastSql)),
-    Op("series_group_by_node", groupByNode, Some(groupByNodeSql))
+    Op("series_group_by_node", groupByNode, Some(groupByNodeSql)),
+    Op("series_linreg", linreg, Some(linregSql)),
+    Op("series_remove_outliers", removeOutliers, Some(removeOutliersSql)),
+    Op("series_hitcount", hitcount, Some(hitcountSql))
   )
 }

@@ -601,6 +601,37 @@ object CarbonStream {
       MetricQuery.fetchFrom(spark, dir, drainMemorySink(spark, sink)))
   }
 
+  /** The live trend fit: `series_linreg`'s per-path moment tuple
+    * `(n, Σx, Σy, Σxy, Σx², x_last)` is ONE order-immune aggregate — six
+    * numbers per path that sum/max-merge across micro-batches like flush
+    * slices (state = |paths| rows, the `stream_anomaly` bound), where any
+    * sort- or window-based fit could not run continuously. One
+    * complete-mode groupBy(path) runs live; the slope/fit/forecast readoff
+    * happens on the drained moment frame via the SAME
+    * [[graft.operators.Series.linregFrom]] the batch op uses. Oracle =
+    * `series_linreg`'s SQL verbatim: a finite stream must land on
+    * identical moments, hence an identical fit.
+    */
+  def linregQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Series
+    val live = Series.centsFrom(toMetrics(eventsStream(spark, dir)))
+    val sink = "stream_linreg_" + UUID.randomUUID().toString.replace("-", "")
+    withStreamPartitions(spark) {
+      val q = Series.linregMomentsFrom(live)
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .start()
+      try {
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+      }
+    }
+    Series.linregFrom(drainMemorySink(spark, sink))
+  }
+
   def ops: Seq[Op] = Seq(
     Op("stream_series_fill", fillQuery,
       Some(graft.operators.Series.fillLastSql)),
@@ -618,6 +649,8 @@ object CarbonStream {
       Some(graft.operators.Carbon.heavyHittersSql(
         graft.operators.Carbon.CmsBucketBits))),
     Op("stream_anomaly", anomalyQuery,
-      Some(graft.operators.Series.anomalySql))
+      Some(graft.operators.Series.anomalySql)),
+    Op("stream_linreg", linregQuery,
+      Some(graft.operators.Series.linregSql))
   )
 }

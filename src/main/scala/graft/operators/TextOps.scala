@@ -75,7 +75,18 @@ object TextOps {
     * features, deterministic and engine-portable).
     */
   def textQuality(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    qualityScoredFrom(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("n_tok"), col("chars"), col("punct_ratio"),
+        col("stop_ratio"), col("mean_tok_len"), col("score"),
+        (col("score") >= 0.5).as("keep"))
+
+  /** The feature + score projection over a documents frame — shared by
+    * `text_quality` and `quality_select` (which ranks on the SAME score)
+    * so the formula cannot drift between the absolute gate and the
+    * relative selection built on it.
+    */
+  private[graft] def qualityScoredFrom(docs: DataFrame): DataFrame =
+    docs
       .withColumn("t", split(col("text"), " "))
       // stopword matching is case-insensitive like lang_id's (a doc whose
       // stopwords are sentence-initial — "The … It …" — must still count);
@@ -96,19 +107,20 @@ object TextOps {
         least(col("n_tok") / 100.0, lit(1.0)) * 0.4 +
           (lit(1.0) - col("punct_ratio")) * 0.3 +
           least(col("stop_ratio") * 5.0, lit(1.0)) * 0.3, 6))
-      .select(col("doc_id"), col("n_tok"), col("chars"), col("punct_ratio"),
-        col("stop_ratio"), col("mean_tok_len"), col("score"),
-        (col("score") >= 0.5).as("keep"))
 
-  private[graft] val textQualitySql: String = {
+  /** The scored frame as composable CTEs (final CTE = `tq_scored`) —
+    * shared by the `text_quality` and `quality_select` oracles, the
+    * chunk-family convention: one SQL definition, never two that drift.
+    */
+  private[graft] val tqCtes: String = {
     val allStops = hitsSql(Stopwords.flatMap(_._2), "lt")
-    s"""WITH base AS (
-       |  SELECT doc_id, text, string_split(text, ' ') AS t,
+    s"""tq_base AS (
+       |  SELECT doc_id, lang, text, string_split(text, ' ') AS t,
        |         string_split(lower(text), ' ') AS lt
        |  FROM documents
        |),
-       |feat AS (
-       |  SELECT doc_id,
+       |tq_feat AS (
+       |  SELECT doc_id, lang,
        |         CAST(len(t) AS INT) AS n_tok,
        |         CAST(length(text) AS INT) AS chars,
        |         CASE WHEN length(text) > 0
@@ -116,15 +128,104 @@ object TextOps {
        |              ELSE 0.0 END AS punct_ratio,
        |         round($allStops / len(t), 6) AS stop_ratio,
        |         round(length(replace(text, ' ', '')) / len(t), 6) AS mean_tok_len
-       |  FROM base
-       |)
-       |SELECT doc_id, n_tok, chars, punct_ratio, stop_ratio, mean_tok_len,
-       |       round(least(n_tok / 100.0, 1.0) * 0.4 + (1.0 - punct_ratio) * 0.3
-       |             + least(stop_ratio * 5.0, 1.0) * 0.3, 6) AS score,
-       |       round(least(n_tok / 100.0, 1.0) * 0.4 + (1.0 - punct_ratio) * 0.3
-       |             + least(stop_ratio * 5.0, 1.0) * 0.3, 6) >= 0.5 AS keep
-       |FROM feat""".stripMargin
+       |  FROM tq_base
+       |),
+       |tq_scored AS (
+       |  SELECT doc_id, lang, n_tok, chars, punct_ratio, stop_ratio, mean_tok_len,
+       |         round(least(n_tok / 100.0, 1.0) * 0.4 + (1.0 - punct_ratio) * 0.3
+       |               + least(stop_ratio * 5.0, 1.0) * 0.3, 6) AS score
+       |  FROM tq_feat
+       |)""".stripMargin
   }
+
+  private[graft] val textQualitySql: String =
+    s"""WITH $tqCtes
+       |SELECT doc_id, n_tok, chars, punct_ratio, stop_ratio, mean_tok_len,
+       |       score, score >= 0.5 AS keep
+       |FROM tq_scored""".stripMargin
+
+  // ---------------------------------------------------------- quality_select
+
+  /** The relative half of quality curation (the DCLM/FineWeb-style
+    * model-scored selection reduced to its portable core): within each
+    * language, keep the TOP HALF of documents by quality score — a
+    * distribution-relative cut that transfers across corpus scales where
+    * `text_quality`'s absolute 0.5 gate does not (a uniformly-noisy crawl
+    * fails everything; a clean one keeps everything).
+    *
+    * Scale shape: the per-lang keep boundary is at most ONE CUT PAIR per
+    * language — the (score, doc_id) order statistic at rank
+    * `(n_lang + 1) DIV 2` under (score DESC, doc_id) — read exactly via
+    * [[Partitioning.withGlobalRank]] over the slim (lang, score, doc_id)
+    * projection (per-lang rank = global rank − the lang's offset in the
+    * lang-sorted union; the offsets come from a |langs|-row collected
+    * count frame, the mixing-family precedent). Scoring is then a
+    * map-side lexicographic compare against the broadcast cut pairs — no
+    * per-lang data-sized window anywhere, the `user_rfm` r12 contract.
+    */
+  def qualitySelect(spark: SparkSession, dir: String): DataFrame =
+    qualitySelectFrom(
+      qualityScoredFrom(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("lang"), col("score")))
+
+  private[graft] def qualitySelectFrom(scored0: DataFrame): DataFrame = {
+    val scored = scored0.persist()
+    try {
+      val counts: Map[String, Long] = scored.groupBy("lang")
+        .agg(count(lit(1)).as("nl"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val offsets: Map[String, Long] = {
+        var acc = 0L
+        counts.keys.toSeq.sorted.map { l =>
+          val o = acc; acc += counts(l); l -> o
+        }.toMap
+      }
+      val halves: Map[String, Long] = counts.map { case (l, n) => l -> ((n + 1) / 2) }
+      // score DESC under an ascending range sort: negate (scores are ≥ 0
+      // rounded doubles, so the negation is exact)
+      val tagged = scored.withColumn("neg", -col("score"))
+      val cuts: Map[String, (Double, Long)] =
+        Partitioning.withGlobalRank(tagged, Seq("lang", "neg", "doc_id")) { g =>
+          g.withColumn("rk", col("grank") - element_at(typedLit(offsets), col("lang")))
+            .where(col("rk") === element_at(typedLit(halves), col("lang")))
+            .select("lang", "score", "doc_id").collect()
+            .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+        }
+      val cutScore: Map[String, Double] = cuts.map { case (l, c) => l -> c._1 }
+      val cutDoc: Map[String, Long] = cuts.map { case (l, c) => l -> c._2 }
+      scored.select(col("doc_id"), col("lang"), col("score"),
+        element_at(typedLit(counts), col("lang")).as("n_lang"),
+        element_at(typedLit(cutScore), col("lang")).as("cut_score"),
+        (col("score") > element_at(typedLit(cutScore), col("lang")) ||
+          (col("score") === element_at(typedLit(cutScore), col("lang")) &&
+            col("doc_id") <= element_at(typedLit(cutDoc), col("lang"))))
+          .as("keep"))
+    } finally {
+      // the cut pairs are already collected; the returned plan recomputes
+      // the scored projection once when evaluated (the rfmFrom precedent)
+      scored.unpersist(); ()
+    }
+  }
+
+  private[graft] val qualitySelectSql: String =
+    s"""WITH $tqCtes,
+       |qs_ranked AS (
+       |  SELECT doc_id, lang, score,
+       |         row_number() OVER (PARTITION BY lang
+       |                            ORDER BY score DESC, doc_id) AS r,
+       |         CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+       |  FROM tq_scored
+       |),
+       |qs_cuts AS (
+       |  SELECT lang, max(n_lang) AS n_lang,
+       |         max(CASE WHEN r = (n_lang + 1) // 2 THEN score END) AS cut_score,
+       |         max(CASE WHEN r = (n_lang + 1) // 2 THEN doc_id END) AS cut_doc
+       |  FROM qs_ranked GROUP BY 1
+       |)
+       |SELECT s.doc_id, s.lang, s.score, c.n_lang, c.cut_score,
+       |       (s.score > c.cut_score
+       |        OR (s.score = c.cut_score AND s.doc_id <= c.cut_doc)) AS keep
+       |FROM tq_scored s JOIN qs_cuts c USING (lang)""".stripMargin
 
   // -------------------------------------------------------------- token_count
 
@@ -749,9 +850,15 @@ object TextOps {
     * corpus × probes BY DESIGN (the correctness baseline); the IVF/LSH
     * scale paths apply unchanged to these vectors.
     */
-  def textKnn(spark: SparkSession, dir: String): DataFrame = {
+  /** The densified doc-level hashing-trick embedding `(doc_id, v, nrm)` —
+    * shared by `text_knn` (corpus + probes) and `chunk_knn` (probes) so
+    * the query-side vector definition cannot drift between the document
+    * and passage retrieval reads. All-zero vectors are excluded (no
+    * direction to compare).
+    */
+  private[graft] def hashedDenseDocs(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VecMath.register(spark)
-    val dense = embedHashing(spark, dir)
+    embedHashing(spark, dir)
       .groupBy("doc_id")
       .agg(map_from_entries(collect_list(struct(col("dim"), col("val")))).as("m"))
       .withColumn("v", expr(
@@ -759,6 +866,10 @@ object TextOps {
       .withColumn("nrm", expr("vec_dot(v, v)"))
       .filter(col("nrm") > 0)
       .select("doc_id", "v", "nrm")
+  }
+
+  def textKnn(spark: SparkSession, dir: String): DataFrame = {
+    val dense = hashedDenseDocs(spark, dir)
     val probes = dense.filter(col("doc_id") % TextKnnMod === 0)
       .select(col("doc_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     dense.crossJoin(broadcast(probes))
@@ -772,42 +883,49 @@ object TextOps {
         col("rank"), round(col("cos"), 6).as("cosine"))
   }
 
-  private[graft] val textKnnSql: String =
-    s"""WITH eh_tok AS (
+  /** The doc-level dense-embedding frame as composable CTEs (final CTEs =
+    * `eh_corpus` and `eh_probes`) — shared verbatim by the `text_knn` and
+    * `chunk_knn` oracles.
+    */
+  private[graft] val ehDenseCtes: String =
+    s"""eh_tok AS (
        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
        |  FROM documents
        |),
-       |eh AS (SELECT doc_id, ${hex2bigSql("md5(tok)")} AS h FROM eh_tok),
-       |ehs AS (
+       |eh_h AS (SELECT doc_id, ${hex2bigSql("md5(tok)")} AS h FROM eh_tok),
+       |eh_s AS (
        |  SELECT doc_id, CAST(h % $EmbedDims AS INT) AS dim,
        |         CAST(sum((h // $EmbedDims) % 2 * 2 - 1) AS BIGINT) AS val
-       |  FROM eh GROUP BY 1, 2
+       |  FROM eh_h GROUP BY 1, 2
        |),
-       |lists AS (
+       |eh_lists AS (
        |  SELECT doc_id, list(dim ORDER BY dim) AS dims, list(val ORDER BY dim) AS vals
-       |  FROM ehs GROUP BY 1
+       |  FROM eh_s GROUP BY 1
        |),
-       |dense AS (
+       |eh_dense AS (
        |  SELECT doc_id,
        |         [coalesce(vals[list_position(dims, i)], 0)
        |          for i in generate_series(0, ${EmbedDims - 1})] AS v
-       |  FROM lists
+       |  FROM eh_lists
        |),
-       |nd AS (
+       |eh_nd AS (
        |  SELECT doc_id, v, CAST(list_sum([x * x for x in v]) AS BIGINT) AS nrm
-       |  FROM dense
+       |  FROM eh_dense
        |),
-       |corpus AS (SELECT * FROM nd WHERE nrm > 0),
-       |probes AS (
-       |  SELECT doc_id AS q_id, v AS qv, nrm AS qn FROM corpus
+       |eh_corpus AS (SELECT * FROM eh_nd WHERE nrm > 0),
+       |eh_probes AS (
+       |  SELECT doc_id AS q_id, v AS qv, nrm AS qn FROM eh_corpus
        |  WHERE doc_id % $TextKnnMod = 0
-       |),
+       |)""".stripMargin
+
+  private[graft] val textKnnSql: String =
+    s"""WITH $ehDenseCtes,
        |scored AS (
        |  SELECT p.q_id, c.doc_id,
        |         CAST(list_sum([c.v[i] * p.qv[i]
        |                        for i in generate_series(1, len(c.v))]) AS BIGINT)
        |           / (sqrt(c.nrm) * sqrt(p.qn)) AS cos
-       |  FROM corpus c CROSS JOIN probes p WHERE c.doc_id <> p.q_id
+       |  FROM eh_corpus c CROSS JOIN eh_probes p WHERE c.doc_id <> p.q_id
        |),
        |ranked AS (
        |  SELECT q_id, doc_id, cos,
@@ -817,6 +935,128 @@ object TextOps {
        |SELECT q_id AS query_doc, doc_id AS neighbor_doc,
        |       CAST(rank AS INT) AS rank, round(cos, 6) AS cosine
        |FROM ranked WHERE rank <= $TextKnnK""".stripMargin
+
+  // ---------------------------------------------------------------- chunk_knn
+
+  /** Passages returned per query document by [[chunkKnn]]. */
+  val ChunkKnnK = 5
+
+  /** RAG retrieval end to end: top-[[ChunkKnnK]] CHUNKS per query document
+    * by cosine over hashing-trick chunk embeddings — `chunk_documents`'
+    * passage windows composed with `embed_hashing`'s text→vector bridge
+    * and `text_knn`'s exact probe plan. This is the passage-retrieval read
+    * an embedding/RAG pipeline serves (the query is a whole document, the
+    * candidates are every document's 64-token windows; a chunk of the
+    * query's own document is excluded).
+    *
+    * Plan shape: chunk tokenization is the SAME row-local window algebra
+    * as `chunk_documents` (map-only), the per-(doc, chunk, dim) signed
+    * count partially combines before its one exchange (≤ 64 rows per
+    * chunk), and the probe side arrives BROADCAST ([[hashedDenseDocs]],
+    * shared with `text_knn`). Exact brute force over chunks BY DESIGN —
+    * the correctness baseline; the IVF/LSH scale paths apply unchanged to
+    * chunk vectors.
+    */
+  def chunkKnn(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VecMath.register(spark)
+    val stride = ChunkTokens - ChunkOverlap
+    val toks = Tables.documents(spark, dir)
+      .withColumn("t", split(lower(coalesce(col("text"), lit(""))), " "))
+      .withColumn("n", size(col("t")))
+      .withColumn("nc", greatest(lit(1),
+        expr(s"(n - $ChunkOverlap + ${stride - 1}) DIV $stride")))
+      .select(col("doc_id"), col("t"), col("n"),
+        explode(expr("sequence(0, nc - 1)")).as("chunk_id"))
+      .withColumn("s", col("chunk_id") * stride)
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        explode(expr(s"slice(t, s + 1, least($ChunkTokens, n - s))")).as("tok"))
+    val dense = toks
+      .withColumn("h", hash60(col("tok")))
+      .groupBy(col("doc_id"), col("chunk_id"),
+        (col("h") % EmbedDims).cast("int").as("dim"))
+      .agg(sum(expr(s"(h DIV $EmbedDims) % 2 * 2 - 1")).as("val"))
+      .groupBy("doc_id", "chunk_id")
+      .agg(map_from_entries(collect_list(struct(col("dim"), col("val")))).as("m"))
+      .withColumn("v", expr(
+        s"transform(sequence(0, ${EmbedDims - 1}), i -> coalesce(try_element_at(m, i), CAST(0 AS BIGINT)))"))
+      .withColumn("nrm", expr("vec_dot(v, v)"))
+      .filter(col("nrm") > 0)
+    val probes = hashedDenseDocs(spark, dir)
+      .filter(col("doc_id") % TextKnnMod === 0)
+      .select(col("doc_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    dense.crossJoin(broadcast(probes))
+      .filter(col("doc_id") =!= col("q_id"))
+      .withColumn("cos",
+        expr("vec_dot(v, qv)") / (sqrt(col("nrm")) * sqrt(col("qn"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("doc_id"), col("chunk_id"))))
+      .filter(col("rank") <= ChunkKnnK)
+      .select(col("q_id").as("query_doc"), col("doc_id").as("chunk_doc"),
+        col("chunk_id"), col("rank"), round(col("cos"), 6).as("cosine"))
+  }
+
+  // lazy: renders ChunkTokens/ChunkOverlap, declared LATER in this object —
+  // a strict val would bake in 0 (the CentroidMod init-order gotcha)
+  private[graft] lazy val chunkKnnSql: String = {
+    val stride = ChunkTokens - ChunkOverlap
+    s"""WITH $ehDenseCtes,
+       |ck_d AS (
+       |  SELECT doc_id, string_split(lower(coalesce(text, '')), ' ') AS t,
+       |         len(string_split(lower(coalesce(text, '')), ' ')) AS n
+       |  FROM documents
+       |),
+       |ck_c AS (
+       |  SELECT doc_id, t, n,
+       |         greatest(1, (n - $ChunkOverlap + ${stride - 1}) // $stride) AS nc
+       |  FROM ck_d
+       |),
+       |ck_tok AS (
+       |  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |         unnest(t[chunk_id * $stride + 1 :
+       |                  chunk_id * $stride + least($ChunkTokens, n - chunk_id * $stride)]) AS tok
+       |  FROM ck_c, unnest(generate_series(0, nc - 1)) AS g(chunk_id)
+       |),
+       |ck_h AS (SELECT doc_id, chunk_id, ${hex2bigSql("md5(tok)")} AS h FROM ck_tok),
+       |ck_s AS (
+       |  SELECT doc_id, chunk_id, CAST(h % $EmbedDims AS INT) AS dim,
+       |         CAST(sum((h // $EmbedDims) % 2 * 2 - 1) AS BIGINT) AS val
+       |  FROM ck_h GROUP BY 1, 2, 3
+       |),
+       |ck_lists AS (
+       |  SELECT doc_id, chunk_id, list(dim ORDER BY dim) AS dims,
+       |         list(val ORDER BY dim) AS vals
+       |  FROM ck_s GROUP BY 1, 2
+       |),
+       |ck_dense AS (
+       |  SELECT doc_id, chunk_id,
+       |         [coalesce(vals[list_position(dims, i)], 0)
+       |          for i in generate_series(0, ${EmbedDims - 1})] AS v
+       |  FROM ck_lists
+       |),
+       |ck_nd AS (
+       |  SELECT doc_id, chunk_id, v,
+       |         CAST(list_sum([x * x for x in v]) AS BIGINT) AS nrm
+       |  FROM ck_dense
+       |),
+       |ck_corpus AS (SELECT * FROM ck_nd WHERE nrm > 0),
+       |ck_scored AS (
+       |  SELECT p.q_id, c.doc_id, c.chunk_id,
+       |         CAST(list_sum([c.v[i] * p.qv[i]
+       |                        for i in generate_series(1, len(c.v))]) AS BIGINT)
+       |           / (sqrt(c.nrm) * sqrt(p.qn)) AS cos
+       |  FROM ck_corpus c CROSS JOIN eh_probes p WHERE c.doc_id <> p.q_id
+       |),
+       |ck_ranked AS (
+       |  SELECT q_id, doc_id, chunk_id, cos,
+       |         row_number() OVER (PARTITION BY q_id
+       |                            ORDER BY cos DESC, doc_id, chunk_id) AS rank
+       |  FROM ck_scored
+       |)
+       |SELECT q_id AS query_doc, doc_id AS chunk_doc, chunk_id,
+       |       CAST(rank AS INT) AS rank, round(cos, 6) AS cosine
+       |FROM ck_ranked WHERE rank <= $ChunkKnnK""".stripMargin
+  }
 
   // ------------------------------------------------------------- vocab_build
 
@@ -1187,6 +1427,8 @@ object TextOps {
     Op("mix_temperature", mixTemperature, Some(mixTemperatureSql)),
     Op("embed_hashing", embedHashing, Some(embedHashingSql)),
     Op("text_knn", textKnn, Some(textKnnSql)),
+    Op("chunk_knn", chunkKnn, Some(chunkKnnSql)),
+    Op("quality_select", qualitySelect, Some(qualitySelectSql)),
     Op("vocab_build", vocabBuild, Some(vocabBuildSql)),
     Op("vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
     Op("pack_sequences", packSequencesSharded(_, _), Some(packSequencesSql))

@@ -1219,7 +1219,7 @@ object TextOps {
         (col("running") - col("n_tok") - ((col("running") - col("n_tok")) / PackBudget).cast("long") * PackBudget).as("bin_offset"))
   }
 
-  private val packSequencesSql: String =
+  private[graft] val packSequencesSql: String =
     s"""WITH t AS (
        |  SELECT doc_id, doc_id // $PackShardSize AS shard,
        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok

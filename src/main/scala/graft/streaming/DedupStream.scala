@@ -413,7 +413,117 @@ object DedupStream {
       CarbonStream.drainMemorySink(spark, sink))
   }
 
+  // -------------------------------------------------------------- stream_pack
+
+  case class PackDoc(doc_id: Long, n_tok: Long, shard: Long)
+  case class PackState(last: Long, running: Long)
+  case class PackOut(doc_id: Long, n_tok: Long, shard: Long,
+      shard_bin: Long, bin_offset: Long)
+
+  /** The per-shard packing state machine: state = ONE (high-water doc_id,
+    * running token total) pair per shard — two longs, independent of
+    * stream length (the `stream_sessionize` contract) — and every arriving
+    * document immediately gets its (bin, offset) assignment from the SAME
+    * running-fill rule `pack_sequences` applies in batch. Sequential
+    * packing is order-DEFINED (a doc's bin is a function of every earlier
+    * doc in its shard), so in-order ingest per shard is an enforced
+    * contract: a doc_id at or below the shard's high-water mark fails the
+    * query loudly (the `stream_funnel`/`stream_holt` guard) instead of
+    * silently double-assigning bin space.
+    */
+  def packMachine(docs: org.apache.spark.sql.Dataset[PackDoc])
+      : org.apache.spark.sql.Dataset[PackOut] = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.operators.TextOps.PackBudget
+    implicit val ps = Encoders.product[PackState]
+    implicit val po = Encoders.product[PackOut]
+    implicit val ks = Encoders.scalaLong
+    docs.groupByKey(_.shard)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (shard: Long, batch: Iterator[PackDoc], state: GroupState[PackState]) => {
+          var st = state.getOption.getOrElse(PackState(-1L, 0L))
+          val sorted = batch.toSeq.sortBy(_.doc_id)
+          for (first <- sorted.headOption)
+            if (st.last >= 0 && first.doc_id <= st.last)
+              throw new IllegalStateException(
+                s"stream_pack: out-of-order ingest for shard $shard " +
+                  s"(doc ${first.doc_id} <= high-water ${st.last}) — " +
+                  "sequential packing requires in-order delivery; reorder upstream")
+          val out = sorted.map { d =>
+            val start = st.running
+            st = PackState(d.doc_id, st.running + d.n_tok)
+            PackOut(d.doc_id, d.n_tok, shard,
+              start / PackBudget, start - (start / PackBudget) * PackBudget)
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+
+  /** The LIVE form of `pack_sequences` — the pre-training batch packer
+    * running on the ingest path: a trainer's data loader consumes bins as
+    * documents arrive instead of re-packing the corpus nightly. The
+    * document fixture replays as three doc_id-tertile mtime-ordered files
+    * so a shard's running fill genuinely carries across micro-batch
+    * boundaries (a 128-doc shard straddles a tertile cut at every SF).
+    * Under in-order ingest the emitted assignments equal the batch
+    * cumsum's row-for-row; oracle = `pack_sequences`' SQL verbatim.
+    */
+  def packQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import graft.operators.TextOps.PackShardSize
+    implicit val pe = Encoders.product[PackDoc]
+    val docs = graft.model.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        expr(s"doc_id div $PackShardSize").as("shard"))
+      .as[PackDoc].persist()
+    val src = java.nio.file.Files.createTempDirectory("stream_pack_src").toString
+    try {
+      val (lo, hi) = {
+        val r = docs.agg(min("doc_id"), max("doc_id")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+      writeOneFile(docs.filter(col("doc_id") <= c1).toDF(),
+        s"$src/batch0.parquet", ageMs = 120000)
+      writeOneFile(docs.filter(col("doc_id") > c1 && col("doc_id") <= c2).toDF(),
+        s"$src/batch1.parquet", ageMs = 90000)
+      writeOneFile(docs.filter(col("doc_id") > c2).toDF(),
+        s"$src/batch2.parquet", ageMs = 60000)
+    } finally docs.unpersist(blocking = true)
+
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_tok", LongType),
+      StructField("shard", LongType)))
+    val sink = "stream_pack_" + UUID.randomUUID().toString.replace("-", "")
+    try {
+      CarbonStream.withStreamPartitions(spark) {
+        val q = packMachine(
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src).as[PackDoc])
+          .toDF()
+          .writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode("append")
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
+      CarbonStream.drainMemorySink(spark, sink)
+    } finally {
+      // the drained memory sink holds the rows; the replay files are done
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(src))
+    }
+  }
+
   def ops: Seq[Op] = Seq(
+    Op("stream_pack", packQuery,
+      Some(graft.operators.TextOps.packSequencesSql)),
     Op("stream_surprisal", surprisalQuery,
       Some(graft.operators.TextOps.tokenSurprisalSql)),
     Op("stream_mix", mixQuery,

@@ -320,6 +320,125 @@ class Round12Spec extends AnyFunSuite with TestSpark {
     }
   }
 
+  // ----------------------------------------------------- r12 new operators
+
+  test("series_linreg recovers an exact line and nulls zero-variance paths") {
+    import spark.implicits._
+    import graft.operators.Series
+    // value = 2t + 3 (cents = 200t + 300): slope 2.0 value/s, fit at the
+    // last point t=4 is 11.0, forecast at t = 4 + LinregAheadSec is exact
+    val a = (0L to 4L).map(t => ("a", t, t + 1, 200L * t + 300L))
+    val b = Seq(("b", 7L, 9L, 500L)) // single point: den = 0, no line
+    val cents = (a ++ b).toDF("path", "ts", "event_id", "cents")
+    val got = Series.linregFrom(Series.linregMomentsFrom(cents))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("a").getLong(1) == 5L)
+    assert(got("a").getDouble(2) == 2.0)
+    assert(got("a").getDouble(3) == 11.0)
+    assert(got("a").getDouble(4) == (2 * (4 + Series.LinregAheadSec) + 3).toDouble)
+    assert(got("b").isNullAt(2) && got("b").isNullAt(3) && got("b").isNullAt(4))
+  }
+
+  test("series_remove_outliers: verdict is exactly the nearest-rank p90 cut") {
+    import graft.operators.Series
+    val rows = Series.removeOutliers(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getBoolean(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)), r.getDouble(5)))
+    assert(rows.exists(_._2), "the fixture must clip something")
+    rows.groupBy(_._1).foreach { case (path, g) =>
+      val n = g.length
+      val maxRemovable = n - (n * Series.RemovePercentile + 99) / 100
+      val removed = g.count(_._2)
+      assert(removed <= maxRemovable,
+        s"$path: removed $removed > ${maxRemovable} of $n")
+      g.foreach { case (_, rem, kept, cut) =>
+        if (rem) assert(kept.isEmpty)
+        else assert(kept.nonEmpty && kept.get <= cut + 1e-9)
+      }
+    }
+  }
+
+  test("series_hitcount equals a driver-side lag recomputation") {
+    import graft.operators.Series
+    val pts = graft.model.Tables.metrics(spark, Sf)
+      .select("path", "ts", "event_id", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val contrib: Seq[((String, Long), Long)] =
+      pts.groupBy(_._1).toSeq.flatMap { case (path, g) =>
+        val sorted = g.sortBy(p => (p._2, p._3))
+        sorted.zipWithIndex.map { case ((_, ts, _, v), i) =>
+          val dt = if (i == 0) 0L else ts - sorted(i - 1)._2
+          ((path, ts - ts % Series.SummarizeBucketSec), dt * math.round(v * 100))
+        }.toSeq
+      }
+    val want = contrib.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    val got = Series.hitcount(spark, Sf).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), math.round(r.getDouble(3) * 100)))
+      .toMap
+    assert(got == want)
+  }
+
+  test("quality_select cut pairs equal the per-lang rank definition on ties") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // lang x: three-way score tie straddles the keep boundary (n=4, keep
+    // 2 — the doc_id tiebreak decides); lang y: a full tie (n=2, keep 1)
+    val scored = Seq(
+      (1L, "x", 5.0), (2L, "x", 5.0), (3L, "x", 5.0), (4L, "x", 1.0),
+      (10L, "y", 2.0), (11L, "y", 2.0)).toDF("doc_id", "lang", "score")
+    val got = TextOps.qualitySelectFrom(scored).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getDouble(4), r.getBoolean(5)))
+      .toMap
+    assert(got(1L) == ((4L, 5.0, true)))
+    assert(got(2L) == ((4L, 5.0, true)))
+    assert(got(3L) == ((4L, 5.0, false)))
+    assert(got(4L) == ((4L, 5.0, false)))
+    assert(got(10L) == ((2L, 2.0, true)))
+    assert(got(11L) == ((2L, 2.0, false)))
+  }
+
+  test("chunk_knn: contiguous ranks, self-exclusion, cosine ordered") {
+    import graft.operators.TextOps
+    val rows = TextOps.chunkKnn(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, g) =>
+      assert(g.forall(_._2 != q), s"query $q retrieved its own chunk")
+      val byRank = g.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == (1 to g.length), s"query $q ranks not contiguous")
+      assert(byRank.length <= TextOps.ChunkKnnK)
+      val cs = byRank.map(_._5)
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b - 1e-9 },
+        s"query $q cosine not non-increasing across ranks")
+    }
+  }
+
+  test("stream_pack fails loudly on out-of-order ingest") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.DedupStream
+    implicit val sq = spark.sqlContext
+    implicit val pe = org.apache.spark.sql.Encoders.product[DedupStream.PackDoc]
+    val ms = MemoryStream[DedupStream.PackDoc]
+    val q = DedupStream.packMachine(ms.toDS()).toDF()
+      .writeStream.format("memory").queryName("r12_ooo_pack")
+      .outputMode("append").start()
+    try {
+      ms.addData(DedupStream.PackDoc(10L, 5L, 0L))
+      q.processAllAvailable()
+      ms.addData(DedupStream.PackDoc(9L, 5L, 0L)) // regression in shard 0
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def chain(e: Throwable): Seq[String] =
+        Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+          .map(_.getMessage).toSeq
+      assert(chain(ex).exists(m => m != null && m.contains("out-of-order")),
+        s"expected the out-of-order guard, got: ${chain(ex)}")
+    } finally {
+      q.stop(); spark.catalog.dropTempView("r12_ooo_pack")
+    }
+  }
+
   // ----------------------------------------------------- global rank exact
 
   test("withGlobalRank assigns exactly 1..n and respects the sort order") {

@@ -31,7 +31,9 @@ object Explain {
         "series_moving_median", "series_ewma", "series_timeshift",
         "mix_temperature", "embed_hashing", "funnel_steps", "cohort_retention",
         "knn_pagerank", "text_knn", "event_attribution", "series_holt_forecast",
-        "user_rfm"))
+        "user_rfm",
+        "series_linreg", "series_remove_outliers", "series_hitcount",
+        "quality_select", "chunk_knn"))
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -242,19 +242,24 @@ object MetricsHttpServer {
     private def finalized: org.apache.spark.sql.DataFrame =
       graft.sources.RollupStore.readFinalizedResilient(spark, store)
     private def pathCatalog = finalized.select("path").distinct()
+    // every route's ACTION runs under the store's optimistic read-retry:
+    // each attempt rebuilds the frame (def, not val), so a retry re-plans
+    // from a FRESH file listing after a maintenance swap window
+    private def retrying[A](f: => A): A =
+      graft.sources.RollupStore.retryTransientReads(() => f)
     def healthcheck(): Boolean =
-      try finalized.limit(1).count() >= 0 catch { case _: Throwable => false }
+      try retrying(finalized.limit(1).count()) >= 0 catch { case _: Throwable => false }
     def getPaths(glob: String, tenant: Option[String]): Seq[MetricsApi.PathEntry] =
-      MetricsApi.getPathsFrom(
-        graft.operators.Index.indexFrom(pathCatalog), glob, tenant)
+      retrying(MetricsApi.getPathsFrom(
+        graft.operators.Index.indexFrom(pathCatalog), glob, tenant))
     def deletePaths(glob: String): Long =
-      graft.operators.Index.deleteFrom(
-        pathCatalog, glob, glob.split("\\.")(0)).count()
+      retrying(graft.operators.Index.deleteFrom(
+        pathCatalog, glob, glob.split("\\.")(0)).count())
     def getMetrics(paths: Seq[String], from: Long, to: Long): MetricsApi.MetricsResponse =
-      MetricsApi.getMetricsFrom(finalized, paths, from, to,
-        nowSec.getOrElse(System.currentTimeMillis() / 1000))
+      retrying(MetricsApi.getMetricsFrom(finalized, paths, from, to,
+        nowSec.getOrElse(System.currentTimeMillis() / 1000)))
     def deleteMetrics(paths: Seq[String], from: Long, to: Long,
         dryRun: Boolean): MetricsApi.DeleteResponse =
-      MetricsApi.deleteMetricsFrom(finalized, paths, from, to, dryRun)._1
+      retrying(MetricsApi.deleteMetricsFrom(finalized, paths, from, to, dryRun)._1)
   }
 }

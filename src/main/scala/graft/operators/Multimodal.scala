@@ -247,7 +247,106 @@ object Multimodal {
        |FROM blobs
        |WINDOW w AS (PARTITION BY media_kind, content_hash)""".stripMargin
 
+  // --------------------------------------------------------- multimodal_phash
+
+  /** Perceptual hash width: top byte of each of the first [[PhashLanes]]
+    * feature lanes → a 48-bit hash. */
+  val PhashLanes = 6
+  /** Banding for the near-dup self-join: 4 × 12-bit bands — pigeonhole
+    * complete for hamming ≤ [[PhashMaxHam]]. */
+  val PhashBands = 4
+  val PhashMaxHam = 3
+  /** Every [[PhashPlantMod]]-th blob is re-emitted with one feature-lane
+    * bit perturbed (the near-duplicate plant — a re-encode/resize of the
+    * same content under a real extractor). */
+  val PhashPlantMod = 12
+  val PhashPlantBase = 3000000L
+
+  /** Perceptual near-dup WITHIN each modality — the stage after
+    * `multimodal_dedup`: byte-identical copies hash equal, but re-encodes,
+    * resizes and watermarked variants do not; a PERCEPTUAL hash (top bits
+    * of the feature lanes, here the digest-derived stub lanes —
+    * [[features]]' real-extractor seam supplies pHash/aHash bits in
+    * production) changes only a few bits under such perturbations. The
+    * detection is the SimHash machinery applied to media: [[PhashBands]]
+    * bands of the 48-bit hash, self-join per (media_kind, band, sig) —
+    * pigeonhole-complete for hamming ≤ [[PhashMaxHam]] — then an exact
+    * `bit_count(xor)` re-check. The fixture plants a 1-bit-perturbed copy
+    * of every 12th blob so recall is observable; byte-identical texts
+    * surface at hamming 0. Scale shape: banded, never all-pairs; the only
+    * exchanges carry 8-byte hashes + ids, never blobs.
+    */
+  def phashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val lanes = features(spark, dir)
+    val planted = lanes.filter(col("doc_id") % PhashPlantMod === 0)
+      .withColumn("doc_id", col("doc_id") + PhashPlantBase)
+      .withColumn("f3", expr("CAST(f3 ^ 256 AS BIGINT)"))
+    val hashed = lanes.unionByName(planted)
+      .withColumn("phash", expr((0 until PhashLanes)
+        .map(k => s"(f$k DIV 256) * ${1L << (8 * k)}L").mkString(" + ")))
+    val banded = hashed.select(col("doc_id"), col("media_kind"), col("phash"),
+      explode(array((0 until PhashBands).map(j =>
+        struct(lit(j).as("band"),
+          expr(s"(phash DIV ${1L << (12 * j)}L) % 4096").as("sig"))): _*)).as("bs"))
+      .select(col("doc_id"), col("media_kind"), col("phash"),
+        col("bs.band").as("band"), col("bs.sig").as("sig"))
+    banded.as("a").join(banded.as("b"),
+        col("a.media_kind") === col("b.media_kind") &&
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.media_kind").as("media_kind"),
+        col("a.phash").as("pa"), col("b.phash").as("pb"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(pa ^ pb) AS INT)"))
+      .filter(col("hamming") <= PhashMaxHam)
+      .select("doc_a", "doc_b", "media_kind", "hamming")
+  }
+
+  private val phashPairsSql: String = {
+    val laneCols = (0 until FeatureDims)
+      .map(k => s"${hexChunkSql("md5(text)", k * 4 + 1)} AS f$k").mkString(",\n       |       ")
+    val phashExpr = (0 until PhashLanes)
+      .map(k => s"(f$k // 256) * ${1L << (8 * k)}").mkString(" + ")
+    val bandSelects = (0 until PhashBands).map(j =>
+      s"SELECT doc_id, media_kind, phash, $j AS band, (phash // ${1L << (12 * j)}) % 4096 AS sig FROM ph_h")
+      .mkString("\n       |  UNION ALL\n       |  ")
+    s"""WITH ph_l AS (
+       |  SELECT doc_id,
+       |       CASE WHEN doc_id % 3 = 0 THEN 'image'
+       |            WHEN doc_id % 3 = 1 THEN 'audio'
+       |            ELSE 'video' END AS media_kind,
+       |       $laneCols
+       |  FROM documents
+       |),
+       |ph_all AS (
+       |  SELECT doc_id, media_kind, f0, f1, f2, f3, f4, f5 FROM ph_l
+       |  UNION ALL
+       |  SELECT doc_id + $PhashPlantBase, media_kind,
+       |         f0, f1, f2, CAST(xor(f3, 256) AS BIGINT), f4, f5
+       |  FROM ph_l WHERE doc_id % $PhashPlantMod = 0
+       |),
+       |ph_h AS (
+       |  SELECT doc_id, media_kind, CAST($phashExpr AS BIGINT) AS phash FROM ph_all
+       |),
+       |ph_b AS (
+       |  $bandSelects
+       |),
+       |ph_p AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.media_kind AS media_kind, a.phash AS pa, b.phash AS pb
+       |  FROM ph_b a JOIN ph_b b
+       |    ON a.media_kind = b.media_kind AND a.band = b.band
+       |   AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b, media_kind,
+       |       CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
+       |FROM ph_p
+       |WHERE bit_count(xor(pa, pb)) <= $PhashMaxHam""".stripMargin
+  }
+
   def ops: Seq[Op] = Seq(
+    Op("multimodal_phash", phashPairs, Some(phashPairsSql)),
     Op("multimodal_meta", meta, Some(metaSql)),
     Op("multimodal_frames", frames, Some(framesSql)),
     Op("multimodal_resize", resize, Some(resizeSql)),

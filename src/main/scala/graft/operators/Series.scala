@@ -589,6 +589,95 @@ object Series {
        |       round((st[1] + st[2]) / ($HoltScale * 100.0), 6) AS forecast
        |FROM f""".stripMargin
 
+  // -------------------------------------------------------- holtDeviation
+
+  /** Aberration threshold in deviation units (graphite's default delta). */
+  val HoltDevK = 3L
+
+  /** The OTHER half of graphite's `holtWintersAberration`: alongside the
+    * one-step-ahead forecast, smooth the absolute forecast error with the
+    * same γ = 1/2 halving (dev' = (|x − ŷ| + dev) >> 1) and flag points
+    * outside forecast ± [[HoltDevK]]·deviation — the confidence-band
+    * aberration read, where `series_anomaly`'s z-test is the static-band
+    * form. The verdict for a point tests it against the PREVIOUS point's
+    * forecast/deviation (the band that existed before the point arrived),
+    * entirely in fixed-point bigints — no float enters the boolean. The
+    * fold extends [[holtForecast]]'s integer-halving recurrence with the
+    * deviation term; each lambda field reads only the PRE-update
+    * accumulator, so both engines fold identically. Scale shape: the
+    * shared per-path window sort plus one lag over the same partitioning.
+    */
+  def holtDeviation(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("path").orderBy("ts", "event_id")
+      .rowsBetween(-(HoltPoints - 1), Window.currentRow)
+    val lagW = Window.partitionBy("path").orderBy("ts", "event_id")
+    cents(spark, dir)
+      .withColumn("l", array_sort(
+        collect_list(struct(col("ts"), col("event_id"), col("cents"))).over(w)))
+      .withColumn("st", expr(s"""aggregate(
+        l,
+        named_struct('s', CAST(0 AS BIGINT), 'b', CAST(0 AS BIGINT),
+                     'd', CAST(0 AS BIGINT), 'n', CAST(0 AS BIGINT)),
+        (acc, x) -> CASE WHEN acc.n = 0
+          THEN named_struct('s', x.cents * CAST($HoltScale AS BIGINT),
+                            'b', CAST(0 AS BIGINT), 'd', CAST(0 AS BIGINT),
+                            'n', CAST(1 AS BIGINT))
+          ELSE named_struct(
+            's', shiftright(x.cents * CAST($HoltScale AS BIGINT) + acc.s + acc.b, 1),
+            'b', shiftright(shiftright(x.cents * CAST($HoltScale AS BIGINT) + acc.s + acc.b, 1) - acc.s, 1)
+                 + shiftright(acc.b, 1),
+            'd', shiftright(abs(x.cents * CAST($HoltScale AS BIGINT) - acc.s - acc.b) + acc.d, 1),
+            'n', acc.n + 1) END,
+        acc -> named_struct('fc', acc.s + acc.b, 'dev', acc.d))"""))
+      .withColumn("prev_fc", lag(col("st.fc"), 1).over(lagW))
+      .withColumn("prev_dev", lag(col("st.dev"), 1).over(lagW))
+      .select(col("path"), col("ts"), col("event_id"), col("value"),
+        round(col("st.fc") / lit(HoltScale * 100.0), 6).as("forecast"),
+        round(col("st.dev") / lit(HoltScale * 100.0), 6).as("deviation"),
+        when(col("prev_fc").isNotNull,
+          abs(col("cents") * HoltScale - col("prev_fc")) >
+            lit(HoltDevK) * col("prev_dev")).as("aberrant"))
+  }
+
+  private[graft] val holtDeviationSql: String =
+    s"""WITH ${Tables.metricsSql},
+       |$centsCte,
+       |hd_m AS (
+       |  SELECT path, ts, event_id, value, cents,
+       |         list_sort(list({'ts': ts, 'ev': event_id, 'cents': cents}) OVER w) AS l
+       |  FROM c
+       |  WINDOW w AS (PARTITION BY path ORDER BY ts, event_id
+       |               ROWS BETWEEN ${HoltPoints - 1} PRECEDING AND CURRENT ROW)
+       |),
+       |hd_f AS (
+       |  -- LIST accumulator [s, b, d]: every element reads only the
+       |  -- pre-update acc (the struct-lambda mis-evaluation gotcha)
+       |  SELECT path, ts, event_id, value, cents,
+       |    list_reduce(
+       |      list_transform(l, e -> [CAST(e.cents AS BIGINT) * $HoltScale,
+       |                              CAST(0 AS BIGINT), CAST(0 AS BIGINT)]),
+       |      (acc, e) -> [(e[1] + acc[1] + acc[2]) >> 1,
+       |                   ((((e[1] + acc[1] + acc[2]) >> 1) - acc[1]) >> 1)
+       |                   + (acc[2] >> 1),
+       |                   (abs(e[1] - acc[1] - acc[2]) + acc[3]) >> 1]
+       |    ) AS st
+       |  FROM hd_m
+       |),
+       |hd_g AS (
+       |  SELECT path, ts, event_id, value, cents, st,
+       |         lag(st[1] + st[2]) OVER lw AS prev_fc,
+       |         lag(st[3]) OVER lw AS prev_dev
+       |  FROM hd_f
+       |  WINDOW lw AS (PARTITION BY path ORDER BY ts, event_id)
+       |)
+       |SELECT path, ts, event_id, value,
+       |       round((st[1] + st[2]) / ($HoltScale * 100.0), 6) AS forecast,
+       |       round(st[3] / ($HoltScale * 100.0), 6) AS deviation,
+       |       CASE WHEN prev_fc IS NOT NULL
+       |            THEN abs(cents * $HoltScale - prev_fc) > $HoltDevK * prev_dev
+       |       END AS aberrant
+       |FROM hd_g""".stripMargin
+
   // ------------------------------------------------------------ timeShift
 
   /** Comparison offset for [[timeShift]] (graphite `timeShift(…, "-1h")`). */
@@ -838,6 +927,7 @@ object Series {
     Op("series_holt_forecast", holtForecast, Some(holtForecastSql)),
     Op("series_group_by_node", groupByNode, Some(groupByNodeSql)),
     Op("series_linreg", linreg, Some(linregSql)),
+    Op("series_holt_deviation", holtDeviation, Some(holtDeviationSql)),
     Op("series_remove_outliers", removeOutliers, Some(removeOutliersSql)),
     Op("series_hitcount", hitcount, Some(hitcountSql))
   )

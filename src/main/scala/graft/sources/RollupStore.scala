@@ -101,6 +101,45 @@ object RollupStore {
           .drop("stat_date")))
   }
 
+  /** Optimistic read-retry for serving-path ACTIONS over the store.
+    *
+    * `ignoreMissingFiles` covers a file that is GONE at open time (a bare
+    * FileNotFoundException). It does NOT cover the other face of the same
+    * swap window: the parquet reader opens a file more than once (footer,
+    * then row groups), and a fold source deleted between those opens
+    * surfaces as a WRAPPED read error (`FAILED_READ_FILE`, cause chain not
+    * a bare FNF) that the option never sees. The window is two renames
+    * wide and bounded to one directory, so the production answer is the
+    * optimistic one: re-plan from a fresh file listing and try again.
+    * Anything still failing after [[ReadRetryAttempts]] attempts is real
+    * corruption and propagates loudly.
+    */
+  val ReadRetryAttempts = 3
+
+  private def isTransientReadRace(e: Throwable): Boolean = {
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).toSeq
+    chain.exists {
+      case _: java.io.FileNotFoundException => true
+      case t => val m = t.getMessage
+        m != null && (m.contains("FAILED_READ_FILE") ||
+          m.contains("FileNotFoundException"))
+    }
+  }
+
+  private[graft] def retryTransientReads[A](f: () => A): A = {
+    var attempt = 1
+    var out: Option[A] = None
+    while (out.isEmpty) {
+      try out = Some(f())
+      catch {
+        case e: Throwable if attempt < ReadRetryAttempts && isTransientReadRace(e) =>
+          attempt += 1
+          Thread.sleep(20L * attempt)
+      }
+    }
+    out.get
+  }
+
   /** The on-disk mergeable-state schema (`Rollups.mergeableFrom`'s columns
     * plus the two partition columns), supplied EXPLICITLY on the serving
     * read: schema inference opens parquet footers OUTSIDE the

@@ -439,6 +439,70 @@ class Round12Spec extends AnyFunSuite with TestSpark {
     }
   }
 
+  test("multimodal_phash: every planted 1-bit perturbation recalled at hamming 1") {
+    import graft.operators.Multimodal
+    val rows = Multimodal.phashPairs(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val planted = rows.filter(p => p._2 - p._1 == Multimodal.PhashPlantBase)
+    val nPlants = graft.model.Tables.documents(spark, Sf)
+      .filter(col("doc_id") % Multimodal.PhashPlantMod === 0).count()
+    assert(planted.length == nPlants,
+      s"${planted.length} of $nPlants planted near-dups recalled")
+    assert(planted.forall(_._3 == 1), "a 1-bit lane perturbation must read hamming 1")
+    assert(rows.forall(_._3 <= Multimodal.PhashMaxHam))
+  }
+
+  test("series_holt_deviation: forecast matches series_holt_forecast; one open verdict per path") {
+    import graft.operators.Series
+    val fc = Series.holtForecast(spark, Sf).collect()
+      .map(r => ((r.getString(0), r.getLong(1), r.getLong(2)), r.getDouble(3))).toMap
+    val rows = Series.holtDeviation(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(4) == fc((r.getString(0), r.getLong(1), r.getLong(2))),
+        "the deviation fold must carry the forecast fold unchanged")
+      assert(r.getDouble(5) >= 0.0)
+    }
+    // exactly the first point of each path has no band to test against
+    rows.groupBy(_.getString(0)).foreach { case (p, g) =>
+      assert(g.count(_.isNullAt(6)) == 1, s"path $p: expected one null verdict")
+    }
+  }
+
+  // ------------------------------------------------ serving-path read retry
+
+  test("retryTransientReads: swap-window read races retry, real errors propagate") {
+    import graft.sources.RollupStore
+    // the wrapped form ignoreMissingFiles can NOT catch (parquet re-opens a
+    // fold source mid-swap): retried until the fresh listing succeeds
+    var n = 0
+    val got = RollupStore.retryTransientReads { () =>
+      n += 1
+      if (n < 3) throw new RuntimeException("query failed",
+        new RuntimeException(
+          "[FAILED_READ_FILE.NO_HINT] Encountered error while reading file x"))
+      42
+    }
+    assert(got == 42 && n == 3)
+    // a non-read error is NOT swallowed — fails on the first attempt
+    var m = 0
+    intercept[IllegalStateException] {
+      RollupStore.retryTransientReads { () =>
+        m += 1; throw new IllegalStateException("real corruption")
+      }
+    }
+    assert(m == 1)
+    // attempts are bounded: a persistent miss still fails loudly
+    var k = 0
+    intercept[RuntimeException] {
+      RollupStore.retryTransientReads { () =>
+        k += 1
+        throw new RuntimeException(new java.io.FileNotFoundException("gone"))
+      }
+    }
+    assert(k == RollupStore.ReadRetryAttempts)
+  }
+
   // ----------------------------------------------------- global rank exact
 
   test("withGlobalRank assigns exactly 1..n and respects the sort order") {

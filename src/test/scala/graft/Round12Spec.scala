@@ -452,6 +452,32 @@ class Round12Spec extends AnyFunSuite with TestSpark {
     assert(rows.forall(_._3 <= Multimodal.PhashMaxHam))
   }
 
+  test("multimodal_phash banding is pigeonhole-complete: equals the all-pairs recount") {
+    import graft.operators.Multimodal
+    // drive the hashes the op derives, then brute-force every same-kind
+    // pair on the driver — the banded join must find EXACTLY these
+    val lanes = Multimodal.features(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        (0 until Multimodal.FeatureDims).map(k => r.getLong(2 + k)).toArray))
+    val all = lanes ++ lanes.filter(_._1 % Multimodal.PhashPlantMod == 0)
+      .map { case (id, kind, f) =>
+        val p = f.clone(); p(3) = p(3) ^ 256L
+        (id + Multimodal.PhashPlantBase, kind, p)
+      }
+    def phash(f: Array[Long]): Long =
+      (0 until Multimodal.PhashLanes).map(k => (f(k) / 256) << (8 * k)).sum
+    val hashed = all.map { case (id, kind, f) => (id, kind, phash(f)) }
+    val want = (for {
+      a <- hashed; b <- hashed
+      if a._2 == b._2 && a._1 < b._1
+      ham = java.lang.Long.bitCount(a._3 ^ b._3)
+      if ham <= Multimodal.PhashMaxHam
+    } yield (a._1, b._1, a._2, ham)).toSet
+    val got = Multimodal.phashPairs(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3))).toSet
+    assert(got == want, s"banded pairs ${got.size} != brute-force ${want.size}")
+  }
+
   test("series_holt_deviation: forecast matches series_holt_forecast; one open verdict per path") {
     import graft.operators.Series
     val fc = Series.holtForecast(spark, Sf).collect()

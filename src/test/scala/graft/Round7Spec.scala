@@ -91,9 +91,11 @@ class Round7Spec extends AnyFunSuite with TestSpark {
     val quality = ids.toDF("doc_id").withColumn("quality_ok", lit(true))
     val repetition = ids.toDF("doc_id").withColumn("repetition_ok", lit(true))
     val perplexity = ids.toDF("doc_id").withColumn("perplexity_ok", lit(true))
+    val selection = ids.toDF("doc_id").withColumn("select_ok", lit(true))
     val representative = ids.toDF("doc_id").withColumn("dedup_keep", lit(true))
     val decon = Seq((6L, false), (7L, true)).toDF("doc_id", "decontaminated")
-    val got = Curate.verdictFrom(quality, repetition, perplexity, decon, representative)
+    val got = Curate.verdictFrom(quality, repetition, perplexity, selection,
+      decon, representative)
       .select("doc_id", "decontaminated", "keep")
       .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2))).toMap
     assert(got(5L) == (true, true), "short non-eval doc misclassified as contaminated")

@@ -98,7 +98,58 @@ object Curate {
        |JOIN c ON q.doc_id = c.doc_id
        |LEFT JOIN d ON q.doc_id = d.doc_id""".stripMargin
 
+  // --------------------------------------------------------- curation_report
+
+  /** The DOMAIN-level curation read (the C4/RefinedWeb/FineWeb reporting
+    * granularity — web curation filters and audits per source/domain, not
+    * only per document): for each source, document count, how many survive
+    * the full six-gate [[curate]] verdict, the keep fraction, and the mean
+    * quality score. This is the table a curation run's report page renders
+    * and the input to source-level allow/deny decisions.
+    *
+    * Portability: the mean is computed over micro-scaled integer scores
+    * (`round(score·10⁶)` is integral because score is round(·, 6), so the
+    * bigint sum is exact and order-immune); the two fractions are ONE
+    * closing division each, round 6. Scale shape: the verdict and score
+    * frames join on the doc key they already carry, then ONE
+    * groupBy(source) whose map-side combine collapses to |sources| rows.
+    */
+  def report(spark: SparkSession, dir: String): DataFrame = {
+    val src = graft.model.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+    val score = TextOps.textQuality(spark, dir)
+      .select(col("doc_id"),
+        expr("CAST(round(score * 1000000) AS BIGINT)").as("score_micro"))
+    curate(spark, dir).select(col("doc_id"), col("keep"))
+      .join(src, "doc_id")
+      .join(score, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("kept"),
+        sum("score_micro").as("sm"))
+      .select(col("source"), col("n_docs"), col("kept"),
+        round(col("kept") / col("n_docs").cast("double"), 6).as("keep_frac"),
+        round(col("sm") / (col("n_docs") * lit(1000000.0)), 6).as("mean_score"))
+  }
+
+  private lazy val reportSql: String =
+    s"""WITH crj AS (
+       |  SELECT d.source, cr.keep,
+       |         CAST(round(t.score * 1000000) AS BIGINT) AS score_micro
+       |  FROM ($curateSql) cr
+       |  JOIN documents d ON cr.doc_id = d.doc_id
+       |  JOIN (${TextOps.textQualitySql}) t ON cr.doc_id = t.doc_id
+       |)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+       |       round(sum(CASE WHEN keep THEN 1 ELSE 0 END)
+       |             / CAST(count(*) AS DOUBLE), 6) AS keep_frac,
+       |       round(CAST(sum(score_micro) AS BIGINT)
+       |             / (count(*) * 1000000.0), 6) AS mean_score
+       |FROM crj GROUP BY 1""".stripMargin
+
   def ops: Seq[Op] = Seq(
-    Op("curate", curate, Some(curateSql))
+    Op("curate", curate, Some(curateSql)),
+    Op("curation_report", report, Some(reportSql))
   )
 }

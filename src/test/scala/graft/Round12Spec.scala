@@ -495,6 +495,21 @@ class Round12Spec extends AnyFunSuite with TestSpark {
     }
   }
 
+  test("curation_report reconciles with the flat six-gate verdict per source") {
+    import graft.operators.Curate
+    val verdict = Curate.curate(spark, Sf).select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val src = graft.model.Tables.documents(spark, Sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = src.groupBy(_._2).map { case (s, docs) =>
+      s -> (docs.size.toLong, docs.keys.count(verdict).toLong)
+    }
+    val got = Curate.report(spark, Sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want)
+  }
+
   // ------------------------------------------------ serving-path read retry
 
   test("retryTransientReads: swap-window read races retry, real errors propagate") {

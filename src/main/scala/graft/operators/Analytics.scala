@@ -665,7 +665,72 @@ object Analytics {
        |FROM ranked""".stripMargin
   }
 
+  // -------------------------------------------------------------- engagement
+
+  /** The DAU/WAU engagement read — the fourth standing product-analytics
+    * query beside funnel, cohort and attribution: per active day, the
+    * distinct-user count, the trailing-7-day distinct-user count, and
+    * their ratio (stickiness — the DAU/WAU metric every growth dashboard
+    * renders). All-integer until the ONE closing division: activity
+    * de-duplicates to a (user, epoch-day) matrix (exact distinct users,
+    * the `cohort_retention` rule), and the trailing window is computed by
+    * EXPLODING each activity day onto the 7 future days it supports — a
+    * map-only ×7 fan-out of the |users × days| matrix, never the event
+    * stream — so WAU is a plain distinct count, no window over days.
+    */
+  def engagement(spark: SparkSession, dir: String): DataFrame =
+    engagementFrom(activityFrom(Tables.events(spark, dir)))
+
+  /** The (user_id, epoch-day) activity matrix — ONE order-immune distinct,
+    * which is why `stream_engagement` can maintain it live in complete
+    * mode (the `stream_cohort` argument).
+    */
+  private[graft] def activityFrom(ev: DataFrame): DataFrame =
+    ev.select(col("user_id"), expr("ts DIV 86400000000000").as("day"))
+      .distinct()
+
+  /** The readoff over an activity matrix — shared verbatim with
+    * `stream_engagement`'s drained-state readoff.
+    */
+  private[graft] def engagementFrom(activity: DataFrame): DataFrame = {
+    val dau = activity.groupBy("day")
+      .agg(countDistinct("user_id").as("dau"))
+    val wau = activity
+      .select(col("user_id"), explode(expr("sequence(day, day + 6)")).as("day"))
+      .distinct()
+      .groupBy("day").agg(countDistinct("user_id").as("wau"))
+    dau.join(wau, "day") // inner: only OBSERVED days report (drops the
+      // explode's tail days past the last activity)
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau") / col("wau").cast("double"), 6).as("stickiness"))
+  }
+
+  private val engagementSql: String =
+    """WITH eg_act AS (
+      |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+      |  FROM events
+      |),
+      |eg_dau AS (
+      |  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+      |  FROM eg_act GROUP BY 1
+      |),
+      |eg_wexp AS (
+      |  SELECT DISTINCT user_id, day + g AS day
+      |  FROM eg_act, unnest(generate_series(0, 6)) AS t(g)
+      |),
+      |eg_wau AS (
+      |  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+      |  FROM eg_wexp GROUP BY 1
+      |)
+      |SELECT d.day, d.dau, w.wau,
+      |       round(d.dau / CAST(w.wau AS DOUBLE), 6) AS stickiness
+      |FROM eg_dau d JOIN eg_wau w USING (day)""".stripMargin
+
+  /** Exposed for the streaming twin's Op registration. */
+  private[graft] def engagementOracle: String = engagementSql
+
   def ops: Seq[Op] = Seq(
+    Op("engagement", engagement, Some(engagementSql)),
     Op("q1_pricing", q1Pricing, Some(q1Sql)),
     Op("q3_shipping", q3Shipping, Some(q3Sql)),
     Op("q5_region", q5Region, Some(q5Sql)),

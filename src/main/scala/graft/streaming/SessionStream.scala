@@ -169,6 +169,44 @@ object SessionStream {
       spark.createDataFrame(drained.rdd, drained.schema))
   }
 
+  // ------------------------------------------------------- stream_engagement
+
+  /** The LIVE form of `engagement` — the DAU/WAU dashboard served from
+    * stream state: the (user, epoch-day) activity matrix is ONE
+    * order-immune distinct (the `stream_cohort` argument), so a
+    * complete-mode `groupBy(user_id, day)` maintains it under any
+    * micro-batch split, late arrivals included; state = one row per
+    * (user, active-day), the matrix's own size. The DAU/WAU/stickiness
+    * readoff is the SAME [[graft.operators.Analytics.engagementFrom]] the
+    * batch op calls on the drained frame. Oracle = `engagement`'s SQL
+    * verbatim.
+    */
+  def engagementQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ev = CarbonStream.eventsStream(spark, dir)
+      .select(col("user_id"), expr("ts DIV 86400000000000").as("day"))
+    val sink = "stream_engagement_" + UUID.randomUUID().toString.replace("-", "")
+    CarbonStream.withStreamPartitions(spark) {
+      val q = ev.groupBy("user_id", "day").agg(count(lit(1)).as("n"))
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .start()
+      try {
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+      }
+    }
+    // the readoff SELF-joins the matrix (dau ⋈ wau both derive from it);
+    // rebase the memory-sink View onto fresh attributes (stream_cohort's
+    // conflicting-references gotcha)
+    val drained = CarbonStream.drainMemorySink(spark, sink)
+      .select("user_id", "day")
+    graft.operators.Analytics.engagementFrom(
+      spark.createDataFrame(drained.rdd, drained.schema))
+  }
+
   // ----------------------------------------------------------- stream_funnel
 
   case class FunnelEvent(user_id: Long, event_type: String, k: Long)
@@ -492,6 +530,8 @@ object SessionStream {
     Op("stream_holt", holtQuery, Some(graft.operators.Series.holtForecastSql)),
     Op("stream_attribution", attributionQuery,
       Some(graft.operators.Analytics.attributionSql)),
-    Op("stream_rfm", rfmQuery, Some(graft.operators.Analytics.rfmSql))
+    Op("stream_rfm", rfmQuery, Some(graft.operators.Analytics.rfmSql)),
+    Op("stream_engagement", engagementQuery,
+      Some(graft.operators.Analytics.engagementOracle))
   )
 }

@@ -254,8 +254,9 @@ class Round6Spec extends AnyFunSuite with TestSpark {
       "an eval-holdout doc passed decontamination or was kept")
     assert(out.forall { r =>
       b(r, "keep") == (b(r, "quality_ok") && b(r, "repetition_ok") &&
+        b(r, "perplexity_ok") && b(r, "select_ok") &&
         b(r, "decontaminated") && b(r, "dedup_keep"))
-    }, "keep is not the conjunction of its gates")
+    }, "keep is not the conjunction of its six gates")
     assert(out.exists(b(_, "keep")), "no document survived curation")
   }
 

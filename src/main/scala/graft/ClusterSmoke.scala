@@ -26,7 +26,8 @@ object ClusterSmoke {
         : (Set[(Long, Long, Long, Boolean)], Seq[(Int, String, String, Long)],
            Set[(String, Long, Int, Long, Long, Double)],
            Set[(String, Long, Long, Double, Long, Double)],
-           Set[(Long, Long, Option[Long], Boolean)]) =
+           Set[(Long, Long, Option[Long], Boolean)],
+           Set[(Long, String, Double, Long, Double, Boolean)]) =
       try {
         val lbl = graft.operators.Dedup.cluster(spark, sf)
           .collect()
@@ -60,7 +61,16 @@ object ClusterSmoke {
           .map(r => (r.getLong(0), r.getLong(1),
             if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getBoolean(3)))
           .toSet
-        (lbl, merges, mix, temp, sem)
+        // quality_select's cut pairs come off a distributed RANGE sort
+        // (withGlobalRank) and an eager |langs|-row collect — the r12
+        // driver-resident path; verdicts must be bit-stable under forked
+        // executors (range-partition sampling runs ON the executors)
+        val qs = graft.operators.TextOps.qualitySelect(spark, sf)
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+            r.getLong(3), r.getDouble(4), r.getBoolean(5)))
+          .toSet
+        (lbl, merges, mix, temp, sem, qs)
       } finally spark.stop()
 
     def builder(master: String) = SparkSession.builder()
@@ -69,11 +79,12 @@ object ClusterSmoke {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 
-    val (expected, expectedMerges, expectedMix, expectedTemp, expectedSem) =
-      labels(builder("local[2]").getOrCreate())
+    val (expected, expectedMerges, expectedMix, expectedTemp, expectedSem,
+      expectedQs) = labels(builder("local[2]").getOrCreate())
 
     val spillRoot = Files.createTempDirectory("cluster_smoke_spill").toString
-    val (clustered, clusterMerges, clusterMix, clusterTemp, clusterSem) = labels(
+    val (clustered, clusterMerges, clusterMix, clusterTemp, clusterSem,
+      clusterQs) = labels(
       builder("local-cluster[2,2,1024]")
         .appName("graft-cluster-smoke")
         .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
@@ -96,6 +107,9 @@ object ClusterSmoke {
       s"multi-JVM mix_temperature diverges: $clusterTemp vs $expectedTemp")
     require(expectedSem.exists(!_._4) && clusterSem == expectedSem,
       s"multi-JVM dedup_semantic diverges: ${(clusterSem diff expectedSem).take(5)}")
+    require(expectedQs.exists(_._6) && expectedQs.exists(!_._6) &&
+      clusterQs == expectedQs,
+      s"multi-JVM quality_select diverges: ${(clusterQs diff expectedQs).take(5)}")
     // the marker ClusterSmokeSpec greps for
     println(s"CLUSTER_SMOKE_OK rows=${expected.size} " +
       s"dropped=${expected.count(!_._4)} merges=${expectedMerges.size} spill=$spillRoot")

@@ -33,7 +33,8 @@ object Explain {
         "knn_pagerank", "text_knn", "event_attribution", "series_holt_forecast",
         "user_rfm",
         "series_linreg", "series_remove_outliers", "series_hitcount",
-        "quality_select", "chunk_knn"))
+        "quality_select", "chunk_knn", "series_holt_deviation",
+        "multimodal_phash", "engagement"))
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -276,7 +276,11 @@ object Multimodal {
     * surface at hamming 0. Scale shape: banded, never all-pairs; the only
     * exchanges carry 8-byte hashes + ids, never blobs.
     */
-  def phashPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** The banded phash frame `(doc_id, media_kind, phash, band, sig)` —
+    * shared by [[phashPairs]] and `sketch_occupancy`'s `phash_band`
+    * family so the audited buckets are exactly the joined ones.
+    */
+  private[graft] def phashBanded(spark: SparkSession, dir: String): DataFrame = {
     val lanes = features(spark, dir)
     val planted = lanes.filter(col("doc_id") % PhashPlantMod === 0)
       .withColumn("doc_id", col("doc_id") + PhashPlantBase)
@@ -284,12 +288,16 @@ object Multimodal {
     val hashed = lanes.unionByName(planted)
       .withColumn("phash", expr((0 until PhashLanes)
         .map(k => s"(f$k DIV 256) * ${1L << (8 * k)}L").mkString(" + ")))
-    val banded = hashed.select(col("doc_id"), col("media_kind"), col("phash"),
+    hashed.select(col("doc_id"), col("media_kind"), col("phash"),
       explode(array((0 until PhashBands).map(j =>
         struct(lit(j).as("band"),
           expr(s"(phash DIV ${1L << (12 * j)}L) % 4096").as("sig"))): _*)).as("bs"))
       .select(col("doc_id"), col("media_kind"), col("phash"),
         col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  def phashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val banded = phashBanded(spark, dir)
     banded.as("a").join(banded.as("b"),
         col("a.media_kind") === col("b.media_kind") &&
           col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -303,15 +311,20 @@ object Multimodal {
       .select("doc_a", "doc_b", "media_kind", "hamming")
   }
 
-  private val phashPairsSql: String = {
+  /** The banded phash frame as prefix-parameterized CTEs (final CTE =
+    * `${p}b`) — composed by the `multimodal_phash` oracle AND
+    * `sketch_occupancy`'s `phash_band` family, so the audited buckets
+    * cannot drift from the joined ones.
+    */
+  private[graft] def phashBandCtes(p: String): String = {
     val laneCols = (0 until FeatureDims)
       .map(k => s"${hexChunkSql("md5(text)", k * 4 + 1)} AS f$k").mkString(",\n       |       ")
     val phashExpr = (0 until PhashLanes)
       .map(k => s"(f$k // 256) * ${1L << (8 * k)}").mkString(" + ")
     val bandSelects = (0 until PhashBands).map(j =>
-      s"SELECT doc_id, media_kind, phash, $j AS band, (phash // ${1L << (12 * j)}) % 4096 AS sig FROM ph_h")
+      s"SELECT doc_id, media_kind, phash, $j AS band, (phash // ${1L << (12 * j)}) % 4096 AS sig FROM ${p}h")
       .mkString("\n       |  UNION ALL\n       |  ")
-    s"""WITH ph_l AS (
+    s"""${p}l AS (
        |  SELECT doc_id,
        |       CASE WHEN doc_id % 3 = 0 THEN 'image'
        |            WHEN doc_id % 3 = 1 THEN 'audio'
@@ -319,19 +332,23 @@ object Multimodal {
        |       $laneCols
        |  FROM documents
        |),
-       |ph_all AS (
-       |  SELECT doc_id, media_kind, f0, f1, f2, f3, f4, f5 FROM ph_l
+       |${p}all AS (
+       |  SELECT doc_id, media_kind, f0, f1, f2, f3, f4, f5 FROM ${p}l
        |  UNION ALL
        |  SELECT doc_id + $PhashPlantBase, media_kind,
        |         f0, f1, f2, CAST(xor(f3, 256) AS BIGINT), f4, f5
-       |  FROM ph_l WHERE doc_id % $PhashPlantMod = 0
+       |  FROM ${p}l WHERE doc_id % $PhashPlantMod = 0
        |),
-       |ph_h AS (
-       |  SELECT doc_id, media_kind, CAST($phashExpr AS BIGINT) AS phash FROM ph_all
+       |${p}h AS (
+       |  SELECT doc_id, media_kind, CAST($phashExpr AS BIGINT) AS phash FROM ${p}all
        |),
-       |ph_b AS (
+       |${p}b AS (
        |  $bandSelects
-       |),
+       |)""".stripMargin
+  }
+
+  private lazy val phashPairsSql: String = {
+    s"""WITH ${phashBandCtes("ph_")},
        |ph_p AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |         a.media_kind AS media_kind, a.phash AS pa, b.phash AS pb

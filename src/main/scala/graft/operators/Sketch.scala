@@ -94,6 +94,12 @@ object Sketch {
       .unionByName(occupancyOf(
         OpsStats.hllRegisterAssign(spark, dir, OpsStats.HllRegsProd),
         "hll_register_prod", Seq("event_type", "r")))
+      // the perceptual-hash band buckets (r12): the media near-dup join's
+      // quadratic is confined to (kind, band, sig) collisions exactly like
+      // the text banding families — same dial law, same watched number
+      .unionByName(occupancyOf(
+        Multimodal.phashBanded(spark, dir), "phash_band",
+        Seq("media_kind", "band", "sig")))
   }
 
   /** One WITH clause composing all four signature chains under
@@ -123,7 +129,8 @@ object Sketch {
        |${Carbon.cmsAssignCtes("cm4_", Carbon.CmsBucketBits)},
        |${Carbon.cmsAssignCtes("cmp_", Carbon.CmsBucketBitsProd)},
        |${OpsStats.hllAssignCtes("hl6_", OpsStats.HllRegs)},
-       |${OpsStats.hllAssignCtes("hlp_", OpsStats.HllRegsProd)}
+       |${OpsStats.hllAssignCtes("hlp_", OpsStats.HllRegsProd)},
+       |${Multimodal.phashBandCtes("phb_")}
        |${stats("minhash_band", "mh_sigs", "band, sig")}
        |UNION ALL
        |${stats("simhash_piece", "sh_pieces", "t, piece")}
@@ -144,7 +151,9 @@ object Sketch {
        |UNION ALL
        |${stats("hll_register", "hl6_assign", "event_type, r")}
        |UNION ALL
-       |${stats("hll_register_prod", "hlp_assign", "event_type, r")}""".stripMargin
+       |${stats("hll_register_prod", "hlp_assign", "event_type, r")}
+       |UNION ALL
+       |${stats("phash_band", "phb_b", "media_kind, band, sig")}""".stripMargin
   }
 
   def ops: Seq[Op] = Seq(

@@ -49,10 +49,17 @@ class Round9Spec extends AnyFunSuite with TestSpark {
     // embed_hashing/text_knn (r11 cont.): the empty doc's single '' token
     // and the CJK/emoji tokens must hash to the same (dim, sign) in both
     // engines, and the densify→cosine chain must survive the tiny corpus.
+    // r12 additions: quality_select's per-lang cut pairs over the tiny
+    // skewed-language fixture (single-doc languages: cut = the doc itself,
+    // keep = true), chunk_knn's chunk embeddings over the empty/non-ASCII
+    // docs, and multimodal_phash's lanes over their digests — all must
+    // land identically in both engines even when the pair/probe sets are
+    // empty at this size.
     Verify.dump(spark, fixtureDir, out,
       Some(Set("text_quality", "doc_fingerprint", "event_props",
         "chunk_documents", "boilerplate_share", "text_tfidf",
-        "vocab_coverage", "embed_hashing", "text_knn")))
+        "vocab_coverage", "embed_hashing", "text_knn",
+        "quality_select", "chunk_knn", "multimodal_phash")))
     val log = new StringBuilder
     val exit = Process(
       Seq("python3", "tools/oracle_check.py", fixtureDir, out),

@@ -665,6 +665,65 @@ object Analytics {
        |FROM ranked""".stripMargin
   }
 
+  // ------------------------------------------------------- event_transitions
+
+  /** The user-flow read (the Sankey/flow diagram behind every product
+    * analytics tool): the Markov transition matrix over consecutive
+    * events per user — for each (previous type → next type) pair, the
+    * transition count and its share of all transitions leaving the
+    * previous type. Consecutive is defined on the SAME total event order
+    * every sequential read uses (the packed (ts, event_id) key), so
+    * simultaneous events order identically in both engines.
+    *
+    * Scale shape: one per-user window sort (the partitioning the funnel
+    * family already rides) emits the pair stream; the count collapses
+    * map-side to the |types²|-row matrix, and the closing probability
+    * window runs over that config-sized frame.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val shift = graft.model.RollupConfig.LastKeyShift
+    val w = Window.partitionBy("user_id").orderBy("k")
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr(s"(ts DIV 1000000000) * $shift + event_id").as("k"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .select(col("prev_type"), col("event_type").as("next_type"))
+    transitionProbFrom(pairs)
+  }
+
+  /** The matrix readoff over a (prev_type, next_type) pair stream —
+    * shared verbatim with `stream_transitions`' drained-state readoff.
+    */
+  private[graft] def transitionProbFrom(pairs: DataFrame): DataFrame =
+    pairs.groupBy("prev_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("out_total",
+        sum("n").over(Window.partitionBy("prev_type")))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        round(col("n") / col("out_total").cast("double"), 6).as("prob"))
+
+  private[graft] val transitionsSql: String = {
+    val shift = graft.model.RollupConfig.LastKeyShift
+    s"""WITH tr_ev AS (
+       |  SELECT user_id, event_type,
+       |         (epoch_ns(ts) // 1000000000) * $shift + event_id AS k
+       |  FROM events
+       |),
+       |tr_p AS (
+       |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY k) AS prev_type,
+       |         event_type AS next_type
+       |  FROM tr_ev
+       |),
+       |tr_c AS (
+       |  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+       |  FROM tr_p WHERE prev_type IS NOT NULL GROUP BY 1, 2
+       |)
+       |SELECT prev_type, next_type, n,
+       |       round(n / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS prob
+       |FROM tr_c""".stripMargin
+  }
+
   // -------------------------------------------------------------- engagement
 
   /** The DAU/WAU engagement read — the fourth standing product-analytics
@@ -730,6 +789,7 @@ object Analytics {
   private[graft] def engagementOracle: String = engagementSql
 
   def ops: Seq[Op] = Seq(
+    Op("event_transitions", eventTransitions, Some(transitionsSql)),
     Op("engagement", engagement, Some(engagementSql)),
     Op("q1_pricing", q1Pricing, Some(q1Sql)),
     Op("q3_shipping", q3Shipping, Some(q3Sql)),

@@ -207,6 +207,106 @@ object SessionStream {
       spark.createDataFrame(drained.rdd, drained.schema))
   }
 
+  // ------------------------------------------------------ stream_transitions
+
+  case class TransEvent(user_id: Long, event_type: String, k: Long)
+  case class TransState(lastType: String, lastK: Long)
+  case class TransPair(prev_type: String, next_type: String)
+
+  /** The per-user transition emitter: state = ONE (last event type,
+    * high-water key) pair per user — two fields, independent of stream
+    * length. Each arriving event emits the (previous → current) pair its
+    * arrival completes; consecutive-ness is order-DEFINED, so in-order
+    * ingest per user is the enforced contract (the `stream_funnel`
+    * guard: a key regression fails the query loudly).
+    */
+  def transitionsMachine(events: Dataset[TransEvent]): Dataset[TransPair] = {
+    implicit val ts = Encoders.product[TransState]
+    implicit val tp = Encoders.product[TransPair]
+    implicit val kl = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, batch: Iterator[TransEvent], state: GroupState[TransState]) => {
+          var s = state.getOption.getOrElse(TransState(null, Long.MinValue))
+          val evs = batch.toSeq.sortBy(_.k)
+          evs.headOption.foreach { e =>
+            if (e.k < s.lastK) throw new IllegalStateException(
+              s"stream_transitions: out-of-order ingest for user $userId " +
+                s"(k ${e.k} < high-water ${s.lastK}) — consecutive-ness is " +
+                "order-defined; reorder upstream")
+          }
+          val out = evs.flatMap { e =>
+            val pair = Option(s.lastType).map(TransPair(_, e.event_type))
+            s = TransState(e.event_type, e.k)
+            pair
+          }
+          state.update(s)
+          out.iterator
+        })
+  }
+
+  /** The LIVE form of `event_transitions` — the user-flow matrix fed by
+    * the stream: each event completes one transition as it arrives, the
+    * pair stream accumulates in append mode, and the matrix/probability
+    * readoff is the SAME [[graft.operators.Analytics.transitionProbFrom]]
+    * the batch op runs. Events replay as three time-tertile mtime-ordered
+    * files so transitions genuinely cross micro-batch boundaries; under
+    * in-order ingest the emitted pairs equal the batch lag-window's
+    * row-for-row. Oracle = `event_transitions`' SQL verbatim.
+    */
+  def transitionsQuery(spark: SparkSession, dir: String): DataFrame = {
+    implicit val te = Encoders.product[TransEvent]
+    val shift = graft.model.RollupConfig.LastKeyShift
+    val ev = graft.model.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr(s"(ts DIV 1000000000) * $shift + event_id").as("k"))
+      .as[TransEvent].persist()
+    val src = java.nio.file.Files.createTempDirectory("stream_trans_src").toString
+    try {
+      val (lo, hi) = {
+        val r = ev.agg(min("k"), max("k")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+      DedupStream.writeOneFile(ev.filter(col("k") <= c1).toDF(),
+        s"$src/batch0.parquet", ageMs = 120000)
+      DedupStream.writeOneFile(ev.filter(col("k") > c1 && col("k") <= c2).toDF(),
+        s"$src/batch1.parquet", ageMs = 90000)
+      DedupStream.writeOneFile(ev.filter(col("k") > c2).toDF(),
+        s"$src/batch2.parquet", ageMs = 60000)
+    } finally ev.unpersist(blocking = true)
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    val sink = "stream_trans_" + UUID.randomUUID().toString.replace("-", "")
+    try {
+      CarbonStream.withStreamPartitions(spark) {
+        val q = transitionsMachine(
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src).as[TransEvent])
+          .toDF()
+          .writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode("append")
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
+      graft.operators.Analytics.transitionProbFrom(
+        CarbonStream.drainMemorySink(spark, sink))
+    } finally {
+      // the drained memory sink holds the rows; the replay files are done
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(src))
+    }
+  }
+
   // ----------------------------------------------------------- stream_funnel
 
   case class FunnelEvent(user_id: Long, event_type: String, k: Long)
@@ -532,6 +632,8 @@ object SessionStream {
       Some(graft.operators.Analytics.attributionSql)),
     Op("stream_rfm", rfmQuery, Some(graft.operators.Analytics.rfmSql)),
     Op("stream_engagement", engagementQuery,
-      Some(graft.operators.Analytics.engagementOracle))
+      Some(graft.operators.Analytics.engagementOracle)),
+    Op("stream_transitions", transitionsQuery,
+      Some(graft.operators.Analytics.transitionsSql))
   )
 }

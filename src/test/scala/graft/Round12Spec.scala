@@ -510,6 +510,52 @@ class Round12Spec extends AnyFunSuite with TestSpark {
     assert(got == want)
   }
 
+  test("event_transitions equals a driver-side consecutive-pair recount") {
+    import graft.operators.Analytics
+    val shift = graft.model.RollupConfig.LastKeyShift
+    val ev = graft.model.Tables.events(spark, Sf)
+      .select(col("user_id"), col("event_type"),
+        expr(s"(ts DIV 1000000000) * $shift + event_id").as("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = ev.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      val sorted = g.sortBy(_._3).map(_._2)
+      sorted.zip(sorted.tail)
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = Analytics.eventTransitions(spark, Sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got == want)
+    // probabilities sum to 1 per source type
+    val sums = Analytics.eventTransitions(spark, Sf).collect()
+      .groupBy(_.getString(0)).map { case (_, g) => g.map(_.getDouble(3)).sum }
+    assert(sums.forall(s => math.abs(s - 1.0) < 1e-4))
+  }
+
+  test("stream_transitions fails loudly on out-of-order ingest") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.SessionStream
+    implicit val sq = spark.sqlContext
+    implicit val te = org.apache.spark.sql.Encoders.product[SessionStream.TransEvent]
+    val ms = MemoryStream[SessionStream.TransEvent]
+    val q = SessionStream.transitionsMachine(ms.toDS()).toDF()
+      .writeStream.format("memory").queryName("r12_ooo_trans")
+      .outputMode("append").start()
+    try {
+      ms.addData(SessionStream.TransEvent(1L, "view", 100L))
+      q.processAllAvailable()
+      ms.addData(SessionStream.TransEvent(1L, "click", 50L)) // late event
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def chain(e: Throwable): Seq[String] =
+        Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+          .map(_.getMessage).toSeq
+      assert(chain(ex).exists(m => m != null && m.contains("out-of-order")),
+        s"expected the out-of-order guard, got: ${chain(ex)}")
+    } finally {
+      q.stop(); spark.catalog.dropTempView("r12_ooo_trans")
+    }
+  }
+
   // ------------------------------------------------ serving-path read retry
 
   test("retryTransientReads: swap-window read races retry, real errors propagate") {

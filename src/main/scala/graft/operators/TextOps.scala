@@ -68,6 +68,49 @@ object TextOps {
        |FROM hits""".stripMargin
   }
 
+  // ------------------------------------------------------------ lang_confusion
+
+  /** The measurement harness for [[langId]] — the `ann_recall` pattern
+    * applied to the language heuristic: the confusion matrix of predicted
+    * vs labeled language, with each cell's share of its TRUE language's
+    * documents. Accuracy is the diagonal; the off-diagonal cells say
+    * which stopword lists collide (and the `other` column how much of
+    * each language the stopword lists miss entirely) — the dial report
+    * that makes extending [[Stopwords]] safe.
+    *
+    * On the synthetic fixture the harness's FINDING is a label/content
+    * mismatch: every labeled language's texts are English-vocabulary
+    * word soup, so ~78% of every label predicts `en` (Round12Spec pins
+    * this). That is the report doing its job — on a real multilingual
+    * corpus the diagonal dominates instead.
+    *
+    * Scale shape: the prediction is the same map-only projection
+    * `lang_id` runs; ONE groupBy collapses map-side to the
+    * |langs × predictions|-row matrix, and the share window runs over
+    * that config-sized frame.
+    */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val pred = langId(spark, dir).select(col("doc_id"), col("lang_pred"))
+    Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+      .join(pred, "doc_id")
+      .groupBy("lang", "lang_pred")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lang_total", sum("n").over(Window.partitionBy("lang")))
+      .select(col("lang"), col("lang_pred"), col("n"),
+        round(col("n") / col("lang_total").cast("double"), 6).as("share"))
+  }
+
+  private val langConfusionSql: String =
+    s"""WITH lc_pred AS ($langIdSql),
+       |lc_c AS (
+       |  SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n
+       |  FROM documents d JOIN lc_pred p ON d.doc_id = p.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT lang, lang_pred, n,
+       |       round(n / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE), 6) AS share
+       |FROM lc_c""".stripMargin
+
   // ------------------------------------------------------------- text_quality
 
   /** Quality scoring: length, punctuation ratio, stopword ratio, mean token
@@ -1414,6 +1457,7 @@ object TextOps {
     Op("boilerplate_share", boilerplateShare, Some(boilerplateShareSql)),
     Op("text_tfidf", textTfidf, Some(textTfidfSql)),
     Op("lang_id", langId, Some(langIdSql)),
+    Op("lang_confusion", langConfusion, Some(langConfusionSql)),
     Op("text_quality", textQuality, Some(textQualitySql)),
     Op("token_count", tokenCount, Some(tokenCountSql)),
     Op("text_repetition", textRepetition, Some(textRepetitionSql)),

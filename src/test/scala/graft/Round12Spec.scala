@@ -530,6 +530,29 @@ class Round12Spec extends AnyFunSuite with TestSpark {
     assert(sums.forall(s => math.abs(s - 1.0) < 1e-4))
   }
 
+  test("lang_confusion: rows partition per-language mass; the heuristic is measured") {
+    import graft.operators.TextOps
+    val rows = TextOps.langConfusion(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // shares sum to 1 per true language, and the matrix totals the corpus
+    rows.groupBy(_._1).foreach { case (l, g) =>
+      assert(math.abs(g.map(_._4).sum - 1.0) < 1e-4, s"$l shares don't partition")
+    }
+    val total = rows.map(_._3).sum
+    val nDocs = graft.model.Tables.documents(spark, Sf).count()
+    assert(total == nDocs)
+    // what the harness MEASURES here: the fixture's texts are
+    // English-vocabulary word soup under every label, and the matrix
+    // exposes exactly that — the dominant prediction is 'en' for every
+    // labeled language (a label/content mismatch the report makes
+    // visible; on a real multilingual corpus the diagonal dominates)
+    assert(rows.map(_._2).toSet.subsetOf(Set("en", "de", "es", "fr", "other")))
+    rows.groupBy(_._1).foreach { case (l, g) =>
+      val top = g.maxBy(_._3)._2
+      assert(top == "en", s"$l: dominant prediction $top — fixture content drifted")
+    }
+  }
+
   test("stream_transitions fails loudly on out-of-order ingest") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.SessionStream

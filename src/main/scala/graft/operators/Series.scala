@@ -749,34 +749,45 @@ object Series {
 
   /** The fit readoff over a moment frame — shared verbatim by
     * `series_linreg` and `stream_linreg`'s drained-state readoff. Slope and
-    * the two fitted points are exact integer RATIOS (numerator and
-    * denominator both decimal(38)); the only float per column is one
-    * double cast each side of ONE IEEE division, then `round(…, 6)` —
-    * bit-identical across engines. Paths with zero x-variance (single
-    * point, or all points sharing a timestamp) have no defined line and
-    * yield nulls.
+    * the two fitted points are emitted as exact BIGINT micro-units
+    * (micro-value-units per second / micro-value-units): every column is an
+    * integer RATIO `fn / fd` truncated at 10^-6 precision via the
+    * quotient/remainder split `(fn DIV fd)·10^6 + ((fn MOD fd)·10^6) DIV fd`
+    * — no float is ever produced, so no engine's wide-int→double cast or
+    * `round` implementation can flip a hash (the r12 driver-red failure
+    * class: both operands exceeded 2^53). Both engines' integer division
+    * truncates toward zero and MOD carries the dividend's sign, so the two
+    * terms share a sign and add without a carry. Width bound: the largest
+    * intermediate is `(fn MOD fd)·10^6 < fd·10^6 = n·den·10^8 ≤
+    * n³·span²·10^8` where span = max(ts)−min(ts) per path (den = n²·var(x)
+    * is SHIFT-INVARIANT, so raw epoch ts does not widen it) — within
+    * decimal(38)/HUGEINT for n·span ≤ ~10^10 point-seconds³ per path
+    * (fixture: n≈10^4, span≈10^5 → 10^39/10^8… i.e. 10^27·10^8 = 10^35).
+    * Paths with zero x-variance (single point, or all points sharing a
+    * timestamp) have no defined line and yield nulls.
     */
   private[graft] def linregFrom(m: DataFrame): DataFrame = {
     val dec = "decimal(38,0)"
-    def fitAt(x: Column): Column = {
-      val fn = col("den") * col("sy") +
+    def micro(fn: String, fd: String): Column =
+      expr(s"($fn div $fd) * 1000000 + (($fn % $fd) * 1000000) div $fd")
+    def fnAt(x: Column): Column =
+      col("den") * col("sy") +
         col("num") * (col("n").cast(dec) * x.cast(dec) - col("sx"))
-      val fd = col("n").cast(dec) * col("den")
-      round(fn.cast("double") / (fd.cast("double") * lit(100.0)), 6)
-    }
     m.withColumn("num", col("n").cast(dec) * col("sxy") - col("sx") * col("sy"))
       .withColumn("den", col("n").cast(dec) * col("sxx") - col("sx") * col("sx"))
+      .withColumn("sd", col("den") * lit(100L).cast(dec))
+      .withColumn("fd", col("n").cast(dec) * col("den") * lit(100L).cast(dec))
+      .withColumn("fn_last", fnAt(col("x_last")))
+      .withColumn("fn_next", fnAt(col("x_last") + LinregAheadSec))
       .select(col("path"), col("n"),
-        when(col("den") =!= 0,
-          round(col("num").cast("double") / (col("den").cast("double") * lit(100.0)), 6))
-          .as("slope"),
-        when(col("den") =!= 0, fitAt(col("x_last"))).as("fit_last"),
-        when(col("den") =!= 0, fitAt(col("x_last") + LinregAheadSec))
-          .as("forecast_next"))
+        when(col("den") =!= 0, micro("num", "sd")).as("slope_micro"),
+        when(col("den") =!= 0, micro("fn_last", "fd")).as("fit_last_micro"),
+        when(col("den") =!= 0, micro("fn_next", "fd")).as("forecast_next_micro"))
   }
 
   /** Graphite's `linearRegression(seriesList)`: the per-path least-squares
-    * line over (ts, value), reported as slope (value units per second),
+    * line over (ts, value), reported as slope (micro-value-units per
+    * second, exact BIGINT — see [[linregFrom]] for the no-float contract),
     * the fit at the path's last point, and the one-bucket-ahead forecast —
     * the trend read capacity planning runs. Scale shape: ONE groupBy(path)
     * aggregate with map-side partial combine (the moment tuple is six
@@ -803,20 +814,26 @@ object Series {
        |         CAST(n AS HUGEINT) * sxy - sx * sy AS num,
        |         CAST(n AS HUGEINT) * sxx - sx * sx AS den
        |  FROM lm
+       |),
+       |lf AS (
+       |  SELECT path, n, x_last, num, den,
+       |         den * 100 AS sd,
+       |         CAST(n AS HUGEINT) * den * 100 AS fd,
+       |         den * sy + num * (CAST(n AS HUGEINT) * x_last - sx) AS fn_last,
+       |         den * sy + num * (CAST(n AS HUGEINT) * (x_last + $LinregAheadSec) - sx) AS fn_next
+       |  FROM ld
        |)
        |SELECT path, CAST(n AS BIGINT) AS n,
        |       CASE WHEN den <> 0
-       |            THEN round(CAST(num AS DOUBLE) / (CAST(den AS DOUBLE) * 100.0), 6)
-       |       END AS slope,
+       |            THEN CAST((num // sd) * 1000000 + ((num % sd) * 1000000) // sd AS BIGINT)
+       |       END AS slope_micro,
        |       CASE WHEN den <> 0
-       |            THEN round(CAST(den * sy + num * (CAST(n AS HUGEINT) * x_last - sx) AS DOUBLE)
-       |                       / (CAST(CAST(n AS HUGEINT) * den AS DOUBLE) * 100.0), 6)
-       |       END AS fit_last,
+       |            THEN CAST((fn_last // fd) * 1000000 + ((fn_last % fd) * 1000000) // fd AS BIGINT)
+       |       END AS fit_last_micro,
        |       CASE WHEN den <> 0
-       |            THEN round(CAST(den * sy + num * (CAST(n AS HUGEINT) * (x_last + $LinregAheadSec) - sx) AS DOUBLE)
-       |                       / (CAST(CAST(n AS HUGEINT) * den AS DOUBLE) * 100.0), 6)
-       |       END AS forecast_next
-       |FROM ld""".stripMargin
+       |            THEN CAST((fn_next // fd) * 1000000 + ((fn_next % fd) * 1000000) // fd AS BIGINT)
+       |       END AS forecast_next_micro
+       |FROM lf""".stripMargin
 
   // --------------------------------------------------- removeAbovePercentile
 

@@ -325,17 +325,18 @@ class Round12Spec extends AnyFunSuite with TestSpark {
   test("series_linreg recovers an exact line and nulls zero-variance paths") {
     import spark.implicits._
     import graft.operators.Series
-    // value = 2t + 3 (cents = 200t + 300): slope 2.0 value/s, fit at the
-    // last point t=4 is 11.0, forecast at t = 4 + LinregAheadSec is exact
+    // value = 2t + 3 (cents = 200t + 300): slope 2 value/s = 2_000_000
+    // micro-units/s, fit at the last point t=4 is 11 value-units =
+    // 11_000_000 micro-units, forecast at t = 4 + LinregAheadSec is exact
     val a = (0L to 4L).map(t => ("a", t, t + 1, 200L * t + 300L))
     val b = Seq(("b", 7L, 9L, 500L)) // single point: den = 0, no line
     val cents = (a ++ b).toDF("path", "ts", "event_id", "cents")
     val got = Series.linregFrom(Series.linregMomentsFrom(cents))
       .collect().map(r => r.getString(0) -> r).toMap
     assert(got("a").getLong(1) == 5L)
-    assert(got("a").getDouble(2) == 2.0)
-    assert(got("a").getDouble(3) == 11.0)
-    assert(got("a").getDouble(4) == (2 * (4 + Series.LinregAheadSec) + 3).toDouble)
+    assert(got("a").getLong(2) == 2000000L)
+    assert(got("a").getLong(3) == 11000000L)
+    assert(got("a").getLong(4) == (2 * (4 + Series.LinregAheadSec) + 3) * 1000000L)
     assert(got("b").isNullAt(2) && got("b").isNullAt(3) && got("b").isNullAt(4))
   }
 

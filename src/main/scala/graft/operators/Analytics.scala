@@ -694,6 +694,10 @@ object Analytics {
 
   /** The matrix readoff over a (prev_type, next_type) pair stream —
     * shared verbatim with `stream_transitions`' drained-state readoff.
+    * Float bound (house standard): `prob` divides two EVENT COUNTS — both
+    * int64-exact and < 2^53 up to 9·10^15 events — in ONE IEEE division,
+    * so the int64→double conversions and the quotient are bit-identical
+    * across engines.
     */
   private[graft] def transitionProbFrom(pairs: DataFrame): DataFrame =
     pairs.groupBy("prev_type", "next_type")
@@ -736,6 +740,9 @@ object Analytics {
     * EXPLODING each activity day onto the 7 future days it supports — a
     * map-only ×7 fan-out of the |users × days| matrix, never the event
     * stream — so WAU is a plain distinct count, no window over days.
+    * Float bound: `stickiness` divides two distinct-USER counts (< 2^53
+    * trivially) in one IEEE division — engine-exact operands, one
+    * correctly-rounded quotient.
     */
   def engagement(spark: SparkSession, dir: String): DataFrame =
     engagementFrom(activityFrom(Tables.events(spark, dir)))

@@ -110,7 +110,10 @@ object Curate {
     * Portability: the mean is computed over micro-scaled integer scores
     * (`round(score·10⁶)` is integral because score is round(·, 6), so the
     * bigint sum is exact and order-immune); the two fractions are ONE
-    * closing division each, round 6. Scale shape: the verdict and score
+    * closing division each, round 6. Float bound: `sum(score_micro)` ≤
+    * n_docs·10⁶ (scores are ≤ ~1), so both division operands stay < 2^53
+    * for n_docs up to ~9·10^9 per source — engine-exact int64→double
+    * conversions, one correctly-rounded quotient each. Scale shape: the verdict and score
     * frames join on the doc key they already carry, then ONE
     * groupBy(source) whose map-side combine collapses to |sources| rows.
     */

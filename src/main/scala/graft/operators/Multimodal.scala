@@ -282,6 +282,13 @@ object Multimodal {
     */
   private[graft] def phashBanded(spark: SparkSession, dir: String): DataFrame = {
     val lanes = features(spark, dir)
+    // plant ids live above every real doc_id; a fixture grown past the
+    // base would silently collide planted with genuine documents in BOTH
+    // engines — fail loudly instead (one scalar agg over the lane frame)
+    val maxId = lanes.agg(max("doc_id")).head.getLong(0)
+    require(maxId < PhashPlantBase,
+      s"multimodal_phash: max(doc_id)=$maxId >= plant base $PhashPlantBase — " +
+        "raise PhashPlantBase before running against this fixture")
     val planted = lanes.filter(col("doc_id") % PhashPlantMod === 0)
       .withColumn("doc_id", col("doc_id") + PhashPlantBase)
       .withColumn("f3", expr("CAST(f3 ^ 256 AS BIGINT)"))

@@ -897,7 +897,13 @@ object Series {
     * the path's previous point), re-bucketed onto the epoch-aligned
     * [[SummarizeBucketSec]] grid. Each path's FIRST point has no preceding
     * interval and contributes 0 (the reference skips the pre-history
-    * interval the same way). The products are exact cents·seconds bigints;
+    * interval the same way). DEVIATION from graphite: each point's whole
+    * value×dt product is credited to the bucket containing ts; graphite
+    * apportions an interval that SPANS bucket boundaries across them
+    * proportionally, so buckets adjacent to points sparser than the bucket
+    * width over/under-report vs the reference (both engines here agree —
+    * the oracle gates the single-bucket attribution semantics, not
+    * graphite's). The products are exact cents·seconds bigints;
     * the ONE float is the closing /100. Scale shape: the shared per-path
     * window sort, then one groupBy whose map-side combine collapses to
     * |paths × buckets| rows.

@@ -87,7 +87,9 @@ object TextOps {
     * Scale shape: the prediction is the same map-only projection
     * `lang_id` runs; ONE groupBy collapses map-side to the
     * |langs × predictions|-row matrix, and the share window runs over
-    * that config-sized frame.
+    * that config-sized frame. Float bound: `share` divides two DOC
+    * COUNTS (< 2^53 up to 9·10^15 docs) in one IEEE division —
+    * engine-exact operands, bit-identical quotient.
     */
   def langConfusion(spark: SparkSession, dir: String): DataFrame = {
     val pred = langId(spark, dir).select(col("doc_id"), col("lang_pred"))

@@ -229,10 +229,13 @@ object SessionStream {
         (userId: Long, batch: Iterator[TransEvent], state: GroupState[TransState]) => {
           var s = state.getOption.getOrElse(TransState(null, Long.MinValue))
           val evs = batch.toSeq.sortBy(_.k)
+          // <= (not <): an event whose key EQUALS the high-water mark is a
+          // duplicate redelivery — accepting it would emit an extra pair
+          // and diverge from batch lag semantics (packMachine's guard)
           evs.headOption.foreach { e =>
-            if (e.k < s.lastK) throw new IllegalStateException(
+            if (e.k <= s.lastK) throw new IllegalStateException(
               s"stream_transitions: out-of-order ingest for user $userId " +
-                s"(k ${e.k} < high-water ${s.lastK}) — consecutive-ness is " +
+                s"(k ${e.k} <= high-water ${s.lastK}) — consecutive-ness is " +
                 "order-defined; reorder upstream")
           }
           val out = evs.flatMap { e =>

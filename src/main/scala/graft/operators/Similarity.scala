@@ -263,18 +263,27 @@ object Similarity {
     * the standard edge-partitioned PageRank join; the |slice|-row rank
     * frame rides the same key partitioning every round.
     */
-  def knnPagerank(spark: SparkSession, dir: String): DataFrame = {
+  def knnPagerank(spark: SparkSession, dir: String): DataFrame =
+    pagerankFrom(spark, dir, mutualKnnEdges(spark, dir),
+      graphVerts(spark, dir).select("vec_id"), "knn_pagerank_edges")
+
+  /** The power-iteration engine over an arbitrary DIRECTED mutual edge
+    * frame `(q_id, n_id)` and vertex universe — shared by [[knnPagerank]]
+    * (exact slice edges) and [[knnPagerankIvf]] (IVF cell-mate edges over
+    * the full corpus).
+    */
+  private def pagerankFrom(spark: SparkSession, dir: String,
+      edges0: DataFrame, verts: DataFrame, spillTag: String): DataFrame = {
     // The edge list feeds every unrolled round; left as lineage, the
-    // quadratic kNN sub-plan would be re-executed once per round (the
+    // kNN sub-plan would be re-executed once per round (the
     // dedup_cluster iteration-lineage problem). Spill it ONCE through the
-    // shared-storage gate — the rounds then read a k·|slice|-row parquet,
+    // shared-storage gate — the rounds then read a k·|verts|-row parquet,
     // and the returned plan pins zero block-manager state. Retention is
     // Spill's documented GC contract: overwrite-per-(tag, input), one copy
     // ever on disk, `rm -r <spillRoot>` reclaims at any quiet moment.
-    val spill = graft.model.Spill.path(spark, "knn_pagerank_edges", dir)
-    mutualKnnEdges(spark, dir).write.mode("overwrite").parquet(spill)
+    val spill = graft.model.Spill.path(spark, spillTag, dir)
+    edges0.write.mode("overwrite").parquet(spill)
     val edges = spark.read.parquet(spill)
-    val verts = graphVerts(spark, dir).select("vec_id")
     val deg = edges.groupBy("q_id").agg(count(lit(1)).as("deg"))
     val eD = edges.join(deg, "q_id")
     var r = verts.select(col("vec_id"), lit(PrBase).as("r"))
@@ -294,28 +303,36 @@ object Similarity {
         col("r").as("pr_ppm"))
   }
 
-  private val knnPagerankSql: String = {
+  /** The unrolled power-iteration oracle over an arbitrary CTE chain that
+    * defines `$vertsName(vec_id, …)` and `$meName(u, v)` — the DuckDB
+    * mirror of [[pagerankFrom]], shared by both pagerank oracles.
+    */
+  private def pagerankSqlOver(ctes: String, vertsName: String,
+      meName: String): String = {
     val base = PrBase - PrBase * PrDamp / 100
     def round(n: Int): String =
       s"""pr$n AS (
          |  SELECT v.vec_id,
          |         CAST($base + (${PrDamp} * coalesce(s.inflow, 0)) // 100 AS BIGINT) AS r
-         |  FROM km_verts v LEFT JOIN (
+         |  FROM $vertsName v LEFT JOIN (
          |    SELECT e.v AS vec_id, CAST(sum(p.r // d.deg) AS BIGINT) AS inflow
-         |    FROM km_me e
+         |    FROM $meName e
          |    JOIN pr_deg d ON e.u = d.u
          |    JOIN pr${n - 1} p ON p.vec_id = e.u
          |    GROUP BY 1
          |  ) s ON v.vec_id = s.vec_id
          |)""".stripMargin
     s"""WITH $fixedVecsCtes,
-       |$knnGraphCtes,
-       |pr_deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM km_me GROUP BY 1),
-       |pr0 AS (SELECT vec_id, CAST($PrBase AS BIGINT) AS r FROM km_verts),
+       |$ctes,
+       |pr_deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM $meName GROUP BY 1),
+       |pr0 AS (SELECT vec_id, CAST($PrBase AS BIGINT) AS r FROM $vertsName),
        |${(1 to PrIters).map(round).mkString(",\n")}
        |SELECT p.vec_id, coalesce(d.deg, 0) AS mutual_degree, p.r AS pr_ppm
        |FROM pr$PrIters p LEFT JOIN pr_deg d ON p.vec_id = d.u""".stripMargin
   }
+
+  private val knnPagerankSql: String =
+    pagerankSqlOver(knnGraphCtes, "km_verts", "km_me")
 
   // ----------------------------------------------------------- LSH bucketing
 
@@ -911,6 +928,245 @@ object Similarity {
        |    FROM ${p}cdist
        |  ) WHERE crn = 1
        |)""".stripMargin
+
+  // ------------------------------------------------ knn_graph_ivf (ANN-backed)
+
+  /** Mutual-kNN edges from IVF CELL-MATE candidates — the 100 TB edge
+    * generator the exact [[mutualKnnEdges]] slice form is the recall
+    * harness for. The quantizer is the corpus-wide seed quantizer (the
+    * SAME cells `ann_ivf` probes and `dedup_semantic` scopes), `verts` is
+    * whichever vertex frame the caller passes (full corpus for the
+    * shipped ops; the `%5` slice for [[knnGraphRecall]]'s measurement),
+    * and each vertex's top-[[TopK]] list is computed WITHIN its cell —
+    * the SemDeDup scope bound: per-cell pair work is |cell|², so total
+    * work is ~|cell|·n and the cell count is the dial that keeps |cell|
+    * bounded as n grows. Vectors whose true neighbors straddle a cell
+    * boundary lose those edges — the measured recall trade
+    * ([[knnGraphRecall]], docs/TUNING.md).
+    *
+    * Plan shape: ONE broadcast-centroid argmax assignment (the sort-free
+    * [[assignNearest]] max_by), then a self-join shuffling BOTH sides on
+    * `c_id` (hash-partitioned equality join, never a broadcast of the
+    * corpus), a per-vertex top-k window inside the cell partition, and
+    * the reversed-edge mutuality self-join on the k·n-row list.
+    */
+  /** Cells each vertex JOINS for candidate generation — the boundary-
+    * recall dial: with 1, a vector whose true neighbors sit across its
+    * cell boundary loses those edges entirely; with 2 every vector also
+    * meets its second-nearest cell's members (the IVF nprobe idea applied
+    * to index-side membership — the standard multi-assignment trick
+    * kNN-graph builders use). Candidate work scales ~nprobe² per cell.
+    */
+  val KnnGraphNProbe = 2
+
+  /** Top-[[KnnGraphNProbe]] cell MEMBERSHIPS `(vec_id, v, nrm, c_id)` —
+    * nprobe=2 as TWO chained [[assignNearest]] max_by passes (second pass
+    * re-scores with the winner excluded), NOT a window over the n×k
+    * scored frame: each pass partial-combines map-side so the exchange
+    * carries n rows, never n×|cells| — the property that makes the
+    * assignment scale-honest at 100 TB.
+    */
+  private[graft] def assignTop2(verts: DataFrame, cents: DataFrame): DataFrame = {
+    val a1 = assignNearest(verts, cents)
+    val a2 = a1.select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("c1"))
+      .crossJoin(broadcast(cents))
+      .filter(col("c_id") =!= col("c1"))
+      .withColumn("ccos",
+        expr(dotExpr("v", "cv")) / (sqrt(col("nrm")) * sqrt(col("cn"))))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("v"), col("nrm"), col("c_id")),
+        struct(col("ccos"), -col("c_id"))).as("b"))
+      .select(col("vec_id"), col("b.v").as("v"), col("b.nrm").as("nrm"),
+        col("b.c_id").as("c_id"))
+    a1.select("vec_id", "v", "nrm", "c_id").unionByName(a2)
+  }
+
+  private[graft] def mutualKnnEdgesIvf(spark: SparkSession, dir: String,
+      verts: DataFrame): DataFrame =
+    mutualKnnEdgesIvfWith(spark, dir, verts, CentroidMod, KnnGraphNProbe)
+
+  /** [[mutualKnnEdgesIvf]] at an explicit `(centroidMod, nprobe)` — the
+    * dial surface `graft.KnnGraphTune` sweeps (docs/TUNING.md records the
+    * frontier; nprobe 1→2 measured 0.36→0.92 edge recall at sf0.01).
+    */
+  private[graft] def mutualKnnEdgesIvfWith(spark: SparkSession, dir: String,
+      verts: DataFrame, centroidMod: Int, nprobe: Int): DataFrame = {
+    val cents = seedCentsEvery(fixedVecs(spark, dir), centroidMod)
+    val assigned =
+      if (nprobe <= 1) assignNearest(verts, cents).select("vec_id", "v", "nrm", "c_id")
+      else assignTop2(verts, cents)
+    val knn = assigned.join(
+        assigned.select(col("c_id").as("m_cid"), col("vec_id").as("m_id"),
+          col("v").as("mv"), col("nrm").as("mn")),
+        col("c_id") === col("m_cid") && col("vec_id") =!= col("m_id"))
+      .select(col("vec_id"), col("m_id"),
+        (expr(dotExpr("v", "mv")) / (sqrt(col("nrm")) * sqrt(col("mn")))).as("cos"))
+      // a pair sharing BOTH probed cells scores identically twice — collapse
+      // before ranking or the duplicate eats a top-k slot
+      .distinct()
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cos").desc, col("m_id"))))
+      .filter(col("rank") <= TopK)
+      .select(col("vec_id").as("q_id"), col("m_id").as("n_id"))
+    knn.as("x").join(knn.as("y"),
+        col("x.q_id") === col("y.n_id") && col("x.n_id") === col("y.q_id"))
+      .select(col("x.q_id").as("q_id"), col("x.n_id").as("n_id"))
+  }
+
+  /** CTE chain `{p}verts … {p}assigned … {p}knn(q_id, n_id) … {p}me(u, v)`
+    * — the DuckDB mirror of [[mutualKnnEdgesIvf]] over the vertex
+    * predicate `vertPred`, prefixed for composition (expects `nv` in
+    * scope). Same argmax/tiebreak as [[ivfAssignCtes]], same top-k
+    * ordering as the `km_*` exact chain.
+    */
+  private[graft] def knnIvfCtes(p: String, vertPred: String): String =
+    s"""${p}verts AS (SELECT vec_id, v, nrm FROM nv WHERE $vertPred),
+       |${p}cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM nv WHERE vec_id % $CentroidMod = 1),
+       |${p}cdist AS (
+       |  SELECT n.vec_id, n.v, n.nrm, c.c_id,
+       |         CAST(list_sum([n.v[i] * c.cv[i] for i in generate_series(1, len(n.v))]) AS BIGINT)
+       |           / (sqrt(n.nrm) * sqrt(c.cn)) AS ccos
+       |  FROM ${p}verts n CROSS JOIN ${p}cents c
+       |),
+       |${p}assigned AS (
+       |  SELECT vec_id, v, nrm, c_id FROM (
+       |    SELECT vec_id, v, nrm, c_id,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS crn
+       |    FROM ${p}cdist
+       |  ) WHERE crn <= $KnnGraphNProbe
+       |),
+       |${p}pairs AS (
+       |  SELECT DISTINCT a.vec_id AS q_id, b.vec_id,
+       |         CAST(list_sum([a.v[i] * b.v[i] for i in generate_series(1, len(a.v))]) AS BIGINT)
+       |           / (sqrt(a.nrm) * sqrt(b.nrm)) AS cos
+       |  FROM ${p}assigned a JOIN ${p}assigned b
+       |    ON a.c_id = b.c_id AND a.vec_id <> b.vec_id
+       |),
+       |${p}knn AS (
+       |  SELECT q_id, vec_id AS n_id FROM (
+       |    SELECT q_id, vec_id,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |    FROM ${p}pairs
+       |  ) WHERE rank <= $TopK
+       |),
+       |${p}me AS (
+       |  SELECT x.q_id AS u, x.n_id AS v
+       |  FROM ${p}knn x JOIN ${p}knn y ON x.q_id = y.n_id AND x.n_id = y.q_id
+       |)""".stripMargin
+
+  /** Mutual-kNN degrees over the FULL corpus from IVF cell-mate edges —
+    * the scale-honest form of `knn_mutual` (whose exact kNN is
+    * slice-bound by design). Same output shape; every vector gets a
+    * degree, zero-degree vectors kept.
+    */
+  def knnGraphIvf(spark: SparkSession, dir: String): DataFrame = {
+    val verts = fixedVecs(spark, dir)
+    val mutual = mutualKnnEdgesIvf(spark, dir, verts)
+      .groupBy(col("q_id").as("vec_id"))
+      .agg(count(lit(1)).as("mutual_degree"))
+    verts.select("vec_id").join(mutual, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("mutual_degree"), lit(0L)).as("mutual_degree"))
+  }
+
+  private val knnGraphIvfSql: String =
+    s"""WITH $fixedVecsCtes,
+       |${knnIvfCtes("kg_", "TRUE")},
+       |kg_mutual AS (
+       |  SELECT u AS vec_id, CAST(count(*) AS BIGINT) AS mutual_degree
+       |  FROM kg_me GROUP BY 1
+       |)
+       |SELECT v.vec_id, coalesce(m.mutual_degree, 0) AS mutual_degree
+       |FROM kg_verts v LEFT JOIN kg_mutual m ON v.vec_id = m.vec_id""".stripMargin
+
+  /** Connected components over the FULL-corpus IVF mutual-kNN graph —
+    * `knn_components` fed by the ANN-backed edge generator instead of the
+    * exact slice kNN: the same [[graft.operators.Dedup.componentsFrom]]
+    * pointer-doubled propagation, the same recursive-CTE oracle closure,
+    * over edges that exist at 100 TB.
+    */
+  def knnComponentsIvf(spark: SparkSession, dir: String): DataFrame =
+    Dedup.componentsFrom(spark, dir,
+      mutualKnnEdgesIvf(spark, dir, fixedVecs(spark, dir))
+        .filter(col("q_id") < col("n_id")),
+      "q_id", "n_id", fixedVecs(spark, dir).select("vec_id"),
+      "vec_id", "knn_ivf_labels")
+
+  private val knnComponentsIvfSql: String =
+    s"""WITH RECURSIVE $fixedVecsCtes,
+       |${knnIvfCtes("kg_", "TRUE")},
+       |reach(v, r) AS (
+       |  SELECT u, u FROM kg_me
+       |  UNION
+       |  SELECT e.v, reach.r FROM kg_me e JOIN reach ON reach.v = e.u
+       |),
+       |comp AS (SELECT v, min(r) AS cluster_id FROM reach GROUP BY 1),
+       |m AS (
+       |  SELECT kv.vec_id, coalesce(c.cluster_id, kv.vec_id) AS cluster_id
+       |  FROM kg_verts kv LEFT JOIN comp c ON kv.vec_id = c.v
+       |),
+       |sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members FROM m GROUP BY 1)
+       |SELECT m.vec_id, m.cluster_id, s.n_members,
+       |       m.vec_id = m.cluster_id AS keep
+       |FROM m JOIN sizes s USING (cluster_id)""".stripMargin
+
+  /** PageRank over the FULL-corpus IVF mutual-kNN graph — the third
+    * ANN-backed graph read, same [[pagerankFrom]] engine and unrolled
+    * integer-ppm oracle as the exact-slice `knn_pagerank`.
+    */
+  def knnPagerankIvf(spark: SparkSession, dir: String): DataFrame =
+    pagerankFrom(spark, dir,
+      mutualKnnEdgesIvf(spark, dir, fixedVecs(spark, dir)),
+      fixedVecs(spark, dir).select("vec_id"), "knn_pagerank_ivf_edges")
+
+  private val knnPagerankIvfSql: String =
+    pagerankSqlOver(knnIvfCtes("kg_", "TRUE"), "kg_verts", "kg_me")
+
+  /** Edge recall of the IVF cell-mate graph against exact ground truth,
+    * measured on the tractable `%`[[KnnGraphMod]] slice (the `ann_recall`
+    * pattern: the approximate method runs on the SAME vertex set the
+    * exact harness can afford, so the hit rate is a true recall). One
+    * row: directed-mutual-edge counts for truth and approximation, the
+    * intersection, and the recall ratio (two edge COUNTS, one IEEE
+    * division — the house float bound).
+    */
+  /** The exact slice edge set / the IVF slice edge set at an explicit
+    * dial — `graft.KnnGraphTune`'s two measurement surfaces.
+    */
+  private[graft] def exactSliceEdges(spark: SparkSession, dir: String): DataFrame =
+    mutualKnnEdges(spark, dir)
+  private[graft] def sliceEdgesIvfWith(spark: SparkSession, dir: String,
+      centroidMod: Int, nprobe: Int): DataFrame =
+    mutualKnnEdgesIvfWith(spark, dir, graphVerts(spark, dir), centroidMod, nprobe)
+
+  def knnGraphRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = mutualKnnEdges(spark, dir)
+      .select(col("q_id"), col("n_id"), lit(true).as("in_ex"))
+    val approx = mutualKnnEdgesIvf(spark, dir, graphVerts(spark, dir))
+      .select(col("q_id"), col("n_id"), lit(true).as("in_ap"))
+    exact.join(approx, Seq("q_id", "n_id"), "full_outer")
+      .agg(
+        sum(when(col("in_ex"), 1L).otherwise(0L)).as("n_truth"),
+        sum(when(col("in_ap"), 1L).otherwise(0L)).as("n_approx"),
+        sum(when(col("in_ex") && col("in_ap"), 1L).otherwise(0L)).as("n_hit"))
+      .select(lit("ivf_cells").as("method"),
+        col("n_truth"), col("n_approx"), col("n_hit"),
+        round(col("n_hit") / col("n_truth").cast("double"), 6).as("edge_recall"))
+  }
+
+  private val knnGraphRecallSql: String =
+    s"""WITH $fixedVecsCtes,
+       |$knnGraphCtes,
+       |${knnIvfCtes("rg_", s"vec_id % $KnnGraphMod = 0")},
+       |counts AS (
+       |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM km_me) AS n_truth,
+       |         (SELECT CAST(count(*) AS BIGINT) FROM rg_me) AS n_approx,
+       |         (SELECT CAST(count(*) AS BIGINT)
+       |          FROM km_me e JOIN rg_me r ON e.u = r.u AND e.v = r.v) AS n_hit
+       |)
+       |SELECT 'ivf_cells' AS method, n_truth, n_approx, n_hit,
+       |       round(n_hit / CAST(n_truth AS DOUBLE), 6) AS edge_recall
+       |FROM counts""".stripMargin
 
   // ---------------------------------------------------------- cluster_purity
 
@@ -1812,6 +2068,10 @@ object Similarity {
     Op("knn_mutual", knnMutual, Some(knnMutualSql)),
     Op("knn_components", knnComponents, Some(knnComponentsSql)),
     Op("knn_pagerank", knnPagerank, Some(knnPagerankSql)),
+    Op("knn_graph_ivf", knnGraphIvf, Some(knnGraphIvfSql)),
+    Op("knn_components_ivf", knnComponentsIvf, Some(knnComponentsIvfSql)),
+    Op("knn_pagerank_ivf", knnPagerankIvf, Some(knnPagerankIvfSql)),
+    Op("knn_graph_recall", knnGraphRecall, Some(knnGraphRecallSql)),
     Op("cluster_purity", clusterPurity, Some(clusterPuritySql)),
     Op("kmeans_step", kmeansStep, Some(kmeansStepSql)),
     Op("kmeans_train", kmeansTrain, Some(kmeansTrainSql))

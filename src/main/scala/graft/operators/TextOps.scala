@@ -1002,7 +1002,12 @@ object TextOps {
     * the correctness baseline; the IVF/LSH scale paths apply unchanged to
     * chunk vectors.
     */
-  def chunkKnn(spark: SparkSession, dir: String): DataFrame = {
+  /** The densified chunk-level hashing-trick embedding `(doc_id, chunk_id,
+    * v, nrm)` — shared by `chunk_knn` (exact) and `chunk_ann` (IVF-served)
+    * so the candidate vector definition cannot drift between the baseline
+    * and the scale path.
+    */
+  private[graft] def chunkDense(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VecMath.register(spark)
     val stride = ChunkTokens - ChunkOverlap
     val toks = Tables.documents(spark, dir)
@@ -1015,7 +1020,7 @@ object TextOps {
       .withColumn("s", col("chunk_id") * stride)
       .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
         explode(expr(s"slice(t, s + 1, least($ChunkTokens, n - s))")).as("tok"))
-    val dense = toks
+    toks
       .withColumn("h", hash60(col("tok")))
       .groupBy(col("doc_id"), col("chunk_id"),
         (col("h") % EmbedDims).cast("int").as("dim"))
@@ -1026,9 +1031,21 @@ object TextOps {
         s"transform(sequence(0, ${EmbedDims - 1}), i -> coalesce(try_element_at(m, i), CAST(0 AS BIGINT)))"))
       .withColumn("nrm", expr("vec_dot(v, v)"))
       .filter(col("nrm") > 0)
-    val probes = hashedDenseDocs(spark, dir)
+      .select("doc_id", "chunk_id", "v", "nrm")
+  }
+
+  /** The document-query probe frame `(q_id, qv, qn)` — shared by
+    * `chunk_knn` and `chunk_ann` (and definitionally identical to
+    * `text_knn`'s probe side via [[hashedDenseDocs]]).
+    */
+  private[graft] def chunkProbes(spark: SparkSession, dir: String): DataFrame =
+    hashedDenseDocs(spark, dir)
       .filter(col("doc_id") % TextKnnMod === 0)
       .select(col("doc_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+
+  def chunkKnn(spark: SparkSession, dir: String): DataFrame = {
+    val dense = chunkDense(spark, dir)
+    val probes = chunkProbes(spark, dir)
     dense.crossJoin(broadcast(probes))
       .filter(col("doc_id") =!= col("q_id"))
       .withColumn("cos",
@@ -1043,10 +1060,13 @@ object TextOps {
 
   // lazy: renders ChunkTokens/ChunkOverlap, declared LATER in this object —
   // a strict val would bake in 0 (the CentroidMod init-order gotcha)
-  private[graft] lazy val chunkKnnSql: String = {
+  /** The chunk-level dense-embedding frame as composable CTEs (final CTE =
+    * `ck_corpus(doc_id, chunk_id, v, nrm)`) — the DuckDB mirror of
+    * [[chunkDense]], shared by the `chunk_knn` and `chunk_ann` oracles.
+    */
+  private[graft] lazy val ckDenseCtes: String = {
     val stride = ChunkTokens - ChunkOverlap
-    s"""WITH $ehDenseCtes,
-       |ck_d AS (
+    s"""ck_d AS (
        |  SELECT doc_id, string_split(lower(coalesce(text, '')), ' ') AS t,
        |         len(string_split(lower(coalesce(text, '')), ' ')) AS n
        |  FROM documents
@@ -1084,7 +1104,12 @@ object TextOps {
        |         CAST(list_sum([x * x for x in v]) AS BIGINT) AS nrm
        |  FROM ck_dense
        |),
-       |ck_corpus AS (SELECT * FROM ck_nd WHERE nrm > 0),
+       |ck_corpus AS (SELECT * FROM ck_nd WHERE nrm > 0)""".stripMargin
+  }
+
+  private[graft] lazy val chunkKnnSql: String =
+    s"""WITH $ehDenseCtes,
+       |$ckDenseCtes,
        |ck_scored AS (
        |  SELECT p.q_id, c.doc_id, c.chunk_id,
        |         CAST(list_sum([c.v[i] * p.qv[i]
@@ -1101,7 +1126,170 @@ object TextOps {
        |SELECT q_id AS query_doc, doc_id AS chunk_doc, chunk_id,
        |       CAST(rank AS INT) AS rank, round(cos, 6) AS cosine
        |FROM ck_ranked WHERE rank <= $ChunkKnnK""".stripMargin
+
+  // ---------------------------------------------------------------- chunk_ann
+
+  /** Every `ChunkCentMod`-th document's FIRST chunk seeds the chunk-space
+    * quantizer — the `seedCentsEvery` rule lifted to (doc, chunk) keys.
+    */
+  val ChunkCentMod = 50
+  /** Cells each query probes — the same recall knob as `ann_ivf`'s. The
+    * (50, 4) point is the sf0.01-swept knee: recall 0.90 vs the exact
+    * baseline (`graft.ChunkAnnTune`, docs/TUNING.md).
+    */
+  val ChunkNProbe = 4
+
+  /** `chunk_knn` served by IVF over the chunk vectors instead of brute
+    * force — the retrieval path a RAG index actually runs at 100 TB
+    * (SURVEY 26j's "the IVF/LSH scale paths apply unchanged to chunk
+    * vectors", now PROVEN as a registered op): chunks are assigned to a
+    * deterministic chunk-space coarse quantizer, each document query
+    * routes to its [[ChunkNProbe]] nearest cells, and only those cells'
+    * chunks get the exact cosine re-rank. `chunk_ann_recall` measures
+    * this path against the exact [[chunkKnn]] baseline per round.
+    *
+    * Plan shape: quantizer = a ~|docs|/[[ChunkCentMod]]-row broadcast;
+    * chunk assignment is the sort-free max_by argmax (exchange carries
+    * |chunks| rows); probe routing is a window over the PROBE subset × k
+    * only; the candidate join is an equality join on `c_id` feeding the
+    * per-query top-k — a probe touches nprobe/|cells| of the chunk
+    * corpus, never all of it.
+    */
+  def chunkAnn(spark: SparkSession, dir: String): DataFrame =
+    chunkAnnWith(spark, dir, ChunkCentMod, ChunkNProbe)
+
+  /** [[chunkAnn]] at an explicit `(centMod, nprobe)` — the dial surface
+    * `graft.ChunkAnnTune` sweeps (frontier in docs/TUNING.md).
+    */
+  private[graft] def chunkAnnWith(spark: SparkSession, dir: String,
+      centMod: Int, nprobe: Int): DataFrame = {
+    val dense = chunkDense(spark, dir)
+    val cents = dense
+      .filter(col("doc_id") % centMod === 1 && col("chunk_id") === 0)
+      .select(col("doc_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val assigned = dense.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        expr("vec_dot(v, cv)") / (sqrt(col("nrm")) * sqrt(col("cn"))))
+      .groupBy("doc_id", "chunk_id")
+      .agg(max_by(struct(col("v"), col("nrm"), col("c_id")),
+        struct(col("ccos"), -col("c_id"))).as("b"))
+      .select(col("doc_id"), col("chunk_id"), col("b.v").as("v"),
+        col("b.nrm").as("nrm"), col("b.c_id").as("c_id"))
+    val routes = chunkProbes(spark, dir)
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        expr("vec_dot(qv, cv)") / (sqrt(col("qn")) * sqrt(col("cn"))))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("ccos").desc, col("c_id"))))
+      .filter(col("crn") <= nprobe)
+      .select(col("q_id"), col("qv"), col("qn"), col("c_id"))
+    assigned.join(broadcast(routes), Seq("c_id"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .withColumn("cos",
+        expr("vec_dot(v, qv)") / (sqrt(col("nrm")) * sqrt(col("qn"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("doc_id"), col("chunk_id"))))
+      .filter(col("rank") <= ChunkKnnK)
+      .select(col("q_id").as("query_doc"), col("doc_id").as("chunk_doc"),
+        col("chunk_id"), col("rank"), round(col("cos"), 6).as("cosine"))
   }
+
+  /** CTE chain `ca_cents … ca_assigned … ca_final` — the chunk-IVF
+    * retrieval as composable SQL (expects `eh_*` and `ck_*` in scope);
+    * the final CTE `ca_final` carries `chunk_ann`'s whole output so
+    * `chunk_ann_recall`'s oracle can nest it verbatim.
+    */
+  private[graft] lazy val chunkAnnCtes: String =
+    s"""ca_cents AS (
+       |  SELECT doc_id AS c_id, v AS cv, nrm AS cn FROM ck_corpus
+       |  WHERE doc_id % $ChunkCentMod = 1 AND chunk_id = 0
+       |),
+       |ca_adist AS (
+       |  SELECT k.doc_id, k.chunk_id, k.v, k.nrm, c.c_id,
+       |         CAST(list_sum([k.v[i] * c.cv[i] for i in generate_series(1, len(k.v))]) AS BIGINT)
+       |           / (sqrt(k.nrm) * sqrt(c.cn)) AS ccos
+       |  FROM ck_corpus k CROSS JOIN ca_cents c
+       |),
+       |ca_assigned AS (
+       |  SELECT doc_id, chunk_id, v, nrm, c_id FROM (
+       |    SELECT doc_id, chunk_id, v, nrm, c_id,
+       |           row_number() OVER (PARTITION BY doc_id, chunk_id
+       |                              ORDER BY ccos DESC, c_id) AS crn
+       |    FROM ca_adist
+       |  ) WHERE crn = 1
+       |),
+       |ca_routes AS (
+       |  SELECT q_id, qv, qn, c_id FROM (
+       |    SELECT p.q_id, p.qv, p.qn, c.c_id,
+       |           row_number() OVER (PARTITION BY p.q_id ORDER BY
+       |             CAST(list_sum([p.qv[i] * c.cv[i] for i in generate_series(1, len(p.qv))]) AS BIGINT)
+       |               / (sqrt(p.qn) * sqrt(c.cn)) DESC, c.c_id) AS crn
+       |    FROM eh_probes p CROSS JOIN ca_cents c
+       |  ) WHERE crn <= $ChunkNProbe
+       |),
+       |ca_scored AS (
+       |  SELECT r.q_id, a.doc_id, a.chunk_id,
+       |         CAST(list_sum([a.v[i] * r.qv[i] for i in generate_series(1, len(a.v))]) AS BIGINT)
+       |           / (sqrt(a.nrm) * sqrt(r.qn)) AS cos
+       |  FROM ca_assigned a JOIN ca_routes r ON a.c_id = r.c_id AND a.doc_id <> r.q_id
+       |),
+       |ca_ranked AS (
+       |  SELECT q_id, doc_id, chunk_id, cos,
+       |         row_number() OVER (PARTITION BY q_id
+       |                            ORDER BY cos DESC, doc_id, chunk_id) AS rank
+       |  FROM ca_scored
+       |),
+       |ca_final AS (
+       |  SELECT q_id AS query_doc, doc_id AS chunk_doc, chunk_id,
+       |         CAST(rank AS INT) AS rank, round(cos, 6) AS cosine
+       |  FROM ca_ranked WHERE rank <= $ChunkKnnK
+       |)""".stripMargin
+
+  private[graft] lazy val chunkAnnSql: String =
+    s"""WITH $ehDenseCtes,
+       |$ckDenseCtes,
+       |$chunkAnnCtes
+       |SELECT * FROM ca_final""".stripMargin
+
+  /** Recall of the IVF-served retrieval against the exact [[chunkKnn]]
+    * baseline — the per-round measurement that makes [[chunkAnn]]'s dials
+    * safe to turn (the `ann_recall`/`knn_graph_recall` pattern on the
+    * chunk domain). One row; counts + ONE IEEE division.
+    */
+  def chunkAnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val truth = chunkKnn(spark, dir)
+      .select(col("query_doc"), col("chunk_doc"), col("chunk_id"),
+        lit(true).as("in_ex"))
+    val approx = chunkAnn(spark, dir)
+      .select(col("query_doc"), col("chunk_doc"), col("chunk_id"),
+        lit(true).as("in_ap"))
+    truth.join(approx, Seq("query_doc", "chunk_doc", "chunk_id"), "full_outer")
+      .agg(
+        sum(when(col("in_ex"), 1L).otherwise(0L)).as("n_truth"),
+        sum(when(col("in_ap"), 1L).otherwise(0L)).as("n_returned"),
+        sum(when(col("in_ex") && col("in_ap"), 1L).otherwise(0L)).as("n_hit"))
+      .select(lit("ivf_chunks").as("method"),
+        col("n_truth"), col("n_returned"), col("n_hit"),
+        round(col("n_hit") / col("n_truth").cast("double"), 6).as("recall"))
+  }
+
+  private[graft] lazy val chunkAnnRecallSql: String =
+    s"""WITH $ehDenseCtes,
+       |$ckDenseCtes,
+       |$chunkAnnCtes,
+       |car_truth AS (SELECT query_doc, chunk_doc, chunk_id FROM ($chunkKnnSql)),
+       |car_counts AS (
+       |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM car_truth) AS n_truth,
+       |         (SELECT CAST(count(*) AS BIGINT) FROM ca_final) AS n_returned,
+       |         (SELECT CAST(count(*) AS BIGINT)
+       |          FROM car_truth t JOIN ca_final a
+       |            ON t.query_doc = a.query_doc AND t.chunk_doc = a.chunk_doc
+       |           AND t.chunk_id = a.chunk_id) AS n_hit
+       |)
+       |SELECT 'ivf_chunks' AS method, n_truth, n_returned, n_hit,
+       |       round(n_hit / CAST(n_truth AS DOUBLE), 6) AS recall
+       |FROM car_counts""".stripMargin
 
   // ------------------------------------------------------------- vocab_build
 
@@ -1474,6 +1662,8 @@ object TextOps {
     Op("embed_hashing", embedHashing, Some(embedHashingSql)),
     Op("text_knn", textKnn, Some(textKnnSql)),
     Op("chunk_knn", chunkKnn, Some(chunkKnnSql)),
+    Op("chunk_ann", chunkAnn, Some(chunkAnnSql)),
+    Op("chunk_ann_recall", chunkAnnRecall, Some(chunkAnnRecallSql)),
     Op("quality_select", qualitySelect, Some(qualitySelectSql)),
     Op("vocab_build", vocabBuild, Some(vocabBuildSql)),
     Op("vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),

@@ -94,6 +94,113 @@ object Multimodal {
       "width", "height", "channels")
   }
 
+  // ------------------------------------------------- real-codec seam (r13)
+
+  /** The SAME seam with a REAL codec: `javax.imageio` ships in the JDK
+    * (no external dependency), so the decode→resize→features chain can be
+    * proven with genuine PNG bytes — Round13Spec plants solid-color
+    * fixtures with known pixels and asserts dims and channel means. The
+    * oracle-gated bulk path keeps the deterministic digest stub (the
+    * fixture blobs are text, not media); these kernels are what replaces
+    * each stub's derivation when real media arrives, with schema and
+    * batch shape identical.
+    */
+  private[graft] def decodeImageMeta(spark: SparkSession,
+      pngBlobs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val rows = pngBlobs.select(col("doc_id"), col("blob"))
+      .as[(Long, Array[Byte])]
+    rows.mapPartitions { it =>
+      // per-partition init amortizes in a real pipeline; ImageIO readers
+      // are created per call (they are not thread-safe to share)
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { case (id, blob) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(blob))
+          (id, blob.length, img.getWidth, img.getHeight,
+            img.getColorModel.getNumComponents)
+        }
+      }
+    }.toDF("doc_id", "n_bytes", "width", "height", "channels")
+  }
+
+  /** Aspect-fit RASTER resize — the real pixel kernel behind [[resize]]'s
+    * geometry: the SAME exact-integer output dims, then an actual
+    * Graphics2D scale; emits the resized raster's per-channel means so
+    * the spec can pin pixel correctness (a solid color must survive
+    * scaling exactly).
+    */
+  private[graft] def resizeImage(spark: SparkSession, pngBlobs: DataFrame,
+      box: Int = ResizeBox): DataFrame = {
+    import spark.implicits._
+    val rows = pngBlobs.select(col("doc_id"), col("blob"))
+      .as[(Long, Array[Byte])]
+    rows.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { case (id, blob) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(blob))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val (ow, oh) = if (w >= h) (box, h * box / w) else (w * box / h, box)
+          val out = new java.awt.image.BufferedImage(ow, oh,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.drawImage(img, 0, 0, ow, oh, null)
+          g.dispose()
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < oh) {
+            var x = 0
+            while (x < ow) {
+              val p = out.getRGB(x, y)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = ow.toLong * oh
+          (id, ow, oh, math.max(w, h) < box, sr / n, sg / n, sb / n)
+        }
+      }
+    }.toDF("doc_id", "out_w", "out_h", "upscaled", "mean_r", "mean_g", "mean_b")
+  }
+
+  /** Real feature lanes from decoded pixels — a drop-in for [[features]]'
+    * digest stub: per-channel means scaled to the 16-bit lane width
+    * (×257 maps 0..255 onto 0..65535 exactly), dims/bytes in the
+    * remaining lanes. Same wide f0..f7 shape the ANN family consumes.
+    */
+  private[graft] def imageFeatures(spark: SparkSession,
+      pngBlobs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val rows = pngBlobs.select(col("doc_id"), col("blob"))
+      .as[(Long, Array[Byte])]
+    rows.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { case (id, blob) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(blob))
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          (id, sr / n * 257, sg / n * 257, sb / n * 257,
+            w.toLong, h.toLong, img.getColorModel.getNumComponents.toLong,
+            blob.length.toLong % 65536)
+        }
+      }
+    }.toDF("doc_id", "f0", "f1", "f2", "f3", "f4", "f5", "f6")
+  }
+
   /** Frame sampling for video blobs: a deterministic stub standing in for
     * "decode container, sample N frames evenly" — duration and fps derive
     * from the content, the sample grid is uniform in integer milliseconds.

@@ -47,10 +47,20 @@ object Partitioning {
     * `use` — by construction order-statistic reads are tiny (a handful of
     * cut rows), so that is the natural shape.
     */
+  /** Range-exchange width for [[withGlobalRank]]: the session's configured
+    * shuffle parallelism (the same width every other exchange in the plan
+    * uses), so per-slice row counts track `rows / spark.sql.shuffle
+    * .partitions` as the cluster config scales — a literal width would pin
+    * slice sizes to fixture scale (the r12 verdict's `parts = 32` nit).
+    */
+  private[graft] def rankParts(df: DataFrame): Int =
+    df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt.max(1)
+
   private[graft] def withGlobalRank[A](df: DataFrame, sortCols: Seq[String],
-      parts: Int = 32)(use: DataFrame => A): A = {
+      parts: Int = -1)(use: DataFrame => A): A = {
     val keys = sortCols.map(col)
-    val ranged = df.repartitionByRange(parts, keys: _*)
+    val p = if (parts > 0) parts else rankParts(df)
+    val ranged = df.repartitionByRange(p, keys: _*)
       .withColumn("pid", spark_partition_id()).persist()
     try {
       val counts = ranged.groupBy("pid").agg(count(lit(1)).as("c"))

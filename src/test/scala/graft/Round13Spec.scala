@@ -70,6 +70,80 @@ class Round13Spec extends AnyFunSuite with TestSpark {
     assert(r.getLong(3) == 0L)
   }
 
+  // --------------------------------------------- withGlobalRank width law
+
+  test("withGlobalRank width follows spark.sql.shuffle.partitions; slices bounded") {
+    import spark.implicits._
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val df = (1 to 1000).map(i => (i * 37 % 1000, i)).toDF("k", "id")
+      assert(graft.operators.Partitioning.rankParts(df) == 8,
+        "range exchange width must track the session shuffle config")
+      // the range exchange the primitive plans (explicit numPartitions —
+      // AQE does not coalesce a user-specified repartition): every slice
+      // must stay bounded, no single-task degenerate sort
+      val sizes = df.repartitionByRange(8, df("k"), df("id"))
+        .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
+        .groupBy("pid").count()
+        .collect().map(_.getLong(1))
+      assert(sizes.length == 8 && sizes.max <= 3 * 1000 / 8,
+        s"slice sizes ${sizes.toSeq} — one range slice holds too much")
+      graft.operators.Partitioning.withGlobalRank(df, Seq("k", "id")) { ranked =>
+        val ranks = ranked.select("grank").as[Long].collect().sorted
+        assert(ranks.toSeq == (1L to 1000L),
+          "exact global rank must still assign 1..n at the config width")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
+  // ----------------------------------------- real-codec multimodal seam
+
+  /** Encode a solid-color PNG with the JDK's own ImageIO. */
+  private def solidPng(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(rgb))
+    g.fillRect(0, 0, w, h)
+    g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("multimodal seam decodes REAL PNG bytes: dims, resize raster, features") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val blobs = Seq(
+      (1L, solidPng(40, 20, 0xFF0000)), // wide red
+      (2L, solidPng(10, 30, 0x0000FF))  // tall blue
+    ).toDF("doc_id", "blob")
+
+    val meta = Multimodal.decodeImageMeta(spark, blobs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(meta(1L).getInt(2) == 40 && meta(1L).getInt(3) == 20)
+    assert(meta(2L).getInt(2) == 10 && meta(2L).getInt(3) == 30)
+    assert(meta(1L).getInt(4) == 3, "RGB PNG must decode to 3 channels")
+
+    val rs = Multimodal.resizeImage(spark, blobs, box = 224)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // exact integer aspect-fit: 40x20 -> 224x112; 10x30 -> 74x224
+    assert(rs(1L).getInt(1) == 224 && rs(1L).getInt(2) == 112)
+    assert(rs(2L).getInt(1) == 10 * 224 / 30 && rs(2L).getInt(2) == 224)
+    assert(rs(1L).getBoolean(3) && rs(2L).getBoolean(3), "both upscale")
+    // a solid color must survive an actual raster scale EXACTLY
+    assert((rs(1L).getLong(4), rs(1L).getLong(5), rs(1L).getLong(6)) == ((255L, 0L, 0L)))
+    assert((rs(2L).getLong(4), rs(2L).getLong(5), rs(2L).getLong(6)) == ((0L, 0L, 255L)))
+
+    val ft = Multimodal.imageFeatures(spark, blobs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // 16-bit lanes: mean 255 maps to exactly 65535 (x257), dims ride f3/f4
+    assert(ft(1L).getLong(1) == 65535L && ft(1L).getLong(2) == 0L)
+    assert(ft(2L).getLong(3) == 65535L && ft(2L).getLong(1) == 0L)
+    assert(ft(1L).getLong(4) == 40L && ft(1L).getLong(5) == 20L)
+  }
+
   // ------------------------------------- duplicate-redelivery guard (equal k)
 
   test("stream_transitions rejects an equal-key duplicate redelivery") {

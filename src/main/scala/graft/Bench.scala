@@ -71,6 +71,10 @@ object Bench {
       .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // headline FIRST: the driver's artifact capture tail-truncates long
+    // lines, so the compact total must never ride at the END of the big
+    // per-key line (r12's BENCH json lost its total that way)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_keys":${results.size},"sf":"$sfDir"}""")
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)

@@ -36,6 +36,17 @@ final class MetricsHttpServer(backend: MetricsHttpServer.Backend,
 
   private var server: HttpServer = _
 
+  /** Per-request access logging — the reference wraps every Goji route in
+    * timing + status middleware (api/requestlogger.go:15-40: logs
+    * `[status] METHOD /path (elapsed)` after ServeHTTP returns); same
+    * here around [[handle]], so a user debugging a slow query path sees
+    * each request's route, outcome and latency. The sink is pluggable
+    * (default stderr, like the daemon's request logger) — specs capture
+    * it, a deployment points it at its log pipeline.
+    */
+  @volatile private[graft] var accessLogSink: String => Unit =
+    line => System.err.println(line)
+
   /** Bind (port 0 = ephemeral) and serve; returns the bound port. */
   def start(port: Int = 0): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -51,6 +62,7 @@ final class MetricsHttpServer(backend: MetricsHttpServer.Backend,
 
   private def handle(ex: HttpExchange): Unit = {
     val (method, path) = (ex.getRequestMethod, ex.getRequestURI.getPath)
+    val t0 = System.nanoTime()
     try {
       (method, path) match {
         case ("GET", "/")            => root(ex)
@@ -67,7 +79,16 @@ final class MetricsHttpServer(backend: MetricsHttpServer.Backend,
       case e: Throwable =>
         send(ex, 500, Json.obj("status" -> Json.str("error"),
           "message" -> Json.str(Option(e.getMessage).getOrElse(e.getClass.getName))))
-    } finally ex.close()
+    } finally {
+      // requestlogger.go's line shape: status, route, elapsed — written
+      // AFTER the response like the reference's deferred log call
+      val code = Option(ex.getAttribute("graft.status"))
+        .fold(200)(_.asInstanceOf[Int])
+      val us = (System.nanoTime() - t0) / 1000
+      try accessLogSink(s"[$code] $method $path (${us}us)")
+      catch { case _: Throwable => () } // a broken log sink must not kill serving
+      ex.close()
+    }
   }
 
   private def root(ex: HttpExchange): Unit =
@@ -95,6 +116,7 @@ final class MetricsHttpServer(backend: MetricsHttpServer.Backend,
     // healthHandler: plain-text ALIVE/DEAD for the load balancer
     val alive = !drainFileSaysDead && backend.healthcheck()
     val body = (if (alive) "ALIVE" else "DEAD").getBytes(UTF_8)
+    ex.setAttribute("graft.status", 200)
     ex.getResponseHeaders.set("Content-Type", "text/plain; charset=utf-8")
     ex.sendResponseHeaders(200, body.length)
     ex.getResponseBody.write(body)
@@ -164,6 +186,7 @@ final class MetricsHttpServer(backend: MetricsHttpServer.Backend,
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap)
 
   private def send(ex: HttpExchange, code: Int, json: String): Unit = {
+    ex.setAttribute("graft.status", code)
     val body = json.getBytes(UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json; charset=utf-8")
     ex.sendResponseHeaders(code, body.length)

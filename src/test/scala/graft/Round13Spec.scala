@@ -97,6 +97,43 @@ class Round13Spec extends AnyFunSuite with TestSpark {
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
+  // ------------------------------------------------ API access logging
+
+  test("every HTTP route emits a requestlogger access line: status, route, elapsed") {
+    import graft.api.{MetricsApi, MetricsHttpServer}
+    val backend = new MetricsHttpServer.Backend {
+      def healthcheck(): Boolean = true
+      def getPaths(glob: String, tenant: Option[String]): Seq[MetricsApi.PathEntry] = Nil
+      def deletePaths(glob: String): Long = 0L
+      def getMetrics(paths: Seq[String], from: Long, to: Long): MetricsApi.MetricsResponse =
+        MetricsApi.MetricsResponse(from, to, 1L, Map.empty)
+      def deleteMetrics(paths: Seq[String], from: Long, to: Long,
+          dryRun: Boolean): MetricsApi.DeleteResponse =
+        MetricsApi.DeleteResponse(dryRun, Map.empty, 0L)
+    }
+    val srv = new MetricsHttpServer(backend)
+    val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    srv.accessLogSink = l => { lines.add(l); () }
+    val port = srv.start()
+    def get(p: String): Int = {
+      val c = new java.net.URL(s"http://127.0.0.1:$port$p")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      try { c.getResponseCode } finally c.disconnect()
+    }
+    try {
+      assert(get("/") == 200)
+      assert(get("/healthcheck") == 200)
+      assert(get("/nope") == 404)
+      val got = lines.toArray(Array.empty[String]).toSeq
+      val shape = """\[(\d{3})\] GET (\S+) \((\d+)us\)""".r
+      assert(got.size == 3, s"expected 3 access lines, got $got")
+      got.foreach(l => assert(shape.matches(l), s"line shape drifted: $l"))
+      assert(got.exists(_.startsWith("[200] GET / ")), got.toString)
+      assert(got.exists(_.startsWith("[200] GET /healthcheck ")), got.toString)
+      assert(got.exists(_.startsWith("[404] GET /nope ")), got.toString)
+    } finally srv.stop()
+  }
+
   // ----------------------------------------- real-codec multimodal seam
 
   /** Encode a solid-color PNG with the JDK's own ImageIO. */

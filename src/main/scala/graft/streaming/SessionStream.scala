@@ -310,6 +310,140 @@ object SessionStream {
     }
   }
 
+  // ---------------------------------------------- stream_transitions_buffered
+
+  case class BufEvent(user_id: Long, event_type: String, k: Long,
+    et: java.sql.Timestamp)
+  case class BufState(buf: Seq[(String, Long)], lastType: String, lastK: Long)
+
+  /** The out-of-order-ABSORBING form of [[transitionsMachine]]: where the
+    * write-once machine enforces in-order ingest as a loud contract, this
+    * one buffers each user's events in state and only emits a transition
+    * pair once the WATERMARK has passed both events — the guarantee that
+    * no earlier event can still arrive, so the finalized order equals the
+    * batch total order however the events were interleaved across
+    * micro-batches (within the declared lateness bound). State per user =
+    * the not-yet-final tail (bounded by events inside the watermark
+    * delay, NOT the stream) + the last finalized (type, key) bridge.
+    * Groups re-fire on watermark advance via EventTimeTimeout, so a user
+    * with no new events still flushes as the watermark passes their
+    * buffer. Duplicate/regressed keys in the FINALIZED order still fail
+    * loudly — disorder is absorbed, corruption is not.
+    */
+  def transitionsBufferedMachine(events: Dataset[BufEvent]): Dataset[TransPair] = {
+    implicit val bs = Encoders.product[BufState]
+    implicit val tp = Encoders.product[TransPair]
+    implicit val kl = Encoders.scalaLong
+    val shift = graft.model.RollupConfig.LastKeyShift
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, batch: Iterator[BufEvent], state: GroupState[BufState]) => {
+          val s0 = state.getOption.getOrElse(BufState(Nil, null, Long.MinValue))
+          val wmMs = state.getCurrentWatermarkMs()
+          val all = (s0.buf ++ batch.map(e => (e.event_type, e.k))).sortBy(_._2)
+          // an event is FINAL once its second is strictly below the
+          // watermark: nothing earlier can arrive anymore
+          val (safe, rest) = all.partition { case (_, k) =>
+            (k / shift) * 1000L < wmMs
+          }
+          var (lt, lk) = (s0.lastType, s0.lastK)
+          val out = safe.flatMap { case (tpe, k) =>
+            if (k <= lk) throw new IllegalStateException(
+              s"stream_transitions_buffered: duplicate/regressed key for " +
+                s"user $userId (k $k <= finalized high-water $lk) — disorder " +
+                "is absorbed, duplicates are not; dedupe upstream")
+            val pair = Option(lt).map(TransPair(_, tpe))
+            lt = tpe; lk = k
+            pair
+          }
+          state.update(BufState(rest, lt, lk))
+          // re-fire this group when the watermark moves, even with no new
+          // events, so buffered tails flush as the stream advances
+          state.setTimeoutTimestamp(math.max(wmMs + 1000L, 1000L))
+          out.iterator
+        })
+  }
+
+  /** The LIVE out-of-order form of `event_transitions`: the SAME matrix
+    * readoff, but the replay is deliberately DISORDERED — six time-slice
+    * files ingested pairwise swapped (s2 s1 s4 s3 s6 s5), so every other
+    * micro-batch delivers events BELOW the previous batch's high-water
+    * mark (the write-once machine fails loudly on exactly this input;
+    * Round13Spec drives both). The watermark delay (2 slice spans) covers
+    * the constructed disorder, a far-future sentinel row advances the
+    * final watermark so every buffer flushes, and the finalized pair
+    * stream equals the batch lag-window's row-for-row. Oracle =
+    * `event_transitions`' SQL verbatim.
+    */
+  def transitionsBufferedQuery(spark: SparkSession, dir: String): DataFrame = {
+    implicit val be = Encoders.product[BufEvent]
+    val shift = graft.model.RollupConfig.LastKeyShift
+    val ev = graft.model.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr(s"(ts DIV 1000000000) * $shift + event_id").as("k"))
+      .withColumn("et", expr(s"timestamp_seconds(k DIV $shift)"))
+      .persist()
+    val src = java.nio.file.Files.createTempDirectory("stream_btrans_src").toString
+    val delaySec =
+      try {
+        val r = ev.agg(min("k"), max("k")).head()
+        val (lo, hi) = (r.getLong(0), r.getLong(1))
+        val cuts = (1 to 5).map(i => lo + (hi - lo) * i / 6)
+        val slices = (Long.MinValue +: cuts :+ Long.MaxValue).sliding(2).toSeq
+          .map { case Seq(a, b) => ev.filter(col("k") > a && col("k") <= b) }
+        // pairwise-swapped ingest order: s2 s1 s4 s3 s6 s5
+        val order = Seq(1, 0, 3, 2, 5, 4)
+        order.zipWithIndex.foreach { case (sliceIdx, fileIdx) =>
+          DedupStream.writeOneFile(slices(sliceIdx).toDF(),
+            f"$src/batch$fileIdx%02d.parquet", ageMs = 130000 - fileIdx * 10000)
+        }
+        val spanSec = ((hi / shift) - (lo / shift)) / 6 + 1
+        // sentinel: one far-future row for a reserved user advances the
+        // closing watermark past every real event, flushing all buffers
+        val sentinelSec = hi / shift + 10 * spanSec
+        DedupStream.writeOneFile(
+          spark.range(1).select(lit(-1L).as("user_id"),
+            lit("sentinel").as("event_type"),
+            lit(sentinelSec * shift).as("k"),
+            expr(s"timestamp_seconds($sentinelSec)").as("et")),
+          s"$src/batch99.parquet", ageMs = 50000)
+        2 * spanSec + 1
+      } finally ev.unpersist(blocking = true)
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("et",
+        org.apache.spark.sql.types.TimestampType)))
+    val sink = "stream_btrans_" + UUID.randomUUID().toString.replace("-", "")
+    try {
+      CarbonStream.withStreamPartitions(spark) {
+        val q = transitionsBufferedMachine(
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withWatermark("et", s"$delaySec seconds")
+            .as[BufEvent])
+          .toDF()
+          .writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode("append")
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
+      graft.operators.Analytics.transitionProbFrom(
+        CarbonStream.drainMemorySink(spark, sink))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(src))
+    }
+  }
+
   // ----------------------------------------------------------- stream_funnel
 
   case class FunnelEvent(user_id: Long, event_type: String, k: Long)
@@ -637,6 +771,8 @@ object SessionStream {
     Op("stream_engagement", engagementQuery,
       Some(graft.operators.Analytics.engagementOracle)),
     Op("stream_transitions", transitionsQuery,
+      Some(graft.operators.Analytics.transitionsSql)),
+    Op("stream_transitions_buffered", transitionsBufferedQuery,
       Some(graft.operators.Analytics.transitionsSql))
   )
 }

@@ -181,6 +181,42 @@ class Round13Spec extends AnyFunSuite with TestSpark {
     assert(ft(1L).getLong(4) == 40L && ft(1L).getLong(5) == 20L)
   }
 
+  // --------------------------------------- watermark-buffered out-of-order
+
+  test("transitionsBufferedMachine absorbs cross-batch disorder the write-once form rejects") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.SessionStream
+    implicit val sq = spark.sqlContext
+    implicit val be = org.apache.spark.sql.Encoders.product[SessionStream.BufEvent]
+    def ev(u: Long, t: String, sec: Long) =
+      SessionStream.BufEvent(u, t, sec * graft.model.RollupConfig.LastKeyShift,
+        new java.sql.Timestamp(sec * 1000L))
+    val ms = MemoryStream[SessionStream.BufEvent]
+    val q = SessionStream.transitionsBufferedMachine(
+        ms.toDS().withWatermark("et", "250 seconds")
+          .as[SessionStream.BufEvent])
+      .toDF()
+      .writeStream.format("memory").queryName("r13_buf_trans")
+      .outputMode("append").start()
+    try {
+      ms.addData(ev(1, "a", 100), ev(1, "c", 300))
+      q.processAllAvailable()
+      // batch 2 delivers an event BELOW batch 1's high-water mark — the
+      // write-once machine throws on this exact shape (spec above); the
+      // buffered form orders it once the watermark passes
+      ms.addData(ev(1, "b", 200), ev(1, "d", 1000))
+      q.processAllAvailable()
+      ms.addData(ev(2, "z", 3000)) // advances the watermark past d
+      q.processAllAvailable()
+      val pairs = spark.table("r13_buf_trans")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(pairs == Set(("a", "b"), ("b", "c"), ("c", "d")),
+        s"finalized pairs drifted: $pairs")
+    } finally {
+      q.stop(); spark.catalog.dropTempView("r13_buf_trans")
+    }
+  }
+
   // ------------------------------------- duplicate-redelivery guard (equal k)
 
   test("stream_transitions rejects an equal-key duplicate redelivery") {

@@ -33,15 +33,22 @@ object KnnGraphTune {
     val exact = Similarity.exactSliceEdges(spark, sfDir).persist()
     val nTruth = exact.count()
 
-    println("%6s %7s | %9s %6s | %s".format(
-      "mod", "nprobe", "n_approx", "n_hit", "edge_recall"))
+    val roundsSweep = args.lift(3).map(_.split(",").map(_.toInt).toSeq)
+      .getOrElse(Seq(0, 1, 2, 3))
+    println("%6s %7s %7s | %9s %6s | %s".format(
+      "mod", "nprobe", "rounds", "n_approx", "n_hit", "edge_recall"))
     mods.foreach { mod =>
       nprobes.foreach { np =>
-        val approx = Similarity.sliceEdgesIvfWith(spark, sfDir, mod, np)
-        val nApprox = approx.count()
-        val nHit = approx.join(exact, Seq("q_id", "n_id")).count()
-        val recall = if (nTruth == 0) 1.0 else nHit.toDouble / nTruth
-        println(f"$mod%6d $np%7d | $nApprox%9d $nHit%6d | $recall%.3f")
+        roundsSweep.foreach { rounds =>
+          val approx =
+            if (rounds > 0)
+              Similarity.sliceEdgesRefinedWith(spark, sfDir, mod, np, rounds)
+            else Similarity.sliceEdgesIvfWith(spark, sfDir, mod, np)
+          val nApprox = approx.count()
+          val nHit = approx.join(exact, Seq("q_id", "n_id")).count()
+          val recall = if (nTruth == 0) 1.0 else nHit.toDouble / nTruth
+          println(f"$mod%6d $np%7d $rounds%7d | $nApprox%9d $nHit%6d | $recall%.3f")
+        }
       }
     }
     println(s"(truth = $nTruth directed mutual edges from the exact slice " +

@@ -990,12 +990,21 @@ object Similarity {
     * frontier; nprobe 1→2 measured 0.36→0.92 edge recall at sf0.01).
     */
   private[graft] def mutualKnnEdgesIvfWith(spark: SparkSession, dir: String,
+      verts: DataFrame, centroidMod: Int, nprobe: Int): DataFrame =
+    mutualFromLists(cellKnnLists(spark, dir, verts, centroidMod, nprobe))
+
+  /** Per-vertex top-[[TopK]] lists `(q_id, n_id)` from IVF cell-mate
+    * candidates — the seed lists both the plain graph ([[mutualFromLists]]
+    * directly) and the NN-Descent refinement ([[refinedKnnLists]]) rank
+    * from.
+    */
+  private[graft] def cellKnnLists(spark: SparkSession, dir: String,
       verts: DataFrame, centroidMod: Int, nprobe: Int): DataFrame = {
     val cents = seedCentsEvery(fixedVecs(spark, dir), centroidMod)
     val assigned =
       if (nprobe <= 1) assignNearest(verts, cents).select("vec_id", "v", "nrm", "c_id")
       else assignTop2(verts, cents)
-    val knn = assigned.join(
+    assigned.join(
         assigned.select(col("c_id").as("m_cid"), col("vec_id").as("m_id"),
           col("v").as("mv"), col("nrm").as("mn")),
         col("c_id") === col("m_cid") && col("vec_id") =!= col("m_id"))
@@ -1008,9 +1017,55 @@ object Similarity {
         Window.partitionBy("vec_id").orderBy(col("cos").desc, col("m_id"))))
       .filter(col("rank") <= TopK)
       .select(col("vec_id").as("q_id"), col("m_id").as("n_id"))
+  }
+
+  /** Reciprocated (directed both ways) edges from a top-k list frame. */
+  private[graft] def mutualFromLists(knn: DataFrame): DataFrame =
     knn.as("x").join(knn.as("y"),
         col("x.q_id") === col("y.n_id") && col("x.n_id") === col("y.q_id"))
       .select(col("x.q_id").as("q_id"), col("x.n_id").as("n_id"))
+
+  /** NN-Descent rounds (Dong et al., WWW'11: a vertex's true neighbors
+    * are likely neighbors-OF-neighbors) over the IVF-seeded lists: each
+    * round's candidates = the current lists plus every one-hop expansion
+    * `(q → n1 → n2)`, exact cosine re-rank, per-vertex top-[[TopK]].
+    * This is how the graph buys back recall the cell boundary costs
+    * WITHOUT widening cells: candidate work is ≤ k+k² per vertex per
+    * round (corpus-linear), the expansion is one self-join of the
+    * k·n-row list on its own key, and the re-scoring joins carry ids +
+    * one vector per side — the edge-partitioned join shape. Measured
+    * (docs/TUNING.md): mutual-edge recall at the shipped dial converges
+    * by round 2 — sf0.1 0.434 → 0.469 → 0.476 (rounds 3-4 add ≤0.001),
+    * sf0.01 0.921 → 0.942.
+    */
+  /** NN-Descent rounds shipped by `knn_graph_refined` (and the refined
+    * row of `knn_graph_recall`) — swept by `graft.KnnGraphTune`.
+    */
+  val KnnRefineRounds = 2
+
+  private[graft] def refinedKnnLists(spark: SparkSession, dir: String,
+      verts: DataFrame, centroidMod: Int, nprobe: Int,
+      rounds: Int = KnnRefineRounds): DataFrame = {
+    val qside = verts.select(col("vec_id").as("q_id"),
+      col("v").as("qv"), col("nrm").as("qn"))
+    val nside = verts.select(col("vec_id").as("n_id"),
+      col("v").as("cv2"), col("nrm").as("cn2"))
+    var lists = cellKnnLists(spark, dir, verts, centroidMod, nprobe)
+    for (_ <- 1 to rounds) {
+      val cand = lists
+        .union(lists.as("a").join(lists.as("b"),
+          col("a.n_id") === col("b.q_id") && col("b.n_id") =!= col("a.q_id"))
+          .select(col("a.q_id").as("q_id"), col("b.n_id").as("n_id")))
+        .distinct()
+      lists = cand.join(qside, "q_id").join(nside, "n_id")
+        .withColumn("cos",
+          expr(dotExpr("cv2", "qv")) / (sqrt(col("cn2")) * sqrt(col("qn"))))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))))
+        .filter(col("rank") <= TopK)
+        .select("q_id", "n_id")
+    }
+    lists
   }
 
   /** CTE chain `{p}verts … {p}assigned … {p}knn(q_id, n_id) … {p}me(u, v)`
@@ -1054,10 +1109,48 @@ object Similarity {
        |  FROM ${p}knn x JOIN ${p}knn y ON x.q_id = y.n_id AND x.n_id = y.q_id
        |)""".stripMargin
 
+  /** CTE chain `{p}rcand … {p}rknn(q_id, n_id) … {p}rme(u, v)` — the
+    * DuckDB mirror of [[refinedKnnLists]] + its mutual closure (expects
+    * `nv` and `{p}knn` in scope).
+    */
+  private[graft] def knnRefinedCtes(p: String,
+      rounds: Int = KnnRefineRounds): String = {
+    def round(r: Int): String = {
+      val prev = if (r == 1) s"${p}knn" else s"${p}rknn${r - 1}"
+      val out = if (r == rounds) s"${p}rknn" else s"${p}rknn$r"
+      s"""${p}rcand$r AS (
+         |  SELECT q_id, n_id FROM $prev
+         |  UNION
+         |  SELECT a.q_id, b.n_id FROM $prev a JOIN $prev b
+         |    ON a.n_id = b.q_id AND b.n_id <> a.q_id
+         |),
+         |${p}rscored$r AS (
+         |  SELECT c.q_id, c.n_id,
+         |         CAST(list_sum([n.v[i] * q.v[i] for i in generate_series(1, len(n.v))]) AS BIGINT)
+         |           / (sqrt(n.nrm) * sqrt(q.nrm)) AS cos
+         |  FROM ${p}rcand$r c
+         |  JOIN nv q ON q.vec_id = c.q_id
+         |  JOIN nv n ON n.vec_id = c.n_id
+         |),
+         |$out AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |    FROM ${p}rscored$r
+         |  ) WHERE rank <= $TopK
+         |)""".stripMargin
+    }
+    s"""${(1 to rounds).map(round).mkString(",\n")},
+       |${p}rme AS (
+       |  SELECT x.q_id AS u, x.n_id AS v
+       |  FROM ${p}rknn x JOIN ${p}rknn y ON x.q_id = y.n_id AND x.n_id = y.q_id
+       |)""".stripMargin
+  }
+
   /** Mutual-kNN degrees over the FULL corpus from IVF cell-mate edges —
     * the scale-honest form of `knn_mutual` (whose exact kNN is
     * slice-bound by design). Same output shape; every vector gets a
-    * degree, zero-degree vectors kept.
+    * degree, zero-degree vertices kept.
     */
   def knnGraphIvf(spark: SparkSession, dir: String): DataFrame = {
     val verts = fixedVecs(spark, dir)
@@ -1110,6 +1203,33 @@ object Similarity {
        |       m.vec_id = m.cluster_id AS keep
        |FROM m JOIN sizes s USING (cluster_id)""".stripMargin
 
+  /** Mutual-kNN degrees over the FULL corpus from the NN-DESCENT-refined
+    * lists — [[knnGraphIvf]] with one neighbor-of-neighbor round on top:
+    * the production graph read (the refinement recovers the cell
+    * boundary's recall loss at corpus-linear cost).
+    */
+  def knnGraphRefined(spark: SparkSession, dir: String): DataFrame = {
+    val verts = fixedVecs(spark, dir)
+    val mutual = mutualFromLists(
+        refinedKnnLists(spark, dir, verts, CentroidMod, KnnGraphNProbe))
+      .groupBy(col("q_id").as("vec_id"))
+      .agg(count(lit(1)).as("mutual_degree"))
+    verts.select("vec_id").join(mutual, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("mutual_degree"), lit(0L)).as("mutual_degree"))
+  }
+
+  private val knnGraphRefinedSql: String =
+    s"""WITH $fixedVecsCtes,
+       |${knnIvfCtes("kg_", "TRUE")},
+       |${knnRefinedCtes("kg_")},
+       |kgr_mutual AS (
+       |  SELECT u AS vec_id, CAST(count(*) AS BIGINT) AS mutual_degree
+       |  FROM kg_rme GROUP BY 1
+       |)
+       |SELECT v.vec_id, coalesce(m.mutual_degree, 0) AS mutual_degree
+       |FROM kg_verts v LEFT JOIN kgr_mutual m ON v.vec_id = m.vec_id""".stripMargin
+
   /** PageRank over the FULL-corpus IVF mutual-kNN graph — the third
     * ANN-backed graph read, same [[pagerankFrom]] engine and unrolled
     * integer-ppm oracle as the exact-slice `knn_pagerank`.
@@ -1138,35 +1258,53 @@ object Similarity {
   private[graft] def sliceEdgesIvfWith(spark: SparkSession, dir: String,
       centroidMod: Int, nprobe: Int): DataFrame =
     mutualKnnEdgesIvfWith(spark, dir, graphVerts(spark, dir), centroidMod, nprobe)
+  private[graft] def sliceEdgesRefinedWith(spark: SparkSession, dir: String,
+      centroidMod: Int, nprobe: Int, rounds: Int = KnnRefineRounds): DataFrame =
+    mutualFromLists(
+      refinedKnnLists(spark, dir, graphVerts(spark, dir), centroidMod, nprobe,
+        rounds))
 
   def knnGraphRecall(spark: SparkSession, dir: String): DataFrame = {
-    val exact = mutualKnnEdges(spark, dir)
-      .select(col("q_id"), col("n_id"), lit(true).as("in_ex"))
-    val approx = mutualKnnEdgesIvf(spark, dir, graphVerts(spark, dir))
-      .select(col("q_id"), col("n_id"), lit(true).as("in_ap"))
-    exact.join(approx, Seq("q_id", "n_id"), "full_outer")
-      .agg(
-        sum(when(col("in_ex"), 1L).otherwise(0L)).as("n_truth"),
-        sum(when(col("in_ap"), 1L).otherwise(0L)).as("n_approx"),
-        sum(when(col("in_ex") && col("in_ap"), 1L).otherwise(0L)).as("n_hit"))
-      .select(lit("ivf_cells").as("method"),
-        col("n_truth"), col("n_approx"), col("n_hit"),
-        round(col("n_hit") / col("n_truth").cast("double"), 6).as("edge_recall"))
+    val slice = graphVerts(spark, dir)
+    val truth = mutualKnnEdges(spark, dir).select(col("q_id"), col("n_id"))
+    val approx = mutualKnnEdgesIvf(spark, dir, slice)
+      .withColumn("method", lit("ivf_cells"))
+      .unionByName(
+        mutualFromLists(
+          refinedKnnLists(spark, dir, slice, CentroidMod, KnnGraphNProbe))
+          .withColumn("method", lit("ivf_refined")))
+    val matched = approx.join(truth, Seq("q_id", "n_id"), "left_semi")
+      .groupBy("method").agg(count(lit(1)).as("n_hit"))
+    val totals = approx.groupBy("method").agg(count(lit(1)).as("n_approx"))
+    val truthN = truth.agg(count(lit(1)).as("n_truth"))
+    totals.join(matched, Seq("method"), "left").crossJoin(truthN)
+      .select(col("method"), col("n_truth"), col("n_approx"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)) / col("n_truth").cast("double"), 6)
+          .as("edge_recall"))
   }
 
   private val knnGraphRecallSql: String =
     s"""WITH $fixedVecsCtes,
        |$knnGraphCtes,
        |${knnIvfCtes("rg_", s"vec_id % $KnnGraphMod = 0")},
-       |counts AS (
-       |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM km_me) AS n_truth,
-       |         (SELECT CAST(count(*) AS BIGINT) FROM rg_me) AS n_approx,
-       |         (SELECT CAST(count(*) AS BIGINT)
-       |          FROM km_me e JOIN rg_me r ON e.u = r.u AND e.v = r.v) AS n_hit
-       |)
-       |SELECT 'ivf_cells' AS method, n_truth, n_approx, n_hit,
-       |       round(n_hit / CAST(n_truth AS DOUBLE), 6) AS edge_recall
-       |FROM counts""".stripMargin
+       |${knnRefinedCtes("rg_")},
+       |rg_ap AS (
+       |  SELECT 'ivf_cells' AS method, u, v FROM rg_me
+       |  UNION ALL
+       |  SELECT 'ivf_refined' AS method, u, v FROM rg_rme
+       |),
+       |rg_m AS (
+       |  SELECT method, CAST(count(*) AS BIGINT) AS n_hit
+       |  FROM rg_ap JOIN km_me e ON rg_ap.u = e.u AND rg_ap.v = e.v
+       |  GROUP BY 1
+       |),
+       |rg_t AS (SELECT method, CAST(count(*) AS BIGINT) AS n_approx FROM rg_ap GROUP BY 1),
+       |rg_n AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM km_me)
+       |SELECT t.method, n.n_truth, t.n_approx,
+       |       coalesce(m.n_hit, 0) AS n_hit,
+       |       round(coalesce(m.n_hit, 0) / CAST(n.n_truth AS DOUBLE), 6) AS edge_recall
+       |FROM rg_t t LEFT JOIN rg_m m USING (method) CROSS JOIN rg_n n""".stripMargin
 
   // ---------------------------------------------------------- cluster_purity
 
@@ -2069,6 +2207,7 @@ object Similarity {
     Op("knn_components", knnComponents, Some(knnComponentsSql)),
     Op("knn_pagerank", knnPagerank, Some(knnPagerankSql)),
     Op("knn_graph_ivf", knnGraphIvf, Some(knnGraphIvfSql)),
+    Op("knn_graph_refined", knnGraphRefined, Some(knnGraphRefinedSql)),
     Op("knn_components_ivf", knnComponentsIvf, Some(knnComponentsIvfSql)),
     Op("knn_pagerank_ivf", knnPagerankIvf, Some(knnPagerankIvfSql)),
     Op("knn_graph_recall", knnGraphRecall, Some(knnGraphRecallSql)),

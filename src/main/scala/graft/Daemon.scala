@@ -73,6 +73,9 @@ final class Daemon(spark: SparkSession, store: String,
   def reload(configPath: String): graft.model.RollupConfigFile.Loaded = {
     val loaded = graft.model.RollupConfigFile.load(configPath)
     if (loaded.clean) rollupDefs = loaded.defs
+    // the reference's signal handler also reopens log files on reload
+    // (logging/logger.go:39 — the logrotate handshake); ride the same path
+    Logging.reopen()
     loaded
   }
 

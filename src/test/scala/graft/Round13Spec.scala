@@ -97,6 +97,58 @@ class Round13Spec extends AnyFunSuite with TestSpark {
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
+  // ------------------------------------------------------- log reopen
+
+  test("Logging.reopen recreates a rotated-away log file (logger.go Reopen)") {
+    val dir = java.nio.file.Files.createTempDirectory("r13_logrotate")
+    val logFile = dir.resolve("graft.log")
+    val cfg = dir.resolve("log4j2-reopen.xml")
+    java.nio.file.Files.write(cfg,
+      s"""<?xml version="1.0" encoding="UTF-8"?>
+         |<Configuration status="WARN">
+         |  <Appenders>
+         |    <File name="f" fileName="${logFile}">
+         |      <PatternLayout pattern="%m%n"/>
+         |    </File>
+         |    <Console name="c" target="SYSTEM_ERR">
+         |      <PatternLayout pattern="%m%n"/>
+         |    </Console>
+         |  </Appenders>
+         |  <Loggers>
+         |    <Logger name="graft.r13.reopen" level="info" additivity="false">
+         |      <AppenderRef ref="f"/>
+         |    </Logger>
+         |    <Root level="error"><AppenderRef ref="c"/></Root>
+         |  </Loggers>
+         |</Configuration>
+         |""".stripMargin.getBytes("UTF-8"))
+    val ctx = org.apache.logging.log4j.core.LoggerContext.getContext(false)
+    val prev = ctx.getConfigLocation
+    try {
+      ctx.setConfigLocation(cfg.toUri)
+      val log = org.apache.logging.log4j.LogManager.getLogger("graft.r13.reopen")
+      log.info("before-rotate")
+      assert(new String(java.nio.file.Files.readAllBytes(logFile), "UTF-8")
+        .contains("before-rotate"))
+      // logrotate's flow: MOVE the live file away, then signal the daemon
+      val rotated = dir.resolve("graft.log.1")
+      java.nio.file.Files.move(logFile, rotated)
+      graft.Logging.reopen()
+      log.info("after-rotate")
+      assert(java.nio.file.Files.exists(logFile),
+        "reopen must recreate the log file at its configured path")
+      val fresh = new String(java.nio.file.Files.readAllBytes(logFile), "UTF-8")
+      assert(fresh.contains("after-rotate") && !fresh.contains("before-rotate"),
+        s"fresh file content drifted: $fresh")
+      val old = new String(java.nio.file.Files.readAllBytes(rotated), "UTF-8")
+      assert(old.contains("before-rotate") && !old.contains("after-rotate"),
+        "the rotated file must keep only pre-rotation lines")
+    } finally {
+      // restore whatever config the test JVM was running with
+      if (prev != null) ctx.setConfigLocation(prev) else ctx.reconfigure()
+    }
+  }
+
   // ------------------------------------------------ API access logging
 
   test("every HTTP route emits a requestlogger access line: status, route, elapsed") {

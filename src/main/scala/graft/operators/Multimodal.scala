@@ -461,23 +461,77 @@ object Multimodal {
        |)""".stripMargin
   }
 
-  private lazy val phashPairsSql: String = {
-    s"""WITH ${phashBandCtes("ph_")},
-       |ph_p AS (
+  /** The banded candidate-pair CTE `ph_p` (expects `ph_b` in scope) —
+    * shared by the `multimodal_phash` and `multimodal_phash_cluster`
+    * oracles so the pair definition cannot drift from the clustered one.
+    */
+  private val phashPairCte: String =
+    s"""ph_p AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |         a.media_kind AS media_kind, a.phash AS pa, b.phash AS pb
        |  FROM ph_b a JOIN ph_b b
        |    ON a.media_kind = b.media_kind AND a.band = b.band
        |   AND a.sig = b.sig AND a.doc_id < b.doc_id
-       |)
+       |)""".stripMargin
+
+  private lazy val phashPairsSql: String =
+    s"""WITH ${phashBandCtes("ph_")},
+       |$phashPairCte
        |SELECT doc_a, doc_b, media_kind,
        |       CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
        |FROM ph_p
        |WHERE bit_count(xor(pa, pb)) <= $PhashMaxHam""".stripMargin
-  }
+
+  // ------------------------------------------------- multimodal_phash_cluster
+
+  /** Near-dup GROUPS from the perceptual pairs — `dedup_cluster`'s stage
+    * applied to media: connected components over `multimodal_phash`'s
+    * hamming-≤[[PhashMaxHam]] edges via the SAME pointer-doubled
+    * [[graft.operators.Dedup.componentsFrom]] engine, so a CHAIN of
+    * re-encodes/resizes (A≈B, B≈C but A-C past the pair threshold)
+    * collapses to one canonical representative (keep = lowest id).
+    * Universe = every hashed blob including the planted perturbations, so
+    * singletons keep themselves; pairs are within-modality, so components
+    * never bridge modalities. Scale shape inherits the banded pair join
+    * and the O(log diameter) label loop — exchanges carry ids only.
+    */
+  def phashCluster(spark: SparkSession, dir: String): DataFrame =
+    Dedup.componentsFrom(spark, dir,
+      phashPairs(spark, dir).select("doc_a", "doc_b"),
+      "doc_a", "doc_b",
+      phashBanded(spark, dir).select("doc_id").distinct(),
+      "doc_id", "phash_labels")
+
+  private lazy val phashClusterSql: String =
+    s"""WITH RECURSIVE ${phashBandCtes("ph_")},
+       |$phashPairCte,
+       |ph_pairs AS (
+       |  SELECT doc_a, doc_b FROM ph_p
+       |  WHERE bit_count(xor(pa, pb)) <= $PhashMaxHam
+       |),
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM ph_pairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM ph_pairs
+       |),
+       |reach(v, r) AS (
+       |  SELECT u, u FROM edges
+       |  UNION
+       |  SELECT e.v, reach.r FROM edges e JOIN reach ON reach.v = e.u
+       |),
+       |comp AS (SELECT v, min(r) AS cluster_id FROM reach GROUP BY 1),
+       |m AS (
+       |  SELECT h.doc_id, coalesce(c.cluster_id, h.doc_id) AS cluster_id
+       |  FROM ph_h h LEFT JOIN comp c ON h.doc_id = c.v
+       |),
+       |sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members FROM m GROUP BY 1)
+       |SELECT m.doc_id, m.cluster_id, s.n_members,
+       |       m.doc_id = m.cluster_id AS keep
+       |FROM m JOIN sizes s USING (cluster_id)""".stripMargin
 
   def ops: Seq[Op] = Seq(
     Op("multimodal_phash", phashPairs, Some(phashPairsSql)),
+    Op("multimodal_phash_cluster", phashCluster, Some(phashClusterSql)),
     Op("multimodal_meta", meta, Some(metaSql)),
     Op("multimodal_frames", frames, Some(framesSql)),
     Op("multimodal_resize", resize, Some(resizeSql)),

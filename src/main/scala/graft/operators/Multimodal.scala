@@ -23,14 +23,20 @@ object Multimodal {
 
   val BatchSize = 64
 
-  /** The blob fixture: document text bytes standing in for media content. */
-  private def blobs(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(
+  /** The blob projection over an arbitrary documents frame — row-local,
+    * so it runs unchanged on a document STREAM (`stream_phash`).
+    */
+  private[graft] def blobsFrom(docs: DataFrame): DataFrame =
+    docs.select(
       col("doc_id"),
       col("text").cast("binary").as("blob"),
       when(col("doc_id") % 3 === 0, "image")
         .when(col("doc_id") % 3 === 1, "audio")
         .otherwise("video").as("media_kind"))
+
+  /** The blob fixture: document text bytes standing in for media content. */
+  private def blobs(spark: SparkSession, dir: String): DataFrame =
+    blobsFrom(Tables.documents(spark, dir))
 
   def meta(spark: SparkSession, dir: String): DataFrame =
     blobs(spark, dir)
@@ -296,13 +302,19 @@ object Multimodal {
       s"(strpos('0123456789abcdef', substr($h, ${start + k}, 1)) - 1) * ${BigInt(16).pow(3 - k)}"
     }.mkString(" + ") + " AS BIGINT)"
 
-  def features(spark: SparkSession, dir: String): DataFrame = {
-    val hashed = blobs(spark, dir).withColumn("content_hash", md5(col("blob")))
+  /** The lane projection over an arbitrary blob frame — row-local, so it
+    * runs unchanged on a STREAM ([[blobsFrom]]'s streaming counterpart).
+    */
+  private[graft] def featuresFrom(blobsDf: DataFrame): DataFrame = {
+    val hashed = blobsDf.withColumn("content_hash", md5(col("blob")))
     hashed.select(
       col("doc_id") +: col("media_kind") +:
         (0 until FeatureDims).map(k =>
           hexChunk(col("content_hash"), k * 4 + 1).as(s"f$k")): _*)
   }
+
+  def features(spark: SparkSession, dir: String): DataFrame =
+    featuresFrom(blobs(spark, dir))
 
   private val featuresSql: String =
     s"""WITH blobs AS (
@@ -387,15 +399,13 @@ object Multimodal {
     * shared by [[phashPairs]] and `sketch_occupancy`'s `phash_band`
     * family so the audited buckets are exactly the joined ones.
     */
-  private[graft] def phashBanded(spark: SparkSession, dir: String): DataFrame = {
-    val lanes = features(spark, dir)
-    // plant ids live above every real doc_id; a fixture grown past the
-    // base would silently collide planted with genuine documents in BOTH
-    // engines — fail loudly instead (one scalar agg over the lane frame)
-    val maxId = lanes.agg(max("doc_id")).head.getLong(0)
-    require(maxId < PhashPlantBase,
-      s"multimodal_phash: max(doc_id)=$maxId >= plant base $PhashPlantBase — " +
-        "raise PhashPlantBase before running against this fixture")
+  /** The banded projection over a lane frame — PURE row-local algebra
+    * (plant, hash, band explode), so it runs unchanged on a STREAM
+    * (`stream_phash`). The plant-collision guard lives in the batch
+    * wrapper [[phashBanded]] (an eager agg has no streaming form; the
+    * live path inherits the batch-audited fixture).
+    */
+  private[graft] def bandedFrom(lanes: DataFrame): DataFrame = {
     val planted = lanes.filter(col("doc_id") % PhashPlantMod === 0)
       .withColumn("doc_id", col("doc_id") + PhashPlantBase)
       .withColumn("f3", expr("CAST(f3 ^ 256 AS BIGINT)"))
@@ -410,8 +420,22 @@ object Multimodal {
         col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
-  def phashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val banded = phashBanded(spark, dir)
+  private[graft] def phashBanded(spark: SparkSession, dir: String): DataFrame = {
+    val lanes = features(spark, dir)
+    // plant ids live above every real doc_id; a fixture grown past the
+    // base would silently collide planted with genuine documents in BOTH
+    // engines — fail loudly instead (one scalar agg over the lane frame)
+    val maxId = lanes.agg(max("doc_id")).head.getLong(0)
+    require(maxId < PhashPlantBase,
+      s"multimodal_phash: max(doc_id)=$maxId >= plant base $PhashPlantBase — " +
+        "raise PhashPlantBase before running against this fixture")
+    bandedFrom(lanes)
+  }
+
+  /** The candidate join + exact recheck over a banded frame — shared by
+    * the batch [[phashPairs]] and `stream_phash`'s drained-state readoff.
+    */
+  private[graft] def pairsFromBanded(banded: DataFrame): DataFrame =
     banded.as("a").join(banded.as("b"),
         col("a.media_kind") === col("b.media_kind") &&
           col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -423,7 +447,9 @@ object Multimodal {
       .withColumn("hamming", expr("CAST(bit_count(pa ^ pb) AS INT)"))
       .filter(col("hamming") <= PhashMaxHam)
       .select("doc_a", "doc_b", "media_kind", "hamming")
-  }
+
+  def phashPairs(spark: SparkSession, dir: String): DataFrame =
+    pairsFromBanded(phashBanded(spark, dir))
 
   /** The banded phash frame as prefix-parameterized CTEs (final CTE =
     * `${p}b`) — composed by the `multimodal_phash` oracle AND
@@ -474,7 +500,7 @@ object Multimodal {
        |   AND a.sig = b.sig AND a.doc_id < b.doc_id
        |)""".stripMargin
 
-  private lazy val phashPairsSql: String =
+  private[graft] lazy val phashPairsSql: String =
     s"""WITH ${phashBandCtes("ph_")},
        |$phashPairCte
        |SELECT doc_a, doc_b, media_kind,

@@ -521,7 +521,55 @@ object DedupStream {
     }
   }
 
+  // ------------------------------------------------------------ stream_phash
+
+  /** The LIVE form of `multimodal_phash`: the banded signature table IS
+    * the state a streaming media-dedup index maintains (the `stream_ann`
+    * inverted-list argument — a production ingest keeps the banded frame
+    * live and probes each arriving blob's 4 band signatures against it
+    * map-side). The lane/plant/band projection is pure row-local algebra
+    * ([[graft.operators.Multimodal.bandedFrom]], reused unchanged), the
+    * state is ONE complete-mode groupBy over the banded rows (4 rows per
+    * blob — the index, not the blobs), and the pair readoff is the SAME
+    * [[graft.operators.Multimodal.pairsFromBanded]] the batch op calls,
+    * over the rebased drained frame (the memory-sink self-join gotcha).
+    * Oracle = `multimodal_phash`'s SQL verbatim.
+    */
+  def phashQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val docs = spark.readStream
+      .schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val banded = Multimodal.bandedFrom(Multimodal.featuresFrom(
+      Multimodal.blobsFrom(docs)))
+    val sink = "stream_phash_" + UUID.randomUUID().toString.replace("-", "")
+    CarbonStream.withStreamPartitions(spark) {
+      val q = banded
+        .groupBy("doc_id", "media_kind", "phash", "band", "sig")
+        .agg(count(lit(1)).as("n"))
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .start()
+      try {
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+      }
+    }
+    val drained = CarbonStream.drainMemorySink(spark, sink)
+      .select("doc_id", "media_kind", "phash", "band", "sig")
+    // pairsFromBanded SELF-joins the frame: rebase off the memory-sink
+    // View first (Catalyst's conflicting-references gotcha, stream_cohort)
+    Multimodal.pairsFromBanded(
+      spark.createDataFrame(drained.rdd, drained.schema))
+  }
+
   def ops: Seq[Op] = Seq(
+    Op("stream_phash", phashQuery,
+      Some(graft.operators.Multimodal.phashPairsSql)),
     Op("stream_pack", packQuery,
       Some(graft.operators.TextOps.packSequencesSql)),
     Op("stream_surprisal", surprisalQuery,

@@ -1051,9 +1051,19 @@ object Similarity {
     val nside = verts.select(col("vec_id").as("n_id"),
       col("v").as("cv2"), col("nrm").as("cn2"))
     var lists = cellKnnLists(spark, dir, verts, centroidMod, nprobe)
-    for (_ <- 1 to rounds) {
-      val cand = lists
-        .union(lists.as("a").join(lists.as("b"),
+    for (r <- 1 to rounds) {
+      // each round's DAG references the previous lists THREE times (the
+      // union's left arm + both sides of the expansion self-join); left
+      // as lineage the recompute is ~3^rounds of the seed plan (measured
+      // 7.6 s at rounds=2 on the bench vs ~2 s spilled). Spill each
+      // round's input through the shared-storage gate (the knn_pagerank
+      // edge-spill precedent, same GC contract) so a round reads a
+      // k·n-row parquet once and the returned plan pins nothing.
+      val spill = graft.model.Spill.path(spark, s"knn_refined_lists_$r", dir)
+      lists.write.mode("overwrite").parquet(spill)
+      val prev = spark.read.parquet(spill)
+      val cand = prev
+        .union(prev.as("a").join(prev.as("b"),
           col("a.n_id") === col("b.q_id") && col("b.n_id") =!= col("a.q_id"))
           .select(col("a.q_id").as("q_id"), col("b.n_id").as("n_id")))
         .distinct()
@@ -1065,7 +1075,12 @@ object Similarity {
         .filter(col("rank") <= TopK)
         .select("q_id", "n_id")
     }
-    lists
+    // the caller's mutuality test self-joins the returned lists (2×
+    // recompute of the last round left as lineage) — spill the final
+    // frame too, so consumers read a k·n-row parquet
+    val out = graft.model.Spill.path(spark, "knn_refined_lists_final", dir)
+    lists.write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
   }
 
   /** CTE chain `{p}verts … {p}assigned … {p}knn(q_id, n_id) … {p}me(u, v)`

@@ -27,7 +27,8 @@ object ClusterSmoke {
            Set[(String, Long, Int, Long, Long, Double)],
            Set[(String, Long, Long, Double, Long, Double)],
            Set[(Long, Long, Option[Long], Boolean)],
-           Set[(Long, String, Double, Long, Double, Boolean)]) =
+           Set[(Long, String, Double, Long, Double, Boolean)],
+           Set[(Long, Long)]) =
       try {
         val lbl = graft.operators.Dedup.cluster(spark, sf)
           .collect()
@@ -70,7 +71,14 @@ object ClusterSmoke {
           .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
             r.getLong(3), r.getDouble(4), r.getBoolean(5)))
           .toSet
-        (lbl, merges, mix, temp, sem, qs)
+        // knn_graph_refined rides the r13 per-round Spill gate (every
+        // NN-Descent round writes/reads shared storage) — its degrees
+        // must be bit-stable when the spill I/O runs on forked executors
+        val kg = graft.operators.Similarity.knnGraphRefined(spark, sf)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .toSet
+        (lbl, merges, mix, temp, sem, qs, kg)
       } finally spark.stop()
 
     def builder(master: String) = SparkSession.builder()
@@ -80,11 +88,11 @@ object ClusterSmoke {
       .config("spark.ui.enabled", "false")
 
     val (expected, expectedMerges, expectedMix, expectedTemp, expectedSem,
-      expectedQs) = labels(builder("local[2]").getOrCreate())
+      expectedQs, expectedKg) = labels(builder("local[2]").getOrCreate())
 
     val spillRoot = Files.createTempDirectory("cluster_smoke_spill").toString
     val (clustered, clusterMerges, clusterMix, clusterTemp, clusterSem,
-      clusterQs) = labels(
+      clusterQs, clusterKg) = labels(
       builder("local-cluster[2,2,1024]")
         .appName("graft-cluster-smoke")
         .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
@@ -110,6 +118,8 @@ object ClusterSmoke {
     require(expectedQs.exists(_._6) && expectedQs.exists(!_._6) &&
       clusterQs == expectedQs,
       s"multi-JVM quality_select diverges: ${(clusterQs diff expectedQs).take(5)}")
+    require(expectedKg.exists(_._2 > 0L) && clusterKg == expectedKg,
+      s"multi-JVM knn_graph_refined diverges: ${(clusterKg diff expectedKg).take(5)}")
     // the marker ClusterSmokeSpec greps for
     println(s"CLUSTER_SMOKE_OK rows=${expected.size} " +
       s"dropped=${expected.count(!_._4)} merges=${expectedMerges.size} spill=$spillRoot")

@@ -666,7 +666,17 @@ object Similarity {
   def semanticDedupWith(spark: SparkSession, dir: String,
       threshold: Double, centroidMod: Int): DataFrame = {
     val vecs = fixedVecs(spark, dir)
-    val assigned = assignNearest(vecs, seedCentsEvery(vecs, centroidMod))
+    semanticFromAssigned(
+      assignNearest(vecs, seedCentsEvery(vecs, centroidMod)), threshold)
+  }
+
+  /** The SemDeDup verdict over a precomputed `assigned(vec_id, v, nrm,
+    * c_id, …)` membership frame — shared verbatim by the batch
+    * [[semanticDedupWith]] and `stream_semantic`'s drained-state readoff
+    * (the membership frame is EXACTLY the state `stream_ann` maintains).
+    */
+  private[graft] def semanticFromAssigned(assigned: DataFrame,
+      threshold: Double): DataFrame = {
     val lower = assigned.select(col("c_id").as("a_cid"), col("vec_id").as("a_id"),
       col("v").as("av"), col("nrm").as("an"))
     val dups = assigned.join(lower,
@@ -682,7 +692,7 @@ object Similarity {
 
   // lazy: renders CentroidMod, which is declared LATER in this object —
   // a strict val here would bake in the uninitialized 0 (vec_id % 0)
-  private lazy val semanticDedupSql: String =
+  private[graft] lazy val semanticDedupSql: String =
     s"""WITH $fixedVecsCtes,
        |${ivfAssignCtes("sd_")},
        |av AS (

@@ -69,6 +69,44 @@ object AnnStream {
       Similarity.ivfProbeLists(batchVecs, cents, Similarity.NProbe)))
   }
 
+  /** The LIVE form of `dedup_semantic` — SemDeDup on an arriving vector
+    * stream: the cell-membership state is EXACTLY [[annQuery]]'s (the
+    * same complete-mode `assignNearest` aggregation, one row per corpus
+    * vector), and the keep/drop verdict is the SAME
+    * [[Similarity.semanticFromAssigned]] the batch op calls, over the
+    * drained membership — how a continuous curation pipeline decides, as
+    * vectors arrive, whether each is a semantic near-dup of an
+    * already-indexed cell-mate. The readoff SELF-joins the membership, so
+    * the drained View is rebased first (the stream_cohort gotcha).
+    * Oracle = `dedup_semantic`'s SQL verbatim.
+    */
+  def semanticQuery(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Similarity.seedCents(Similarity.fixedVecs(spark, dir))
+    val stream = spark.readStream
+      .schema(embeddingsSchema(spark, dir))
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+    val sink = "stream_semantic_" + UUID.randomUUID().toString.replace("-", "")
+    CarbonStream.withStreamPartitions(spark) {
+      val q = Similarity.assignNearest(Similarity.fixedVecsFrom(stream), cents)
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .start()
+      try {
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+      }
+    }
+    val drained = CarbonStream.drainMemorySink(spark, sink)
+    Similarity.semanticFromAssigned(
+      spark.createDataFrame(drained.rdd, drained.schema),
+      Similarity.DupThreshold)
+  }
+
   def ops: Seq[Op] = Seq(
-    Op("stream_ann", annQuery, Some(Similarity.ivfSql)))
+    Op("stream_ann", annQuery, Some(Similarity.ivfSql)),
+    Op("stream_semantic", semanticQuery, Some(Similarity.semanticDedupSql)))
 }

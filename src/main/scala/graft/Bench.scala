@@ -71,13 +71,19 @@ object Bench {
       .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // headline FIRST: the driver's artifact capture tail-truncates long
-    // lines, so the compact total must never ride at the END of the big
-    // per-key line (r12's BENCH json lost its total that way)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_keys":${results.size},"sf":"$sfDir"}""")
+    // compact headline BOTH before and after the multi-KB per-key line:
+    // the driver's artifact capture keeps only the stdout TAIL, so a
+    // headline printed first alone scrolls out of the window (r13's
+    // BENCH json parsed null that way), while one printed last alone
+    // would be lost to head-capture wrappers. Printing it twice makes
+    // the total machine-readable from either end.
+    val headline =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_keys":${results.size},"sf":"$sfDir"}"""
+    println(headline)
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
+    println(headline)
     // parse insurance: stdout goes through whatever wrapper launched us
     // (sbt, a driver harness); the file copy is always clean JSON.
     // -Dgraft.bench.json / $GRAFT_BENCH_JSON override the destination;

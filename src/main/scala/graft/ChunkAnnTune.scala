@@ -8,9 +8,11 @@ import org.apache.spark.sql.functions._
   * (centMod, nprobe) plus the scanned fraction each point pays — the
   * SemTune/KnnGraphTune pattern on the RAG chunk domain.
   *
-  * `runMain graft.ChunkAnnTune [sfDir] [mod,mod,...] [nprobe,...]`
-  * (defaults: /root/testdata/sf0.01, mods 13,25,50, nprobe 1,2,4).
-  * Results land in docs/TUNING.md.
+  * `runMain graft.ChunkAnnTune [sfDir] [mod,...] [nprobe,...] [source,...]`
+  * (defaults: /root/testdata/sf0.01, mods 13,25,50, nprobe 1,2,4, source
+  * seed; sources: seed|trained — trained = ChunkTrainIters Lloyd rounds
+  * from the same seeds, the r14 scale lever). Results land in
+  * docs/TUNING.md.
   */
 object ChunkAnnTune {
   def main(args: Array[String]): Unit = {
@@ -33,14 +35,18 @@ object ChunkAnnTune {
       .select("query_doc", "chunk_doc", "chunk_id").persist()
     val nTruth = truth.count()
 
-    println("%6s %7s | %6s | %s".format("mod", "nprobe", "n_hit", "recall"))
-    mods.foreach { mod =>
-      nprobes.foreach { np =>
-        val nHit = TextOps.chunkAnnWith(spark, sfDir, mod, np)
-          .select("query_doc", "chunk_doc", "chunk_id")
-          .join(truth, Seq("query_doc", "chunk_doc", "chunk_id")).count()
-        val recall = if (nTruth == 0) 1.0 else nHit.toDouble / nTruth
-        println(f"$mod%6d $np%7d | $nHit%6d | $recall%.3f")
+    val sources = args.lift(3).map(_.split(",").toSeq).getOrElse(Seq("seed"))
+    println("%8s %6s %7s | %6s | %s".format(
+      "source", "mod", "nprobe", "n_hit", "recall"))
+    sources.foreach { src =>
+      mods.foreach { mod =>
+        nprobes.foreach { np =>
+          val nHit = TextOps.chunkAnnWith(spark, sfDir, mod, np, src)
+            .select("query_doc", "chunk_doc", "chunk_id")
+            .join(truth, Seq("query_doc", "chunk_doc", "chunk_id")).count()
+          val recall = if (nTruth == 0) 1.0 else nHit.toDouble / nTruth
+          println(f"$src%8s $mod%6d $np%7d | $nHit%6d | $recall%.3f")
+        }
       }
     }
     println(s"(truth = $nTruth exact top-k rows; scanned fraction per " +

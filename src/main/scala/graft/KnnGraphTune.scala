@@ -9,8 +9,10 @@ import org.apache.spark.sql.functions._
   * the dial grid (the SemTune/PqTune pattern). Runs on the tractable
   * `%5` vertex slice where the exact truth is affordable.
   *
-  * `runMain graft.KnnGraphTune [sfDir] [mod,mod,...] [nprobe,nprobe,...]`
-  * (defaults: /root/testdata/sf0.01, mods 63,125,251, nprobe 1,2).
+  * `runMain graft.KnnGraphTune [sfDir] [mod,...] [nprobe,...] [rounds,...]
+  * [source,...]` (defaults: /root/testdata/sf0.01, mods 63,125,251,
+  * nprobe 1,2, rounds 0-3, source seed; sources: seed|trained — trained
+  * = TrainIters Lloyd rounds from the same seeds, the r14 scale lever).
   * Results land in docs/TUNING.md.
   */
 object KnnGraphTune {
@@ -35,19 +37,22 @@ object KnnGraphTune {
 
     val roundsSweep = args.lift(3).map(_.split(",").map(_.toInt).toSeq)
       .getOrElse(Seq(0, 1, 2, 3))
-    println("%6s %7s %7s | %9s %6s | %s".format(
-      "mod", "nprobe", "rounds", "n_approx", "n_hit", "edge_recall"))
-    mods.foreach { mod =>
-      nprobes.foreach { np =>
-        roundsSweep.foreach { rounds =>
-          val approx =
-            if (rounds > 0)
-              Similarity.sliceEdgesRefinedWith(spark, sfDir, mod, np, rounds)
-            else Similarity.sliceEdgesIvfWith(spark, sfDir, mod, np)
-          val nApprox = approx.count()
-          val nHit = approx.join(exact, Seq("q_id", "n_id")).count()
-          val recall = if (nTruth == 0) 1.0 else nHit.toDouble / nTruth
-          println(f"$mod%6d $np%7d $rounds%7d | $nApprox%9d $nHit%6d | $recall%.3f")
+    val sources = args.lift(4).map(_.split(",").toSeq).getOrElse(Seq("seed"))
+    println("%8s %6s %7s %7s | %9s %6s | %s".format(
+      "source", "mod", "nprobe", "rounds", "n_approx", "n_hit", "edge_recall"))
+    sources.foreach { src =>
+      mods.foreach { mod =>
+        nprobes.foreach { np =>
+          roundsSweep.foreach { rounds =>
+            val approx =
+              if (rounds > 0)
+                Similarity.sliceEdgesRefinedWith(spark, sfDir, src, mod, np, rounds)
+              else Similarity.sliceEdgesIvfWith(spark, sfDir, src, mod, np)
+            val nApprox = approx.count()
+            val nHit = approx.join(exact, Seq("q_id", "n_id")).count()
+            val recall = if (nTruth == 0) 1.0 else nHit.toDouble / nTruth
+            println(f"$src%8s $mod%6d $np%7d $rounds%7d | $nApprox%9d $nHit%6d | $recall%.3f")
+          }
         }
       }
     }

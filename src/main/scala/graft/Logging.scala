@@ -11,6 +11,15 @@ package graft
   * the log handles (cassabon.go's signal handler does both);
   * Round13Spec drives a real move-then-reopen cycle against a temp-file
   * appender.
+  *
+  * Scope note (vs the reference's per-file Reopen): the stop/start cycle
+  * tears down EVERY appender for the duration of the swap, so log events
+  * emitted concurrently by live HTTP/ingest/Spark threads during that
+  * window are dropped rather than queued — a deliberate trade: log4j2's
+  * refcount-cached FileManagers make a narrower file-appender-only swap
+  * acquire the OLD fd (see below), and a reload is a rare, operator-
+  * driven event where a few lost in-flight log lines are acceptable
+  * (logrotate itself loses lines from non-reopened writers).
   */
 object Logging {
   def reopen(): Unit = {

@@ -111,6 +111,17 @@ object Multimodal {
     * each stub's derivation when real media arrives, with schema and
     * batch shape identical.
     */
+  /** ImageIO.read returns NULL (not an exception) for bytes no installed
+    * codec claims — surface that as a named error carrying the row key,
+    * not an opaque executor NPE three operators downstream.
+    */
+  private def decodeOrFail(id: Long, blob: Array[Byte]): java.awt.image.BufferedImage = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+    if (img == null) throw new IllegalArgumentException(
+      s"doc_id=$id: undecodable image blob (${blob.length} bytes, no codec matched)")
+    img
+  }
+
   private[graft] def decodeImageMeta(spark: SparkSession,
       pngBlobs: DataFrame): DataFrame = {
     import spark.implicits._
@@ -121,8 +132,7 @@ object Multimodal {
       // are created per call (they are not thread-safe to share)
       it.grouped(BatchSize).flatMap { batch =>
         batch.iterator.map { case (id, blob) =>
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(blob))
+          val img = decodeOrFail(id, blob)
           (id, blob.length, img.getWidth, img.getHeight,
             img.getColorModel.getNumComponents)
         }
@@ -144,8 +154,7 @@ object Multimodal {
     rows.mapPartitions { it =>
       it.grouped(BatchSize).flatMap { batch =>
         batch.iterator.map { case (id, blob) =>
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(blob))
+          val img = decodeOrFail(id, blob)
           val (w, h) = (img.getWidth, img.getHeight)
           val (ow, oh) = if (w >= h) (box, h * box / w) else (w * box / h, box)
           val out = new java.awt.image.BufferedImage(ow, oh,
@@ -173,7 +182,8 @@ object Multimodal {
 
   /** Real feature lanes from decoded pixels — a drop-in for [[features]]'
     * digest stub: per-channel means scaled to the 16-bit lane width
-    * (×257 maps 0..255 onto 0..65535 exactly), dims/bytes in the
+    * (×257 maps 0..255 onto 0..65535 exactly; scale-before-divide keeps
+    * the sub-integer mean resolution the lane has room for), dims/bytes in the
     * remaining lanes. Same wide f0..f7 shape the ANN family consumes.
     */
   private[graft] def imageFeatures(spark: SparkSession,
@@ -184,8 +194,7 @@ object Multimodal {
     rows.mapPartitions { it =>
       it.grouped(BatchSize).flatMap { batch =>
         batch.iterator.map { case (id, blob) =>
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(blob))
+          val img = decodeOrFail(id, blob)
           val (w, h) = (img.getWidth, img.getHeight)
           var (sr, sg, sb) = (0L, 0L, 0L)
           var y = 0
@@ -199,7 +208,7 @@ object Multimodal {
             y += 1
           }
           val n = w.toLong * h
-          (id, sr / n * 257, sg / n * 257, sb / n * 257,
+          (id, sr * 257 / n, sg * 257 / n, sb * 257 / n,
             w.toLong, h.toLong, img.getColorModel.getNumComponents.toLong,
             blob.length.toLong % 65536)
         }
@@ -327,6 +336,106 @@ object Multimodal {
        |SELECT doc_id, media_kind,
        |       ${(0 until FeatureDims).map(k => s"${hexChunkSql("content_hash", k * 4 + 1)} AS f$k").mkString(",\n       ")}
        |FROM blobs""".stripMargin
+
+  // ------------------------------------------------- multimodal_decode_real
+
+  /** Planted-PNG dial: dims land in [144, 303] so the fixture CROSSES the
+    * [[ResizeBox]]=224 boundary — both up- and down-scales exercise the
+    * real raster kernel, and the `upscaled` flag carries signal.
+    */
+  val PlantDimMod = 160
+  val PlantDimBase = 144
+
+  /** Deterministic REAL-PNG fixture: each doc's text digest seeds a solid
+    * `(pr, pg, pb)` image of `(pw × ph)` pixels, encoded row-locally into
+    * genuine PNG bytes with `javax.imageio` — the blobs the real-codec
+    * seam decodes back. Solid color is the point: every derived quantity
+    * (dims, aspect-fit geometry, per-channel means, feature lanes) is
+    * EXACTLY recomputable from the digest alone, so DuckDB can oracle the
+    * whole decode→resize→features chain without any codec.
+    */
+  private[graft] def plantedPngBlobs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val mm = PlantDimMod.toLong
+    val seeds = Tables.documents(spark, dir)
+      .withColumn("blob", col("text").cast("binary"))
+      .withColumn("h", hex2big(md5(col("blob"))))
+      .select(col("doc_id"),
+        (col("h") % mm + PlantDimBase).cast("int").as("pw"),
+        (expr(s"h div $mm") % mm + PlantDimBase).cast("int").as("ph"),
+        (expr(s"h div ${mm * mm}") % 256).cast("int").as("pr"),
+        (expr(s"h div ${mm * mm * 256L}") % 256).cast("int").as("pg"),
+        (expr(s"h div ${mm * mm * 256L * 256L}") % 256).cast("int").as("pb"))
+      .as[(Long, Int, Int, Int, Int, Int)]
+    seeds.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { case (id, w, h, r, g, b) =>
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val gfx = img.createGraphics()
+          gfx.setColor(new java.awt.Color(r, g, b))
+          gfx.fillRect(0, 0, w, h)
+          gfx.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }
+    }.toDF("doc_id", "blob")
+  }
+
+  /** `multimodal_decode_real`: the REAL-codec chain as an oracle-gated
+    * operator — genuine PNG encode ([[plantedPngBlobs]]) → genuine decode
+    * ([[decodeImageMeta]]) → genuine raster resize ([[resizeImage]]) →
+    * genuine pixel features ([[imageFeatures]]), with every output column
+    * an exact integer DuckDB recomputes from the planting digest (solid
+    * color: the means ARE the planted color, the aspect-fit dims are the
+    * `resize` integer formula, the lanes are mean×257). This is the r13
+    * spec-only javax.imageio seam promoted to a driver-gated key: if any
+    * kernel drifted (codec, interpolation, truncation), the hash check
+    * goes red.
+    *
+    * Plan shape: three row-local mapPartitions passes over the planted
+    * frame (encode is recomputed per kernel — lineage, no pin), then two
+    * |docs|-row joins on doc_id. No data-sized exchange beyond those.
+    */
+  def decodeReal(spark: SparkSession, dir: String): DataFrame = {
+    val blobs = plantedPngBlobs(spark, dir)
+    val metaDf = decodeImageMeta(spark, blobs)
+      .select(col("doc_id"), col("width"), col("height"), col("channels"))
+    val rz = resizeImage(spark, blobs)
+      .select(col("doc_id"), col("out_w"), col("out_h"), col("upscaled"),
+        col("mean_r"), col("mean_g"), col("mean_b"))
+    val ft = imageFeatures(spark, blobs)
+      .select(col("doc_id"), col("f0"), col("f1"), col("f2"))
+    metaDf.join(rz, Seq("doc_id")).join(ft, Seq("doc_id"))
+  }
+
+  private val decodeRealSql: String = {
+    val mm = PlantDimMod.toLong
+    s"""WITH ph AS (
+       |  SELECT doc_id, ${hex2bigSql("md5(text)")} AS h FROM documents
+       |),
+       |geo AS (
+       |  SELECT doc_id,
+       |         CAST(h % $mm + $PlantDimBase AS INT) AS width,
+       |         CAST((h // $mm) % $mm + $PlantDimBase AS INT) AS height,
+       |         3 AS channels,
+       |         CAST((h // ${mm * mm}) % 256 AS BIGINT) AS pr,
+       |         CAST((h // ${mm * mm * 256L}) % 256 AS BIGINT) AS pg,
+       |         CAST((h // ${mm * mm * 256L * 256L}) % 256 AS BIGINT) AS pb
+       |  FROM ph
+       |)
+       |SELECT doc_id, width, height, channels,
+       |       CAST(CASE WHEN width >= height THEN $ResizeBox
+       |                 ELSE width * $ResizeBox // height END AS INT) AS out_w,
+       |       CAST(CASE WHEN width >= height THEN height * $ResizeBox // width
+       |                 ELSE $ResizeBox END AS INT) AS out_h,
+       |       greatest(width, height) < $ResizeBox AS upscaled,
+       |       pr AS mean_r, pg AS mean_g, pb AS mean_b,
+       |       pr * 257 AS f0, pg * 257 AS f1, pb * 257 AS f2
+       |FROM geo""".stripMargin
+  }
 
   // --------------------------------------------------------- multimodal_dedup
 
@@ -559,6 +668,7 @@ object Multimodal {
     Op("multimodal_phash", phashPairs, Some(phashPairsSql)),
     Op("multimodal_phash_cluster", phashCluster, Some(phashClusterSql)),
     Op("multimodal_meta", meta, Some(metaSql)),
+    Op("multimodal_decode_real", decodeReal, Some(decodeRealSql)),
     Op("multimodal_frames", frames, Some(framesSql)),
     Op("multimodal_resize", resize, Some(resizeSql)),
     Op("multimodal_features", features, Some(featuresSql)),

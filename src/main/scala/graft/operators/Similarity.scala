@@ -966,54 +966,92 @@ object Similarity {
     * meets its second-nearest cell's members (the IVF nprobe idea applied
     * to index-side membership — the standard multi-assignment trick
     * kNN-graph builders use). Candidate work scales ~nprobe² per cell.
+    * r14: 2 → 3 with the TRAINED quantizer — the sf0.1 sweep (docs/
+    * TUNING.md) reads 0.767/0.783 (cells/refined) edge recall at
+    * trained-125/3 vs 0.434/0.476 at seed-125/2, for ~2.25× in-cell pair
+    * work and an unchanged exchange shape; sf0.01 at the new dial is
+    * 1.000.
     */
-  val KnnGraphNProbe = 2
+  val KnnGraphNProbe = 3
 
-  /** Top-[[KnnGraphNProbe]] cell MEMBERSHIPS `(vec_id, v, nrm, c_id)` —
-    * nprobe=2 as TWO chained [[assignNearest]] max_by passes (second pass
-    * re-scores with the winner excluded), NOT a window over the n×k
-    * scored frame: each pass partial-combines map-side so the exchange
-    * carries n rows, never n×|cells| — the property that makes the
-    * assignment scale-honest at 100 TB.
+  /** Top-`nprobe` cell MEMBERSHIPS `(vec_id, v, nrm, c_id)` — chained
+    * [[assignNearest]] max_by passes (each pass re-scores with the cells
+    * already picked excluded), NOT a window over the n×k scored frame:
+    * each pass partial-combines map-side so the exchange carries n rows,
+    * never n×|cells| — the property that makes the assignment
+    * scale-honest at 100 TB. Equivalent to the top-N of (ccos desc,
+    * c_id asc) per vector, which is what the oracle's `crn <= nprobe`
+    * window computes.
     */
-  private[graft] def assignTop2(verts: DataFrame, cents: DataFrame): DataFrame = {
-    val a1 = assignNearest(verts, cents)
-    val a2 = a1.select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("c1"))
-      .crossJoin(broadcast(cents))
-      .filter(col("c_id") =!= col("c1"))
-      .withColumn("ccos",
-        expr(dotExpr("v", "cv")) / (sqrt(col("nrm")) * sqrt(col("cn"))))
-      .groupBy("vec_id")
-      .agg(max_by(struct(col("v"), col("nrm"), col("c_id")),
-        struct(col("ccos"), -col("c_id"))).as("b"))
-      .select(col("vec_id"), col("b.v").as("v"), col("b.nrm").as("nrm"),
-        col("b.c_id").as("c_id"))
-    a1.select("vec_id", "v", "nrm", "c_id").unionByName(a2)
+  private[graft] def assignTopN(verts: DataFrame, cents: DataFrame,
+      nprobe: Int): DataFrame = {
+    val a1 = assignNearest(verts, cents).select("vec_id", "v", "nrm", "c_id")
+    if (nprobe <= 1) return a1
+    var out = a1
+    var picked = a1.select(col("vec_id"), col("v"), col("nrm"),
+      array(col("c_id")).as("cs"))
+    (2 to nprobe).foreach { _ =>
+      val next = picked
+        .crossJoin(broadcast(cents))
+        .filter(!array_contains(col("cs"), col("c_id")))
+        .withColumn("ccos",
+          expr(dotExpr("v", "cv")) / (sqrt(col("nrm")) * sqrt(col("cn"))))
+        .groupBy("vec_id")
+        .agg(max_by(struct(col("v"), col("nrm"), col("cs"), col("c_id")),
+          struct(col("ccos"), -col("c_id"))).as("b"))
+        .select(col("vec_id"), col("b.v").as("v"), col("b.nrm").as("nrm"),
+          col("b.cs").as("cs"), col("b.c_id").as("c_id"))
+      out = out.unionByName(next.select("vec_id", "v", "nrm", "c_id"))
+      picked = next.select(col("vec_id"), col("v"), col("nrm"),
+        array_union(col("cs"), array(col("c_id"))).as("cs"))
+    }
+    out
   }
 
   private[graft] def mutualKnnEdgesIvf(spark: SparkSession, dir: String,
       verts: DataFrame): DataFrame =
-    mutualKnnEdgesIvfWith(spark, dir, verts, CentroidMod, KnnGraphNProbe)
+    mutualFromLists(cellKnnLists(spark, graphCents(spark, dir), verts,
+      KnnGraphNProbe))
 
-  /** [[mutualKnnEdgesIvf]] at an explicit `(centroidMod, nprobe)` — the
-    * dial surface `graft.KnnGraphTune` sweeps (docs/TUNING.md records the
-    * frontier; nprobe 1→2 measured 0.36→0.92 edge recall at sf0.01).
+  /** [[mutualKnnEdgesIvf]] at an explicit `(source, centroidMod, nprobe)`
+    * — the dial surface `graft.KnnGraphTune` sweeps (docs/TUNING.md
+    * records the frontier; nprobe 1→2 measured 0.36→0.92 edge recall at
+    * sf0.01; seed→trained quantizer is the r14 lever).
     */
   private[graft] def mutualKnnEdgesIvfWith(spark: SparkSession, dir: String,
-      verts: DataFrame, centroidMod: Int, nprobe: Int): DataFrame =
-    mutualFromLists(cellKnnLists(spark, dir, verts, centroidMod, nprobe))
+      verts: DataFrame, source: String, centroidMod: Int, nprobe: Int): DataFrame =
+    mutualFromLists(cellKnnLists(spark,
+      centsFor(spark, dir, source, centroidMod), verts, nprobe))
+
+  /** Quantizer selection for the tune sweeps: `seed` = every mod-th
+    * vector; `trained` = [[TrainIters]] Lloyd rounds from those seeds.
+    */
+  private[graft] def centsFor(spark: SparkSession, dir: String,
+      source: String, centroidMod: Int): DataFrame = source match {
+    case "seed" => seedCentsEvery(fixedVecs(spark, dir), centroidMod)
+    case "trained" => mkCentsDf(spark,
+      trainedCents(spark, dir, TrainIters, None, centroidMod)._1)
+    case other => throw new IllegalArgumentException(
+      s"unknown centroid source '$other' (seed|trained)")
+  }
+
+  /** The SHIPPED graph-family quantizer: Lloyd-TRAINED centroids at the
+    * house [[CentroidMod]] — the r13 verdict's scale finding (seed
+    * quantizer edge recall collapses 0.92→0.43 from sf0.01 to sf0.1 at
+    * fixed dials; training buys recall back at zero probe cost, measured
+    * in docs/TUNING.md's seed-vs-trained frontier).
+    */
+  private[graft] def graphCents(spark: SparkSession, dir: String): DataFrame =
+    mkCentsDf(spark, trainedCents(spark, dir)._1)
 
   /** Per-vertex top-[[TopK]] lists `(q_id, n_id)` from IVF cell-mate
     * candidates — the seed lists both the plain graph ([[mutualFromLists]]
     * directly) and the NN-Descent refinement ([[refinedKnnLists]]) rank
     * from.
     */
-  private[graft] def cellKnnLists(spark: SparkSession, dir: String,
-      verts: DataFrame, centroidMod: Int, nprobe: Int): DataFrame = {
-    val cents = seedCentsEvery(fixedVecs(spark, dir), centroidMod)
-    val assigned =
-      if (nprobe <= 1) assignNearest(verts, cents).select("vec_id", "v", "nrm", "c_id")
-      else assignTop2(verts, cents)
+  private[graft] def cellKnnLists(spark: SparkSession, cents: DataFrame,
+      verts: DataFrame, nprobe: Int): DataFrame = {
+    val assigned = assignTopN(verts, cents, nprobe)
     assigned.join(
         assigned.select(col("c_id").as("m_cid"), col("vec_id").as("m_id"),
           col("v").as("mv"), col("nrm").as("mn")),
@@ -1053,14 +1091,20 @@ object Similarity {
     */
   val KnnRefineRounds = 2
 
+  /** `tag` discriminates the spill paths: the same JVM runs this with
+    * different vertex frames and dials (full corpus vs the recall slice,
+    * tune sweeps), and the returned frame reads its final spill LAZILY —
+    * undiscriminated tags would let a second call's overwrite silently
+    * serve the first call's reader (r13 advice).
+    */
   private[graft] def refinedKnnLists(spark: SparkSession, dir: String,
-      verts: DataFrame, centroidMod: Int, nprobe: Int,
-      rounds: Int = KnnRefineRounds): DataFrame = {
+      verts: DataFrame, cents: DataFrame, nprobe: Int,
+      rounds: Int = KnnRefineRounds, tag: String = "full"): DataFrame = {
     val qside = verts.select(col("vec_id").as("q_id"),
       col("v").as("qv"), col("nrm").as("qn"))
     val nside = verts.select(col("vec_id").as("n_id"),
       col("v").as("cv2"), col("nrm").as("cn2"))
-    var lists = cellKnnLists(spark, dir, verts, centroidMod, nprobe)
+    var lists = cellKnnLists(spark, cents, verts, nprobe)
     for (r <- 1 to rounds) {
       // each round's DAG references the previous lists THREE times (the
       // union's left arm + both sides of the expansion self-join); left
@@ -1069,7 +1113,8 @@ object Similarity {
       // round's input through the shared-storage gate (the knn_pagerank
       // edge-spill precedent, same GC contract) so a round reads a
       // k·n-row parquet once and the returned plan pins nothing.
-      val spill = graft.model.Spill.path(spark, s"knn_refined_lists_$r", dir)
+      val spill = graft.model.Spill.path(spark,
+        s"knn_refined_${tag}_${nprobe}_lists_$r", dir)
       lists.write.mode("overwrite").parquet(spill)
       val prev = spark.read.parquet(spill)
       val cand = prev
@@ -1088,7 +1133,8 @@ object Similarity {
     // the caller's mutuality test self-joins the returned lists (2×
     // recompute of the last round left as lineage) — spill the final
     // frame too, so consumers read a k·n-row parquet
-    val out = graft.model.Spill.path(spark, "knn_refined_lists_final", dir)
+    val out = graft.model.Spill.path(spark,
+      s"knn_refined_${tag}_${nprobe}_lists_final", dir)
     lists.write.mode("overwrite").parquet(out)
     spark.read.parquet(out)
   }
@@ -1101,7 +1147,7 @@ object Similarity {
     */
   private[graft] def knnIvfCtes(p: String, vertPred: String): String =
     s"""${p}verts AS (SELECT vec_id, v, nrm FROM nv WHERE $vertPred),
-       |${p}cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM nv WHERE vec_id % $CentroidMod = 1),
+       |${p}cents AS (SELECT c_id, cv, cn FROM cents$TrainIters),
        |${p}cdist AS (
        |  SELECT n.vec_id, n.v, n.nrm, c.c_id,
        |         CAST(list_sum([n.v[i] * c.cv[i] for i in generate_series(1, len(n.v))]) AS BIGINT)
@@ -1187,8 +1233,11 @@ object Similarity {
         coalesce(col("mutual_degree"), lit(0L)).as("mutual_degree"))
   }
 
-  private val knnGraphIvfSql: String =
+  // lazy: renders kmeansIterCtes, declared LATER — the CentroidMod
+  // init-order gotcha
+  private lazy val knnGraphIvfSql: String =
     s"""WITH $fixedVecsCtes,
+       |$kmeansIterCtes,
        |${knnIvfCtes("kg_", "TRUE")},
        |kg_mutual AS (
        |  SELECT u AS vec_id, CAST(count(*) AS BIGINT) AS mutual_degree
@@ -1210,8 +1259,9 @@ object Similarity {
       "q_id", "n_id", fixedVecs(spark, dir).select("vec_id"),
       "vec_id", "knn_ivf_labels")
 
-  private val knnComponentsIvfSql: String =
+  private lazy val knnComponentsIvfSql: String =
     s"""WITH RECURSIVE $fixedVecsCtes,
+       |$kmeansIterCtes,
        |${knnIvfCtes("kg_", "TRUE")},
        |reach(v, r) AS (
        |  SELECT u, u FROM kg_me
@@ -1236,7 +1286,8 @@ object Similarity {
   def knnGraphRefined(spark: SparkSession, dir: String): DataFrame = {
     val verts = fixedVecs(spark, dir)
     val mutual = mutualFromLists(
-        refinedKnnLists(spark, dir, verts, CentroidMod, KnnGraphNProbe))
+        refinedKnnLists(spark, dir, verts, graphCents(spark, dir),
+          KnnGraphNProbe, KnnRefineRounds, "full"))
       .groupBy(col("q_id").as("vec_id"))
       .agg(count(lit(1)).as("mutual_degree"))
     verts.select("vec_id").join(mutual, Seq("vec_id"), "left")
@@ -1244,8 +1295,9 @@ object Similarity {
         coalesce(col("mutual_degree"), lit(0L)).as("mutual_degree"))
   }
 
-  private val knnGraphRefinedSql: String =
+  private lazy val knnGraphRefinedSql: String =
     s"""WITH $fixedVecsCtes,
+       |$kmeansIterCtes,
        |${knnIvfCtes("kg_", "TRUE")},
        |${knnRefinedCtes("kg_")},
        |kgr_mutual AS (
@@ -1264,8 +1316,9 @@ object Similarity {
       mutualKnnEdgesIvf(spark, dir, fixedVecs(spark, dir)),
       fixedVecs(spark, dir).select("vec_id"), "knn_pagerank_ivf_edges")
 
-  private val knnPagerankIvfSql: String =
-    pagerankSqlOver(knnIvfCtes("kg_", "TRUE"), "kg_verts", "kg_me")
+  private lazy val knnPagerankIvfSql: String =
+    pagerankSqlOver(s"$kmeansIterCtes,\n${knnIvfCtes("kg_", "TRUE")}",
+      "kg_verts", "kg_me")
 
   /** Edge recall of the IVF cell-mate graph against exact ground truth,
     * measured on the tractable `%`[[KnnGraphMod]] slice (the `ann_recall`
@@ -1281,13 +1334,16 @@ object Similarity {
   private[graft] def exactSliceEdges(spark: SparkSession, dir: String): DataFrame =
     mutualKnnEdges(spark, dir)
   private[graft] def sliceEdgesIvfWith(spark: SparkSession, dir: String,
-      centroidMod: Int, nprobe: Int): DataFrame =
-    mutualKnnEdgesIvfWith(spark, dir, graphVerts(spark, dir), centroidMod, nprobe)
+      source: String, centroidMod: Int, nprobe: Int): DataFrame =
+    mutualKnnEdgesIvfWith(spark, dir, graphVerts(spark, dir), source,
+      centroidMod, nprobe)
   private[graft] def sliceEdgesRefinedWith(spark: SparkSession, dir: String,
-      centroidMod: Int, nprobe: Int, rounds: Int = KnnRefineRounds): DataFrame =
+      source: String, centroidMod: Int, nprobe: Int,
+      rounds: Int = KnnRefineRounds): DataFrame =
     mutualFromLists(
-      refinedKnnLists(spark, dir, graphVerts(spark, dir), centroidMod, nprobe,
-        rounds))
+      refinedKnnLists(spark, dir, graphVerts(spark, dir),
+        centsFor(spark, dir, source, centroidMod), nprobe, rounds,
+        s"slice_${source}_${centroidMod}"))
 
   def knnGraphRecall(spark: SparkSession, dir: String): DataFrame = {
     val slice = graphVerts(spark, dir)
@@ -1296,7 +1352,8 @@ object Similarity {
       .withColumn("method", lit("ivf_cells"))
       .unionByName(
         mutualFromLists(
-          refinedKnnLists(spark, dir, slice, CentroidMod, KnnGraphNProbe))
+          refinedKnnLists(spark, dir, slice, graphCents(spark, dir),
+            KnnGraphNProbe, KnnRefineRounds, "recall_slice"))
           .withColumn("method", lit("ivf_refined")))
     val matched = approx.join(truth, Seq("q_id", "n_id"), "left_semi")
       .groupBy("method").agg(count(lit(1)).as("n_hit"))
@@ -1309,9 +1366,10 @@ object Similarity {
           .as("edge_recall"))
   }
 
-  private val knnGraphRecallSql: String =
+  private lazy val knnGraphRecallSql: String =
     s"""WITH $fixedVecsCtes,
        |$knnGraphCtes,
+       |$kmeansIterCtes,
        |${knnIvfCtes("rg_", s"vec_id % $KnnGraphMod = 0")},
        |${knnRefinedCtes("rg_")},
        |rg_ap AS (
@@ -1484,14 +1542,15 @@ object Similarity {
     * untouched because a recomputation is bit-identical by construction.
     */
   private val lloydCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int), (Seq[(Long, Seq[Long])], Seq[(Long, Long, Seq[Long])])]()
+    (String, Int, Int), (Seq[(Long, Seq[Long])], Seq[(Long, Long, Seq[Long])])]()
   private val balancedCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Int), Seq[(Long, Seq[Long])]]()
 
   private[graft] def trainedCents(spark: SparkSession, dir: String,
-      iters: Int = TrainIters, sharedVecs: Option[DataFrame] = None)
+      iters: Int = TrainIters, sharedVecs: Option[DataFrame] = None,
+      seedMod: Int = CentroidMod)
       : (Seq[(Long, Seq[Long])], Seq[(Long, Long, Seq[Long])]) = {
-    val cached = lloydCache.get((dir, iters))
+    val cached = lloydCache.get((dir, iters, seedMod))
     if (cached != null) return cached
     // The corpus conversion (parquet scan → fixed-point transform → exact
     // norm) is persisted across the Lloyd rounds, so the seed collect and
@@ -1502,7 +1561,7 @@ object Similarity {
     val owned = sharedVecs.isEmpty
     val vecs = sharedVecs.getOrElse(fixedVecs(spark, dir).persist())
     try {
-      var cents: Seq[(Long, Seq[Long])] = seedCents(vecs)
+      var cents: Seq[(Long, Seq[Long])] = seedCentsEvery(vecs, seedMod)
         .select(col("c_id"), col("cv")).collect().toSeq
         .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).sortBy(_._1)
       var stats = Seq.empty[(Long, Long, Seq[Long])] // (c_id, n, raw sums)
@@ -1521,7 +1580,7 @@ object Similarity {
         }.toSeq.sortBy(_._1)
       }
       val result = (cents, stats)
-      lloydCache.put((dir, iters), result)
+      lloydCache.put((dir, iters, seedMod), result)
       result
     } finally if (owned) vecs.unpersist(blocking = true)
   }
@@ -1850,15 +1909,86 @@ object Similarity {
       .agg(min_by(struct(col("code"), col("d2")), struct(col("d2"), col("code"))).as("b"))
       .select(col("vec_id"), col("sub"), col("b.code").as("code"), col("b.d2").as("qerr"))
 
+  /** Lloyd rounds for the TRAINED per-subspace codebooks (r14): FAISS
+    * trains PQ codebooks with k-means in each subspace; the hash-ranked
+    * sample is only the SEED. The house TrainIters knee, re-measured on
+    * the PQ domain by `graft.PqTune` seed-vs-trained.
+    */
+  val PqTrainIters = 4
+
+  /** Driver-held PQ codebook back to a `(sub, code, cv, cn)` frame. */
+  private def mkPqCbDf(spark: SparkSession,
+      cb: Seq[(Int, Int, Seq[Long])]): DataFrame = {
+    import spark.implicits._
+    cb.toDF("sub", "code", "cv")
+      .withColumn("cn", expr(dotExpr("cv", "cv")))
+  }
+
+  /** TRAIN ONCE, REUSE EVERYWHERE (the lloydCache contract): per-subspace
+    * k-means trajectories are deterministic per (dir, k, iters).
+    */
+  private val pqLloydCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int), Seq[(Int, Int, Seq[Long])]]()
+
+  /** Per-subspace Lloyd-trained codebooks: seeds = [[pqCodebook]]'s
+    * hash-ranked sample, then `iters` rounds of assign (exact integer L2
+    * argmin, ties to the lower code) → per-(sub, code) truncated-integer
+    * mean. A (sub, code) cell that catches no members KEEPS its previous
+    * centroid (codes are ranks — the codebook must stay k entries per
+    * subspace; FAISS does the same). Codebooks are driver-resident
+    * between rounds (M×k×subdim longs = 2 KB); the per-round distributed
+    * work is ONE broadcast argmin + ONE groupBy whose subdim packed sums
+    * ride the partial aggregate. DuckDB mirror: the `{p}tcb*` rounds in
+    * [[pqCodesCtes]].
+    */
+  private[graft] def trainedPqCodebook(spark: SparkSession, dir: String,
+      vecs: DataFrame, k: Int = PqCodebookK,
+      iters: Int = PqTrainIters): DataFrame = {
+    val cached = pqLloydCache.get((dir, k, iters))
+    if (cached != null) return mkPqCbDf(spark, cached)
+    var cb: Seq[(Int, Int, Seq[Long])] = pqCodebook(vecs, k)
+      .select(col("sub"), col("code"), col("cv")).collect().toSeq
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toSeq))
+      .sortBy(t => (t._1, t._2))
+    (1 to iters).foreach { _ =>
+      val assigned = pqSubVecs(vecs)
+        .join(broadcast(mkPqCbDf(spark, cb)), Seq("sub"))
+        .withColumn("d2",
+          col("xn") - lit(2L) * expr(dotExpr("x", "cv")) + col("cn"))
+        .groupBy("vec_id", "sub")
+        .agg(min_by(struct(col("code"), col("x")),
+          struct(col("d2"), col("code"))).as("b"))
+        .select(col("sub"), col("b.code").as("code"), col("b.x").as("x"))
+      val sums = assigned
+        .groupBy("sub", "code")
+        .agg(count(lit(1)).as("n"),
+          (1 to PqSubDim).map(j => sum(expr(s"element_at(x, $j)")).as(s"s$j")): _*)
+        .collect()
+        .map { r =>
+          ((r.getInt(0), r.getInt(1)),
+            (r.getLong(2), (0 until PqSubDim).map(j => r.getLong(j + 3))))
+        }.toMap
+      cb = cb.map { case (sub, code, cv) =>
+        sums.get((sub, code)) match {
+          case Some((n, ss)) => (sub, code, ss.map(_ / n): Seq[Long])
+          case None => (sub, code, cv) // empty cell keeps its centroid
+        }
+      }
+    }
+    pqLloydCache.put((dir, k, iters), cb)
+    mkPqCbDf(spark, cb)
+  }
+
   /** `pq_encode`: the PQ compression stage as an audited operator — one row
     * per (vector, subspace) with the assigned code and `qerr`, the exact
     * integer quantization error that cell contributes (the watched number:
     * rising qerr at a new corpus scale means the codebook needs retraining,
-    * exactly as `sketch_occupancy` watches bucket skew).
+    * exactly as `sketch_occupancy` watches bucket skew). Since r14 the
+    * codebook is the per-subspace Lloyd-TRAINED one.
     */
   def pqEncode(spark: SparkSession, dir: String): DataFrame = {
     val vecs = fixedVecs(spark, dir)
-    pqCodesFrom(vecs, pqCodebook(vecs))
+    pqCodesFrom(vecs, trainedPqCodebook(spark, dir, vecs))
   }
 
   private def pqCbCtes(p: String): String =
@@ -1874,10 +2004,52 @@ object Similarity {
        |         s.v[g.sub * $PqSubDim + 1 : g.sub * $PqSubDim + $PqSubDim] AS cv
        |  FROM ${p}seed s CROSS JOIN ${p}grid g
        |),
-       |${p}cb AS (
+       |${p}cb_seed AS (
        |  SELECT sub, code, cv, CAST(list_sum([c * c for c in cv]) AS BIGINT) AS cn
        |  FROM ${p}cbraw
        |)""".stripMargin
+
+  /** Per-subspace Lloyd rounds `{p}tcb0 … {p}tcb{PqTrainIters}` + the
+    * final `{p}cb` every downstream consumer (codes, LUTs) reads — the
+    * DuckDB mirror of [[trainedPqCodebook]] (expects `{p}cb_seed` and
+    * `{p}sxn` in scope): each round = argmin assign (d2 asc, code asc) →
+    * per-(sub, code) counts + per-dim RAW sums → `s // n` truncated-mean
+    * centroids, empty cells KEEPING the previous round's entry.
+    */
+  private def pqTrainCtes(p: String): String = {
+    val iters = (1 to PqTrainIters).map { i =>
+      s"""${p}td$i AS (
+         |  SELECT s.vec_id, s.sub, s.x, c.code,
+         |         s.xn - 2 * CAST(list_sum([s.x[n] * c.cv[n] for n in generate_series(1, len(s.x))]) AS BIGINT) + c.cn AS d2
+         |  FROM ${p}sxn s JOIN ${p}tcb${i - 1} c USING (sub)
+         |),
+         |${p}ta$i AS (
+         |  SELECT sub, code, x FROM (
+         |    SELECT sub, code, x,
+         |           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS trn
+         |    FROM ${p}td$i
+         |  ) WHERE trn = 1
+         |),
+         |${p}tn$i AS (SELECT sub, code, CAST(count(*) AS BIGINT) AS n FROM ${p}ta$i GROUP BY 1, 2),
+         |${p}ts$i AS (
+         |  SELECT a.sub, a.code, g.j AS dim, CAST(sum(a.x[g.j]) AS BIGINT) AS s
+         |  FROM ${p}ta$i a, generate_series(1, $PqSubDim) AS g(j)
+         |  GROUP BY 1, 2, 3
+         |),
+         |${p}tref$i AS (
+         |  SELECT s.sub, s.code, list(s.s // n.n ORDER BY s.dim) AS cv
+         |  FROM ${p}ts$i s JOIN ${p}tn$i n USING (sub, code)
+         |  GROUP BY s.sub, s.code
+         |),
+         |${p}tcb$i AS (
+         |  SELECT o.sub, o.code, coalesce(r.cv, o.cv) AS cv,
+         |         CAST(list_sum([x * x for x in coalesce(r.cv, o.cv)]) AS BIGINT) AS cn
+         |  FROM ${p}tcb${i - 1} o LEFT JOIN ${p}tref$i r USING (sub, code)
+         |)""".stripMargin
+    }
+    (s"${p}tcb0 AS (SELECT sub, code, cv, cn FROM ${p}cb_seed)" +: iters)
+      .mkString(",\n")
+  }
 
   private[graft] def pqCodesCtes(p: String): String =
     s"""${pqCbCtes(p)},
@@ -1890,6 +2062,8 @@ object Similarity {
        |  SELECT vec_id, sub, x, CAST(list_sum([e * e for e in x]) AS BIGINT) AS xn
        |  FROM ${p}sx
        |),
+       |${pqTrainCtes(p)},
+       |${p}cb AS (SELECT sub, code, cv, cn FROM ${p}tcb$PqTrainIters),
        |${p}dist AS (
        |  SELECT s.vec_id, s.sub, c.code,
        |         s.xn - 2 * CAST(list_sum([s.x[i] * c.cv[i] for i in generate_series(1, len(s.x))]) AS BIGINT) + c.cn AS d2
@@ -1941,7 +2115,7 @@ object Similarity {
   def annPqWith(spark: SparkSession, dir: String, shortlist: Int,
       codebookK: Int = PqCodebookK): DataFrame = {
     val vecs = fixedVecs(spark, dir)
-    val cb = pqCodebook(vecs, codebookK)
+    val cb = trainedPqCodebook(spark, dir, vecs, codebookK)
     val codes = pqCodesFrom(vecs, cb).select("vec_id", "sub", "code")
     val probeVecs = vecs.filter(col("vec_id") % ProbeMod === 0)
     val probes = probeVecs
@@ -2033,7 +2207,7 @@ object Similarity {
   def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val vecs = fixedVecs(spark, dir)
     val cents = seedCents(vecs)
-    val cb = pqCodebook(vecs)
+    val cb = trainedPqCodebook(spark, dir, vecs)
     val codes = pqCodesFrom(vecs, cb).select("vec_id", "sub", "code")
     val assigned = assignNearest(vecs, cents).select("vec_id", "c_id")
     val probeVecs = vecs.filter(col("vec_id") % ProbeMod === 0)

@@ -1133,11 +1133,117 @@ object TextOps {
     * quantizer — the `seedCentsEvery` rule lifted to (doc, chunk) keys.
     */
   val ChunkCentMod = 50
-  /** Cells each query probes — the same recall knob as `ann_ivf`'s. The
-    * (50, 4) point is the sf0.01-swept knee: recall 0.90 vs the exact
-    * baseline (`graft.ChunkAnnTune`, docs/TUNING.md).
+  /** Cells each query probes — the same recall knob as `ann_ivf`'s.
+    * r14: (50, 4, seed) → (50, 8, trained): the sf0.1 sweep (docs/
+    * TUNING.md) reads 0.748 retrieval recall at trained-50/8 vs 0.548 at
+    * the r13 seed-50/4 point (and 1.000 vs 0.900 at sf0.01) — nprobe is
+    * the scan knob (~nprobe/|cells| of the chunk corpus per probe) and
+    * training tightens the near-isotropic hashing-trick cells at zero
+    * probe cost below mod ~100.
     */
-  val ChunkNProbe = 4
+  val ChunkNProbe = 8
+  /** Lloyd rounds for the TRAINED chunk-space quantizer (r14): the house
+    * [[graft.operators.Similarity.TrainIters]] knee, re-measured on the
+    * chunk domain by `graft.ChunkAnnTune` seed-vs-trained.
+    */
+  val ChunkTrainIters = 4
+  /** Centroid coordinates live at 1e6× the raw hashing-trick scale:
+    * chunk-vector entries are TINY ints (±ones), so an unscaled integer
+    * mean truncates to zero almost everywhere and Lloyd collapses. The
+    * mean is computed as `(sum × 1e6) DIV n` — exact in int64 (sums are
+    * ≤ |cell|·maxval ≈ 1e5, ×1e6 ≪ 2^63), truncation identical in Scala
+    * `Long./`, Spark `DIV` and DuckDB `//` — and cosine is scale-
+    * invariant, so the scaled quantizer assigns the same cells raw
+    * centroids would if they could exist.
+    */
+  val ChunkCentScale = 1000000L
+
+  /** Chunk→nearest-centroid assignment (the sort-free max_by argmax,
+    * keyed by the (doc_id, chunk_id) chunk key) — shared by the serving
+    * path ([[chunkAnnWith]]) and the Lloyd trainer so the assignment rule
+    * cannot drift between training and serving.
+    */
+  private def assignChunks(dense: DataFrame, cents: DataFrame): DataFrame =
+    dense.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        expr("vec_dot(v, cv)") / (sqrt(col("nrm")) * sqrt(col("cn"))))
+      .groupBy("doc_id", "chunk_id")
+      .agg(max_by(struct(col("v"), col("nrm"), col("c_id")),
+        struct(col("ccos"), -col("c_id"))).as("b"))
+      .select(col("doc_id"), col("chunk_id"), col("b.v").as("v"),
+        col("b.nrm").as("nrm"), col("b.c_id").as("c_id"))
+
+  /** Driver-held chunk centroids back to a `(c_id, cv, cn)` frame. */
+  private[graft] def mkChunkCentsDf(spark: SparkSession,
+      cents: Seq[(Long, Seq[Long])]): DataFrame = {
+    graft.functions.VecMath.register(spark)
+    import spark.implicits._
+    cents.toDF("c_id", "cv").withColumn("cn", expr("vec_dot(cv, cv)"))
+  }
+
+  /** TRAIN ONCE, REUSE EVERYWHERE (the Similarity.lloydCache contract):
+    * chunk-space Lloyd trajectories are deterministic per (dir, iters,
+    * mod) — exact scaled-integer means, fixed seeds — so the k×EmbedDims
+    * result is memoized for the JVM's life.
+    */
+  private val chunkLloydCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int), Seq[(Long, Seq[Long])]]()
+
+  /** [[graft.operators.Similarity.trainedCents]] on the CHUNK domain:
+    * seeds = every `centMod`-th doc's first chunk (×[[ChunkCentScale]]),
+    * then `iters` Lloyd rounds of assign → per-cell scaled-integer mean.
+    * Centroids are driver-resident between rounds (k×64 longs, the MLlib
+    * KMeans shape); the per-round distributed work is ONE broadcast
+    * argmax + ONE groupBy whose 64 packed sums ride the partial
+    * aggregate. Both engines walk bit-identical trajectories — the
+    * DuckDB mirror is [[chunkKmeansIterCtes]].
+    */
+  private[graft] def trainedChunkCents(spark: SparkSession, dir: String,
+      iters: Int = ChunkTrainIters, centMod: Int = ChunkCentMod)
+      : Seq[(Long, Seq[Long])] = {
+    val cached = chunkLloydCache.get((dir, iters, centMod))
+    if (cached != null) return cached
+    val dense = chunkDense(spark, dir).persist()
+    try {
+      var cents: Seq[(Long, Seq[Long])] = dense
+        .filter(col("doc_id") % centMod === 1 && col("chunk_id") === 0)
+        .select(col("doc_id"), col("v")).collect().toSeq
+        .map(r => (r.getLong(0),
+          r.getSeq[Long](1).map(_ * ChunkCentScale).toSeq))
+        .sortBy(_._1)
+      (1 to iters).foreach { _ =>
+        val sums = assignChunks(dense, mkChunkCentsDf(spark, cents))
+          .groupBy("c_id")
+          .agg(count(lit(1)).as("n"),
+            (1 to EmbedDims).map(i =>
+              sum(expr(s"element_at(v, $i)")).as(s"s$i")): _*)
+          .collect()
+        cents = sums.map { r =>
+          val n = r.getLong(1)
+          (r.getLong(0),
+            (0 until EmbedDims).map(i =>
+              r.getLong(i + 2) * ChunkCentScale / n): Seq[Long])
+        }.toSeq.sortBy(_._1)
+      }
+      chunkLloydCache.put((dir, iters, centMod), cents)
+      cents
+    } finally dense.unpersist(blocking = true)
+  }
+
+  /** Quantizer selection for the tune sweep: `seed` = every centMod-th
+    * doc's first chunk; `trained` = [[ChunkTrainIters]] Lloyd rounds from
+    * those seeds.
+    */
+  private[graft] def chunkCentsFor(spark: SparkSession, dir: String,
+      source: String, centMod: Int): DataFrame = source match {
+    case "seed" => chunkDense(spark, dir)
+      .filter(col("doc_id") % centMod === 1 && col("chunk_id") === 0)
+      .select(col("doc_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    case "trained" => mkChunkCentsDf(spark,
+      trainedChunkCents(spark, dir, ChunkTrainIters, centMod))
+    case other => throw new IllegalArgumentException(
+      s"unknown chunk centroid source '$other' (seed|trained)")
+  }
 
   /** `chunk_knn` served by IVF over the chunk vectors instead of brute
     * force — the retrieval path a RAG index actually runs at 100 TB
@@ -1156,25 +1262,17 @@ object TextOps {
     * corpus, never all of it.
     */
   def chunkAnn(spark: SparkSession, dir: String): DataFrame =
-    chunkAnnWith(spark, dir, ChunkCentMod, ChunkNProbe)
+    chunkAnnWith(spark, dir, ChunkCentMod, ChunkNProbe, "trained")
 
-  /** [[chunkAnn]] at an explicit `(centMod, nprobe)` — the dial surface
-    * `graft.ChunkAnnTune` sweeps (frontier in docs/TUNING.md).
+  /** [[chunkAnn]] at an explicit `(centMod, nprobe, source)` — the dial
+    * surface `graft.ChunkAnnTune` sweeps (frontier in docs/TUNING.md;
+    * seed→trained quantizer is the r14 scale lever).
     */
   private[graft] def chunkAnnWith(spark: SparkSession, dir: String,
-      centMod: Int, nprobe: Int): DataFrame = {
+      centMod: Int, nprobe: Int, source: String = "seed"): DataFrame = {
     val dense = chunkDense(spark, dir)
-    val cents = dense
-      .filter(col("doc_id") % centMod === 1 && col("chunk_id") === 0)
-      .select(col("doc_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val assigned = dense.crossJoin(broadcast(cents))
-      .withColumn("ccos",
-        expr("vec_dot(v, cv)") / (sqrt(col("nrm")) * sqrt(col("cn"))))
-      .groupBy("doc_id", "chunk_id")
-      .agg(max_by(struct(col("v"), col("nrm"), col("c_id")),
-        struct(col("ccos"), -col("c_id"))).as("b"))
-      .select(col("doc_id"), col("chunk_id"), col("b.v").as("v"),
-        col("b.nrm").as("nrm"), col("b.c_id").as("c_id"))
+    val cents = chunkCentsFor(spark, dir, source, centMod)
+    val assigned = assignChunks(dense, cents)
     val routes = chunkProbes(spark, dir)
       .crossJoin(broadcast(cents))
       .withColumn("ccos",
@@ -1195,15 +1293,58 @@ object TextOps {
         col("chunk_id"), col("rank"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** The chunk-space Lloyd loop unrolled as CTE rounds — `cc_cents0`
+    * (scaled seeds) through `cc_cents{ChunkTrainIters}`, the DuckDB
+    * mirror of [[trainedChunkCents]] (expects `ck_corpus` in scope):
+    * each round = assign (argmax ccos, c_id asc tiebreak) → per-cell
+    * counts + per-dim RAW sums → `(s × ChunkCentScale) // n` scaled-
+    * integer centroids. Same truncation rules as the Scala loop, so both
+    * engines walk identical trajectories (the kmeansIterCtes pattern on
+    * the chunk domain).
+    */
+  private[graft] lazy val chunkKmeansIterCtes: String = {
+    val iters = (1 to ChunkTrainIters).map { i =>
+      s"""cc_d$i AS (
+         |  SELECT k.doc_id, k.chunk_id, k.v, c.c_id,
+         |         CAST(list_sum([k.v[j] * c.cv[j] for j in generate_series(1, len(k.v))]) AS BIGINT)
+         |           / (sqrt(k.nrm) * sqrt(c.cn)) AS ccos
+         |  FROM ck_corpus k CROSS JOIN cc_cents${i - 1} c
+         |),
+         |cc_a$i AS (
+         |  SELECT doc_id, chunk_id, v, c_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY doc_id, chunk_id
+         |                                 ORDER BY ccos DESC, c_id) AS crn
+         |    FROM cc_d$i
+         |  ) WHERE crn = 1
+         |),
+         |cc_n$i AS (SELECT c_id, CAST(count(*) AS BIGINT) AS n FROM cc_a$i GROUP BY 1),
+         |cc_s$i AS (
+         |  SELECT a.c_id, g.j AS dim, CAST(sum(a.v[g.j]) AS BIGINT) AS s
+         |  FROM cc_a$i a, generate_series(1, $EmbedDims) AS g(j)
+         |  GROUP BY 1, 2
+         |),
+         |cc_cents$i AS (
+         |  SELECT c_id, cv, CAST(list_sum([x * x for x in cv]) AS BIGINT) AS cn
+         |  FROM (SELECT s.c_id, list((s.s * $ChunkCentScale) // n.n ORDER BY s.dim) AS cv
+         |        FROM cc_s$i s JOIN cc_n$i n USING (c_id) GROUP BY s.c_id)
+         |)""".stripMargin
+    }
+    (s"""cc_cents0 AS (
+       |  SELECT doc_id AS c_id, [x * $ChunkCentScale for x in v] AS cv,
+       |         CAST(list_sum([x * x for x in v]) * $ChunkCentScale * $ChunkCentScale AS BIGINT) AS cn
+       |  FROM ck_corpus WHERE doc_id % $ChunkCentMod = 1 AND chunk_id = 0
+       |)""".stripMargin +: iters).mkString(",\n")
+  }
+
   /** CTE chain `ca_cents … ca_assigned … ca_final` — the chunk-IVF
-    * retrieval as composable SQL (expects `eh_*` and `ck_*` in scope);
+    * retrieval as composable SQL (expects `eh_*`, `ck_*` and `cc_*` in
+    * scope — the quantizer is the TRAINED `cc_cents{ChunkTrainIters}`);
     * the final CTE `ca_final` carries `chunk_ann`'s whole output so
     * `chunk_ann_recall`'s oracle can nest it verbatim.
     */
   private[graft] lazy val chunkAnnCtes: String =
     s"""ca_cents AS (
-       |  SELECT doc_id AS c_id, v AS cv, nrm AS cn FROM ck_corpus
-       |  WHERE doc_id % $ChunkCentMod = 1 AND chunk_id = 0
+       |  SELECT c_id, cv, cn FROM cc_cents$ChunkTrainIters
        |),
        |ca_adist AS (
        |  SELECT k.doc_id, k.chunk_id, k.v, k.nrm, c.c_id,
@@ -1249,6 +1390,7 @@ object TextOps {
   private[graft] lazy val chunkAnnSql: String =
     s"""WITH $ehDenseCtes,
        |$ckDenseCtes,
+       |$chunkKmeansIterCtes,
        |$chunkAnnCtes
        |SELECT * FROM ca_final""".stripMargin
 
@@ -1277,6 +1419,7 @@ object TextOps {
   private[graft] lazy val chunkAnnRecallSql: String =
     s"""WITH $ehDenseCtes,
        |$ckDenseCtes,
+       |$chunkKmeansIterCtes,
        |$chunkAnnCtes,
        |car_truth AS (SELECT query_doc, chunk_doc, chunk_id FROM ($chunkKnnSql)),
        |car_counts AS (

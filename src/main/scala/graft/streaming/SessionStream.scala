@@ -375,50 +375,63 @@ object SessionStream {
     * stream equals the batch lag-window's row-for-row. Oracle =
     * `event_transitions`' SQL verbatim.
     */
-  def transitionsBufferedQuery(spark: SparkSession, dir: String): DataFrame = {
-    implicit val be = Encoders.product[BufEvent]
+  /** Writes the deliberately-DISORDERED replay both buffered live twins
+    * ingest: six time-slice files pairwise swapped (s2 s1 s4 s3 s6 s5) —
+    * every other micro-batch delivers events BELOW the previous batch's
+    * high-water mark — plus a far-future sentinel row (reserved user -1,
+    * a type no analysis matches) that advances the closing watermark past
+    * every real event so all buffers flush. Returns the watermark delay
+    * (2 slice spans) that covers the constructed disorder.
+    */
+  private def writeSwappedReplay(spark: SparkSession, dir: String,
+      src: String): Long = {
     val shift = graft.model.RollupConfig.LastKeyShift
     val ev = graft.model.Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"),
         expr(s"(ts DIV 1000000000) * $shift + event_id").as("k"))
       .withColumn("et", expr(s"timestamp_seconds(k DIV $shift)"))
       .persist()
-    val src = java.nio.file.Files.createTempDirectory("stream_btrans_src").toString
-    val delaySec =
-      try {
-        val r = ev.agg(min("k"), max("k")).head()
-        val (lo, hi) = (r.getLong(0), r.getLong(1))
-        val cuts = (1 to 5).map(i => lo + (hi - lo) * i / 6)
-        val slices = (Long.MinValue +: cuts :+ Long.MaxValue).sliding(2).toSeq
-          .map { case Seq(a, b) => ev.filter(col("k") > a && col("k") <= b) }
-        // pairwise-swapped ingest order: s2 s1 s4 s3 s6 s5
-        val order = Seq(1, 0, 3, 2, 5, 4)
-        order.zipWithIndex.foreach { case (sliceIdx, fileIdx) =>
-          DedupStream.writeOneFile(slices(sliceIdx).toDF(),
-            f"$src/batch$fileIdx%02d.parquet", ageMs = 130000 - fileIdx * 10000)
-        }
-        val spanSec = ((hi / shift) - (lo / shift)) / 6 + 1
-        // sentinel: one far-future row for a reserved user advances the
-        // closing watermark past every real event, flushing all buffers
-        val sentinelSec = hi / shift + 10 * spanSec
-        DedupStream.writeOneFile(
-          spark.range(1).select(lit(-1L).as("user_id"),
-            lit("sentinel").as("event_type"),
-            lit(sentinelSec * shift).as("k"),
-            expr(s"timestamp_seconds($sentinelSec)").as("et")),
-          s"$src/batch99.parquet", ageMs = 50000)
-        2 * spanSec + 1
-      } finally ev.unpersist(blocking = true)
+    try {
+      val r = ev.agg(min("k"), max("k")).head()
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val cuts = (1 to 5).map(i => lo + (hi - lo) * i / 6)
+      val slices = (Long.MinValue +: cuts :+ Long.MaxValue).sliding(2).toSeq
+        .map { case Seq(a, b) => ev.filter(col("k") > a && col("k") <= b) }
+      // pairwise-swapped ingest order: s2 s1 s4 s3 s6 s5
+      val order = Seq(1, 0, 3, 2, 5, 4)
+      order.zipWithIndex.foreach { case (sliceIdx, fileIdx) =>
+        DedupStream.writeOneFile(slices(sliceIdx).toDF(),
+          f"$src/batch$fileIdx%02d.parquet", ageMs = 130000 - fileIdx * 10000)
+      }
+      val spanSec = ((hi / shift) - (lo / shift)) / 6 + 1
+      // sentinel: one far-future row for a reserved user advances the
+      // closing watermark past every real event, flushing all buffers
+      val sentinelSec = hi / shift + 10 * spanSec
+      DedupStream.writeOneFile(
+        spark.range(1).select(lit(-1L).as("user_id"),
+          lit("sentinel").as("event_type"),
+          lit(sentinelSec * shift).as("k"),
+          expr(s"timestamp_seconds($sentinelSec)").as("et")),
+        s"$src/batch99.parquet", ageMs = 50000)
+      2 * spanSec + 1
+    } finally ev.unpersist(blocking = true)
+  }
 
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("user_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("k",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("et",
-        org.apache.spark.sql.types.TimestampType)))
+  private val bufEventSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("user_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("event_type",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("k",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("et",
+      org.apache.spark.sql.types.TimestampType)))
+
+  def transitionsBufferedQuery(spark: SparkSession, dir: String): DataFrame = {
+    implicit val be = Encoders.product[BufEvent]
+    val src = java.nio.file.Files.createTempDirectory("stream_btrans_src").toString
+    val delaySec = writeSwappedReplay(spark, dir, src)
+    val schema = bufEventSchema
     val sink = "stream_btrans_" + UUID.randomUUID().toString.replace("-", "")
     try {
       CarbonStream.withStreamPartitions(spark) {
@@ -566,6 +579,102 @@ object SessionStream {
         fin.filter(col("k3").isNotNull).select("user_id", "k2", "k3"))
     } finally {
       // the drained memory sink holds the rows; the replay files are done
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(src))
+    }
+  }
+
+  // ---------------------------------------------- stream_funnel_buffered
+
+  case class FunnelBufState(buf: Seq[(String, Long)],
+    k1: Option[Long], k2: Option[Long], k3: Option[Long], lastK: Long)
+
+  /** The out-of-order-ABSORBING form of [[funnelMachine]] — the
+    * [[transitionsBufferedMachine]] watermark-buffer pattern applied to
+    * the write-once funnel triple: a user's events wait in state until
+    * the WATERMARK has passed them (no earlier event can still arrive),
+    * then feed the stage machine in finalized order, so the triple equals
+    * the batch min-based definition however the events were interleaved
+    * across micro-batches (within the declared lateness bound). State per
+    * user = the not-yet-final tail (bounded by the watermark delay, not
+    * the stream) + the write-once triple + the finalized high-water key.
+    * Groups re-fire on watermark advance via EventTimeTimeout; duplicate
+    * keys in the FINALIZED order still fail loudly.
+    */
+  def funnelBufferedMachine(events: Dataset[BufEvent]): DataFrame = {
+    implicit val fs = Encoders.product[FunnelBufState]
+    implicit val oe = Encoders.product[(Long, Option[Long], Option[Long], Option[Long])]
+    implicit val kl = Encoders.scalaLong
+    val steps = graft.operators.Analytics.FunnelSteps
+    val shift = graft.model.RollupConfig.LastKeyShift
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, batch: Iterator[BufEvent], state: GroupState[FunnelBufState]) => {
+          val s0 = state.getOption
+            .getOrElse(FunnelBufState(Nil, None, None, None, Long.MinValue))
+          val wmMs = state.getCurrentWatermarkMs()
+          val all = (s0.buf ++ batch.map(e => (e.event_type, e.k))).sortBy(_._2)
+          val (safe, rest) = all.partition { case (_, k) =>
+            (k / shift) * 1000L < wmMs
+          }
+          var s = s0
+          safe.foreach { case (tpe, k) =>
+            if (k <= s.lastK) throw new IllegalStateException(
+              s"stream_funnel_buffered: duplicate/regressed key for user " +
+                s"$userId (k $k <= finalized high-water ${s.lastK}) — disorder " +
+                "is absorbed, duplicates are not; dedupe upstream")
+            if (s.k1.isEmpty && tpe == steps.head) s = s.copy(k1 = Some(k))
+            else if (s.k1.nonEmpty && s.k2.isEmpty && tpe == steps(1) && k > s.k1.get)
+              s = s.copy(k2 = Some(k))
+            else if (s.k2.nonEmpty && s.k3.isEmpty && tpe == steps(2) && k > s.k2.get)
+              s = s.copy(k3 = Some(k))
+            s = s.copy(lastK = k)
+          }
+          s = s.copy(buf = rest)
+          state.update(s)
+          state.setTimeoutTimestamp(math.max(wmMs + 1000L, 1000L))
+          Iterator.single((userId, s.k1, s.k2, s.k3))
+        })
+      .toDF("user_id", "k1", "k2", "k3")
+  }
+
+  /** The LIVE out-of-order form of `funnel_steps`: the SAME per-user-max
+    * readoff and [[graft.operators.Analytics.funnelAggFrom]] closing
+    * aggregate as `stream_funnel`, but the replay is the deliberately
+    * DISORDERED pairwise-swapped slices (the write-once machine fails
+    * loudly on exactly this input — Round14Spec drives both) plus the
+    * far-future sentinel that flushes every buffer. The sentinel user's
+    * row carries an all-None triple and drops out of the stage frames.
+    * Oracle = `funnel_steps`' SQL verbatim.
+    */
+  def funnelBufferedQuery(spark: SparkSession, dir: String): DataFrame = {
+    implicit val be = Encoders.product[BufEvent]
+    val src = java.nio.file.Files.createTempDirectory("stream_bfunnel_src").toString
+    val delaySec = writeSwappedReplay(spark, dir, src)
+    val sink = "stream_bfunnel_" + UUID.randomUUID().toString.replace("-", "")
+    try {
+      CarbonStream.withStreamPartitions(spark) {
+        val q = funnelBufferedMachine(
+          spark.readStream.schema(bufEventSchema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withWatermark("et", s"$delaySec seconds")
+            .as[BufEvent])
+          .writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode("append")
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
+      val fin = CarbonStream.drainMemorySink(spark, sink)
+        .groupBy("user_id")
+        .agg(max("k1").as("k1"), max("k2").as("k2"), max("k3").as("k3"))
+      graft.operators.Analytics.funnelAggFrom(
+        fin.filter(col("k1").isNotNull).select("user_id", "k1"),
+        fin.filter(col("k2").isNotNull).select("user_id", "k1", "k2"),
+        fin.filter(col("k3").isNotNull).select("user_id", "k2", "k3"))
+    } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(src))
     }
   }
@@ -773,6 +882,8 @@ object SessionStream {
     Op("stream_transitions", transitionsQuery,
       Some(graft.operators.Analytics.transitionsSql)),
     Op("stream_transitions_buffered", transitionsBufferedQuery,
-      Some(graft.operators.Analytics.transitionsSql))
+      Some(graft.operators.Analytics.transitionsSql)),
+    Op("stream_funnel_buffered", funnelBufferedQuery,
+      Some(graft.operators.Analytics.funnelSql))
   )
 }

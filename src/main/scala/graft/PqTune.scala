@@ -32,14 +32,19 @@ object PqTune {
     val nTruth = truth.count()
     val corpus = graft.model.Tables.embeddings(spark, dir).count()
 
-    for (k <- Seq(8, 16, 32); shortlist <- Seq(10, 25, 50, 100)) {
+    val sources = args.lift(1).map(_.split(",").toSeq)
+      .getOrElse(Seq("seed", "trained"))
+    for (source <- sources; k <- Seq(8, 16, 32); shortlist <- Seq(10, 25, 50, 100)) {
       val vecs = Similarity.fixedVecs(spark, dir)
-      val meanQerr = Similarity.pqCodesFrom(vecs, Similarity.pqCodebook(vecs, k))
+      val cb =
+        if (source == "seed") Similarity.pqCodebook(vecs, k)
+        else Similarity.trainedPqCodebook(spark, dir, vecs, k)
+      val meanQerr = Similarity.pqCodesFrom(vecs, cb)
         .agg(avg("qerr")).head().getDouble(0)
-      val matched = Similarity.annPqWith(spark, dir, shortlist, k)
+      val matched = Similarity.annPqWith(spark, dir, shortlist, k, source)
         .select(col("query_id"), col("neighbor_id"))
         .join(truth, Seq("query_id", "neighbor_id"), "left_semi").count()
-      println(f"PQTUNE k=$k shortlist=$shortlist " +
+      println(f"PQTUNE source=$source k=$k shortlist=$shortlist " +
         f"recall@${Similarity.TopK}=${matched.toDouble / nTruth}%.3f " +
         f"rerank_frac=${shortlist / (corpus - 1).toDouble}%.4f " +
         f"mean_qerr=$meanQerr%.3e")

@@ -2113,9 +2113,11 @@ object Similarity {
     * `graft.PqTune` sweeps.
     */
   def annPqWith(spark: SparkSession, dir: String, shortlist: Int,
-      codebookK: Int = PqCodebookK): DataFrame = {
+      codebookK: Int = PqCodebookK, source: String = "trained"): DataFrame = {
     val vecs = fixedVecs(spark, dir)
-    val cb = trainedPqCodebook(spark, dir, vecs, codebookK)
+    val cb =
+      if (source == "seed") pqCodebook(vecs, codebookK)
+      else trainedPqCodebook(spark, dir, vecs, codebookK)
     val codes = pqCodesFrom(vecs, cb).select("vec_id", "sub", "code")
     val probeVecs = vecs.filter(col("vec_id") % ProbeMod === 0)
     val probes = probeVecs

@@ -163,15 +163,14 @@ object Multimodal {
           g.drawImage(img, 0, 0, ow, oh, null)
           g.dispose()
           var (sr, sg, sb) = (0L, 0L, 0L)
-          var y = 0
-          while (y < oh) {
-            var x = 0
-            while (x < ow) {
-              val p = out.getRGB(x, y)
-              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-              x += 1
-            }
-            y += 1
+          // bulk row read: per-pixel getRGB pays a color-model conversion
+          // per call — one getRGB(int[]) per image is ~an order faster
+          val px = out.getRGB(0, 0, ow, oh, null, 0, ow)
+          var i = 0
+          while (i < px.length) {
+            val p = px(i)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            i += 1
           }
           val n = ow.toLong * oh
           (id, ow, oh, math.max(w, h) < box, sr / n, sg / n, sb / n)
@@ -197,15 +196,12 @@ object Multimodal {
           val img = decodeOrFail(id, blob)
           val (w, h) = (img.getWidth, img.getHeight)
           var (sr, sg, sb) = (0L, 0L, 0L)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val p = img.getRGB(x, y)
-              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-              x += 1
-            }
-            y += 1
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          var i = 0
+          while (i < px.length) {
+            val p = px(i)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            i += 1
           }
           val n = w.toLong * h
           (id, sr * 257 / n, sg * 257 / n, sb * 257 / n,
@@ -367,6 +363,11 @@ object Multimodal {
         (expr(s"h div ${mm * mm * 256L}") % 256).cast("int").as("pg"),
         (expr(s"h div ${mm * mm * 256L * 256L}") % 256).cast("int").as("pb"))
       .as[(Long, Int, Int, Int, Int, Int)]
+      // the documents parquet is a handful of files; left alone, every
+      // pixel loop downstream runs on that few cores. The seed rows are
+      // six ints — repartitioning them is free, and spreads the codec
+      // work across the executor threads
+      .repartition(spark.sparkContext.defaultParallelism)
     seeds.mapPartitions { it =>
       it.grouped(BatchSize).flatMap { batch =>
         batch.iterator.map { case (id, w, h, r, g, b) =>

@@ -1666,6 +1666,33 @@ object Similarity {
   private val ivfTrainedSql: String =
     ivfSqlFrom(s"$kmeansIterCtes,\ncents AS (SELECT c_id, cv, cn FROM cents$TrainIters)")
 
+  /** `ann_ivf_stored`: [[ivfTrained]] served from a PERSISTED inverted-
+    * list index — the build-once/probe-many production shape. The trained
+    * assignment is written to shared storage PARTITIONED BY `c_id` (one
+    * directory per inverted list — exactly how a physical ANN store lays
+    * lists out), and the probe read filters on the routed cell ids, so
+    * the scan's `PartitionFilters` prune to the probed lists' files: the
+    * store read touches nprobe/|cells| of the INDEX BYTES, not just of
+    * the rows (Round14Spec asserts the pruned plan). The routed-cell set
+    * is ≤ |cells| ids (config-sized collect); results are bit-identical
+    * to [[ivfTrained]] (same quantizer, same probe algebra, one parquet
+    * roundtrip), so the oracle is [[ivfTrainedSql] ] verbatim.
+    */
+  def ivfStored(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = fixedVecs(spark, dir)
+    val cents = mkCentsDf(spark, trainedCents(spark, dir)._1)
+    val idx = graft.model.Spill.path(spark, "ivf_lists_trained", dir)
+    assignNearest(vecs, cents).select("vec_id", "v", "nrm", "c_id")
+      .write.mode("overwrite").partitionBy("c_id").parquet(idx)
+    val probeLists = ivfProbeLists(vecs, cents, NProbe)
+    val routed = probeLists.select("c_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val lists = spark.read.parquet(idx)
+      .filter(col("c_id").isin(routed: _*))
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id").cast("long").as("c_id"))
+    topKFromCands(ivfCandsFromAssigned(lists, probeLists))
+  }
+
   // ----------------------------------------------- balanced IVF quantizer
 
   /** Split-hot / merge-cold Lloyd variant: plain k-means minimizes
@@ -2397,6 +2424,7 @@ object Similarity {
     Op("ann_lsh_bucketed", lshBucketed, Some(lshBucketedSql)),
     Op("ann_ivf", ivf, Some(ivfSql)),
     Op("ann_ivf_trained", ivfTrained, Some(ivfTrainedSql)),
+    Op("ann_ivf_stored", ivfStored, Some(ivfTrainedSql)),
     Op("ann_ivf_balanced", ivfBalanced, Some(ivfBalancedSql)),
     Op("ann_recall", recall, Some(recallSql)),
     Op("pq_encode", pqEncode, Some(pqEncodeSql)),

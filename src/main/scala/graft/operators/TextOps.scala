@@ -1034,6 +1034,41 @@ object TextOps {
       .select("doc_id", "chunk_id", "v", "nrm")
   }
 
+  /** [[chunkDense]] as PURE row-local algebra — no explode-then-groupBy:
+    * each (doc, chunk) row computes its dense vector with higher-order
+    * functions over its own token slice (hash once per token, then one
+    * `aggregate` per dimension), so the projection runs UNCHANGED on a
+    * document STREAM in APPEND mode with zero streaming state (the
+    * `stream_chunk`/shingling precedent applied to embeddings). Integer
+    * sums are order-immune, so equality with the groupBy form is exact —
+    * Round14Spec pins the two frames identical.
+    */
+  private[graft] def chunkDenseRowLocal(docs: DataFrame): DataFrame = {
+    graft.functions.VecMath.register(docs.sparkSession)
+    val stride = ChunkTokens - ChunkOverlap
+    docs
+      .withColumn("t", split(lower(coalesce(col("text"), lit(""))), " "))
+      .withColumn("n", size(col("t")))
+      .withColumn("nc", greatest(lit(1),
+        expr(s"(n - $ChunkOverlap + ${stride - 1}) DIV $stride")))
+      .select(col("doc_id"), col("t"), col("n"),
+        explode(expr("sequence(0, nc - 1)")).as("chunk_id"))
+      .withColumn("s", col("chunk_id") * stride)
+      .withColumn("toks", expr(s"slice(t, s + 1, least($ChunkTokens, n - s))"))
+      .withColumn("hs", expr(
+        "transform(toks, tok -> CAST(conv(substring(md5(CAST(tok AS BINARY)), 1, 15), 16, 10) AS BIGINT))"))
+      .withColumn("v", expr(
+        s"transform(sequence(0, ${EmbedDims - 1}), i -> " +
+          s"aggregate(hs, CAST(0 AS BIGINT), (acc, h) -> " +
+          s"acc + CASE WHEN CAST(h % $EmbedDims AS INT) = i " +
+          s"THEN (h DIV $EmbedDims) % 2 * 2 - 1 " +
+          "ELSE CAST(0 AS BIGINT) END))"))
+      .withColumn("nrm", expr("vec_dot(v, v)"))
+      .filter(col("nrm") > 0)
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("v"), col("nrm"))
+  }
+
   /** The document-query probe frame `(q_id, qv, qn)` — shared by
     * `chunk_knn` and `chunk_ann` (and definitionally identical to
     * `text_knn`'s probe side via [[hashedDenseDocs]]).
@@ -1269,9 +1304,16 @@ object TextOps {
     * seed→trained quantizer is the r14 scale lever).
     */
   private[graft] def chunkAnnWith(spark: SparkSession, dir: String,
-      centMod: Int, nprobe: Int, source: String = "seed"): DataFrame = {
-    val dense = chunkDense(spark, dir)
-    val cents = chunkCentsFor(spark, dir, source, centMod)
+      centMod: Int, nprobe: Int, source: String = "seed"): DataFrame =
+    chunkAnnFrom(spark, dir, chunkDense(spark, dir),
+      chunkCentsFor(spark, dir, source, centMod), nprobe)
+
+  /** The chunk-IVF probe over an arbitrary dense-chunk frame — shared by
+    * the batch [[chunkAnnWith]] and `stream_chunk_ann`'s readoff (whose
+    * dense frame is the drained live index).
+    */
+  private[graft] def chunkAnnFrom(spark: SparkSession, dir: String,
+      dense: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
     val assigned = assignChunks(dense, cents)
     val routes = chunkProbes(spark, dir)
       .crossJoin(broadcast(cents))

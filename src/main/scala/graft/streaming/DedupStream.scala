@@ -337,6 +337,47 @@ object DedupStream {
     CarbonStream.drainMemorySink(spark, sink)
   }
 
+  // -------------------------------------------------------- stream_chunk_ann
+
+  /** The LIVE RAG ingestion path: arriving documents are chunked AND
+    * embedded row-locally ([[graft.operators.TextOps.chunkDenseRowLocal]]
+    * — the stream_chunk zero-state shape carried one stage further, to
+    * the dense vectors), accumulating the chunk-vector index in APPEND
+    * mode with no streaming state at all; retrieval then serves from the
+    * drained index through the SAME trained-quantizer probe plan the
+    * batch `chunk_ann` runs ([[graft.operators.TextOps.chunkAnnFrom]]).
+    * This is how a continuous retrieval indexer actually splits: embed on
+    * ingest (map-only, scales with arrival rate), probe on read (scales
+    * with nprobe/|cells| of the accumulated index). Oracle =
+    * `chunk_ann`'s SQL verbatim (the drained index equals the batch
+    * dense frame row-for-row).
+    */
+  def chunkAnnQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextOps
+    val docs = spark.readStream
+      .schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val sink = "stream_cann_" + UUID.randomUUID().toString.replace("-", "")
+    CarbonStream.withStreamPartitions(spark) {
+      val q = TextOps.chunkDenseRowLocal(docs)
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .start()
+      try {
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+      }
+    }
+    TextOps.chunkAnnFrom(spark, dir,
+      CarbonStream.drainMemorySink(spark, sink),
+      TextOps.chunkCentsFor(spark, dir, "trained", TextOps.ChunkCentMod),
+      TextOps.ChunkNProbe)
+  }
+
   // ------------------------------------------------------------- stream_mix
 
   /** The LIVE form of `mix_rebalance`: the per-lang count frame is the
@@ -576,6 +617,8 @@ object DedupStream {
       Some(graft.operators.TextOps.tokenSurprisalSql)),
     Op("stream_mix", mixQuery,
       Some(graft.operators.TextOps.mixRebalanceSql)),
+    Op("stream_chunk_ann", chunkAnnQuery,
+      Some(graft.operators.TextOps.chunkAnnSql)),
     Op("stream_chunk", chunkQuery,
       Some(graft.operators.TextOps.chunkDocumentsSql)),
     Op("stream_dedup_exact", dedupQuery, Some(dedupSql)),

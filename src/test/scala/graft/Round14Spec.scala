@@ -171,6 +171,37 @@ class Round14Spec extends AnyFunSuite with TestSpark {
     }
   }
 
+  // ------------------------- row-local chunk embedding == the groupBy form
+
+  test("chunkDenseRowLocal equals chunkDense exactly") {
+    val docs = graft.model.Tables.documents(spark, Sf)
+    val a = graft.operators.TextOps.chunkDenseRowLocal(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Long](2).toList, r.getLong(3))).toSet
+    val b = graft.operators.TextOps.chunkDense(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Long](2).toList, r.getLong(3))).toSet
+    assert(a.nonEmpty && a == b,
+      s"row-local chunk embedding diverges: ${(a diff b).take(2)} vs ${(b diff a).take(2)}")
+  }
+
+  // --------------------------- stored IVF index: pruned read, equal answer
+
+  test("ann_ivf_stored prunes partitions and matches ann_ivf_trained") {
+    graft.functions.VecMath.register(spark)
+    val stored = Similarity.ivfStored(spark, Sf)
+    val plan = stored.queryExecution.executedPlan.toString
+    val pruned = "PartitionFilters: \\[[^\\]]*c_id".r
+      .findFirstIn(plan).isDefined
+    assert(pruned,
+      s"probe scan is not partition-pruned on c_id:\n${plan.take(3000)}")
+    val got = stored.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val want = Similarity.ivfTrained(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(got == want, s"stored-index serve diverges from the in-memory plan")
+  }
+
   // ------------------------------------ refinedKnnLists spill-tag isolation
 
   test("refinedKnnLists spills are tag-isolated across interleaved calls") {

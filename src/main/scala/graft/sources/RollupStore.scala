@@ -60,14 +60,28 @@ object RollupStore {
     * partitions it touches, which is why flush cycles should be
     * time-contiguous; see `Rollups.storeLifecycle`.)
     */
-  def appendStateSlice(state: DataFrame, path: String): Unit = {
+  /** batchwriter.go's size-triggered flush pacing (datastore/
+    * batchwriter.go:44-52: `Append` accumulates statements and flushes
+    * the batch the moment `stmtCount >= batchSize`) re-expressed as the
+    * store's write-batching knob: Spark's `maxRecordsPerFile` caps each
+    * committed parquet file at the batch size, so one oversized flush
+    * lands as SEVERAL bounded files in its partition directory — the
+    * same bounded-unit-of-write property (a reader never waits on, and a
+    * retry never redoes, more than one batch) the reference's Cassandra
+    * batches provide. The default keeps files row-group-sized; tighten it
+    * where the downstream consumer wants smaller commit units.
+    */
+  val DefaultMaxRowsPerFile = 5000000L
+
+  def appendStateSlice(state: DataFrame, path: String,
+      maxRowsPerFile: Long = DefaultMaxRowsPerFile): Unit = {
     recoverIfNeeded(state.sparkSession, path)
     state
       .withColumn("stat_date", to_date(timestamp_seconds(col("stat_time"))))
       .repartition(col("tbl"), col("stat_date"))
       .write
       .mode("append")
-      .option("maxRecordsPerFile", 5000000)
+      .option("maxRecordsPerFile", maxRowsPerFile)
       .partitionBy("tbl", "stat_date")
       .parquet(path)
   }

@@ -202,6 +202,39 @@ class Round14Spec extends AnyFunSuite with TestSpark {
     assert(got == want, s"stored-index serve diverges from the in-memory plan")
   }
 
+  // ----------------------------- write batching: the batchwriter.go knob
+
+  test("appendStateSlice batch-size knob bounds the unit of write") {
+    import graft.sources.RollupStore
+    import org.apache.hadoop.fs.Path
+    val state = graft.operators.Rollups.mergeableFrom(
+      graft.model.Tables.metrics(spark, Sf))
+    val rows = state.count()
+    assert(rows > 40, s"fixture too small to batch: $rows")
+    val store = java.nio.file.Files.createTempDirectory("r14_batch").toString
+    // batch size far below the slice: one flush must land as SEVERAL
+    // bounded files in its partition directory (batchwriter.go's
+    // stmtCount >= batchSize flush, re-expressed as maxRecordsPerFile)
+    RollupStore.appendStateSlice(state, store, maxRowsPerFile = 10L)
+    val root = new Path(store)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.globStatus(new Path(root, "tbl=*/stat_date=*")).map(_.getPath)
+    val multi = dirs.filter(d =>
+      fs.listStatus(d).count(_.getPath.getName.endsWith(".parquet")) > 1)
+    assert(multi.nonEmpty,
+      "a 10-row batch cap produced single-file partitions — the knob is dead")
+    // bounded units must not change the read: merge-on-read equals the
+    // unbatched single-pass finalize
+    val got = RollupStore.readFinalized(spark, store)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val want = graft.operators.Rollups.finalize(
+        graft.operators.Rollups.mergeAll(state))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == want, "batched write changed the finalized read")
+  }
+
   // ------------------------------------ refinedKnnLists spill-tag isolation
 
   test("refinedKnnLists spills are tag-isolated across interleaved calls") {

@@ -35,7 +35,8 @@ object Explain {
         "series_linreg", "series_remove_outliers", "series_hitcount",
         "quality_select", "chunk_knn", "series_holt_deviation",
         "multimodal_phash", "engagement",
-        "knn_graph_ivf", "knn_graph_recall", "chunk_ann"))
+        "knn_graph_ivf", "knn_graph_recall", "chunk_ann",
+        "ann_ivf_stored", "multimodal_decode_real"))
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -76,6 +76,27 @@ object VecMath {
     out
   }
 
+  /** Hashing-trick bincount: one pass over the token-hash array, out[h %
+    * dims] += sign(h) with sign = (h/dims) % 2 * 2 - 1 — the row-local
+    * embedding kernel `chunkDenseRowLocal` rides. The higher-order-
+    * function form (`transform(dims, i -> aggregate(hs, ...))`) evaluates
+    * 64×|tokens| interpreted lambdas per chunk — measured 64 s for
+    * stream_chunk_ann's ingest at sf0.1; this one static call is the
+    * same O(|tokens|) loop the batch groupBy performs, in JIT bytecode.
+    * Hashes are 60-bit non-negative by contract, so `%` is a true mod.
+    */
+  def hashBin(hs: ArrayData, dims: Int): ArrayData = {
+    val out = new Array[Long](dims)
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      out((h % dims).toInt) += (h / dims) % 2 * 2 - 1
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** ±1 plane rows -> sign-mask encoding for [[signBits]]. */
   def planeMasks(planes: Seq[Seq[Long]]): Array[Long] =
     planes.map(_.zipWithIndex.foldLeft(0L) {
@@ -93,6 +114,37 @@ object VecMath {
       "vec_dot", args => VecDot(args(0), args(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_signbits", args => VecSignBits.fromArgs(args), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_hashbin", args => VecHashBin.fromArgs(args), "built-in")
+  }
+}
+
+/** `vec_hashbin(hs, dims)`: hashing-trick bincount, one static call.
+  * `dims` is plan-build-time config (a folded literal), not a child —
+  * the VecSignBits pattern.
+  */
+case class VecHashBin(child: Expression, dims: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vec_hashbin needs array<bigint> input, got ${other.catalogString}")
+  }
+  override protected def nullSafeEval(hs: Any): Any =
+    VecMath.hashBin(hs.asInstanceOf[ArrayData], dims)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, hs => s"graft.functions.VecMath.hashBin($hs, $dims)")
+  override protected def withNewChildInternal(newChild: Expression): VecHashBin =
+    copy(child = newChild)
+  override def prettyName: String = "vec_hashbin"
+}
+
+object VecHashBin {
+  def fromArgs(args: Seq[Expression]): VecHashBin = {
+    require(args.length == 2 && args(1).foldable,
+      "vec_hashbin(hs, dims) needs a foldable dims literal")
+    VecHashBin(args(0), args(1).eval().asInstanceOf[Number].intValue())
   }
 }
 

@@ -1057,12 +1057,10 @@ object TextOps {
       .withColumn("toks", expr(s"slice(t, s + 1, least($ChunkTokens, n - s))"))
       .withColumn("hs", expr(
         "transform(toks, tok -> CAST(conv(substring(md5(CAST(tok AS BINARY)), 1, 15), 16, 10) AS BIGINT))"))
-      .withColumn("v", expr(
-        s"transform(sequence(0, ${EmbedDims - 1}), i -> " +
-          s"aggregate(hs, CAST(0 AS BIGINT), (acc, h) -> " +
-          s"acc + CASE WHEN CAST(h % $EmbedDims AS INT) = i " +
-          s"THEN (h DIV $EmbedDims) % 2 * 2 - 1 " +
-          "ELSE CAST(0 AS BIGINT) END))"))
+      // the bincount is the native vec_hashbin kernel: the higher-order
+      // form (transform × aggregate) is 64×|tokens| interpreted lambdas
+      // per chunk — measured 64 s for the live ingest at sf0.1 vs ~2 s
+      .withColumn("v", expr(s"vec_hashbin(hs, $EmbedDims)"))
       .withColumn("nrm", expr("vec_dot(v, v)"))
       .filter(col("nrm") > 0)
       .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),

@@ -28,7 +28,8 @@ object ClusterSmoke {
            Set[(String, Long, Long, Double, Long, Double)],
            Set[(Long, Long, Option[Long], Boolean)],
            Set[(Long, String, Double, Long, Double, Boolean)],
-           Set[(Long, Long)]) =
+           Set[(Long, Long)],
+           Set[(Long, Long, Int, Double)]) =
       try {
         val lbl = graft.operators.Dedup.cluster(spark, sf)
           .collect()
@@ -78,7 +79,15 @@ object ClusterSmoke {
           .collect()
           .map(r => (r.getLong(0), r.getLong(1)))
           .toSet
-        (lbl, merges, mix, temp, sem, qs, kg)
+        // ann_ivf_stored writes the partitioned index through the shared
+        // spill root and reads it back partition-pruned — the write/read
+        // cycle must be bit-stable when executor tasks commit the files
+        // from forked JVMs (r14)
+        val stored = graft.operators.Similarity.ivfStored(spark, sf)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+          .toSet
+        (lbl, merges, mix, temp, sem, qs, kg, stored)
       } finally spark.stop()
 
     def builder(master: String) = SparkSession.builder()
@@ -88,11 +97,12 @@ object ClusterSmoke {
       .config("spark.ui.enabled", "false")
 
     val (expected, expectedMerges, expectedMix, expectedTemp, expectedSem,
-      expectedQs, expectedKg) = labels(builder("local[2]").getOrCreate())
+      expectedQs, expectedKg, expectedStored) =
+      labels(builder("local[2]").getOrCreate())
 
     val spillRoot = Files.createTempDirectory("cluster_smoke_spill").toString
     val (clustered, clusterMerges, clusterMix, clusterTemp, clusterSem,
-      clusterQs, clusterKg) = labels(
+      clusterQs, clusterKg, clusterStored) = labels(
       builder("local-cluster[2,2,1024]")
         .appName("graft-cluster-smoke")
         .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
@@ -120,6 +130,8 @@ object ClusterSmoke {
       s"multi-JVM quality_select diverges: ${(clusterQs diff expectedQs).take(5)}")
     require(expectedKg.exists(_._2 > 0L) && clusterKg == expectedKg,
       s"multi-JVM knn_graph_refined diverges: ${(clusterKg diff expectedKg).take(5)}")
+    require(expectedStored.nonEmpty && clusterStored == expectedStored,
+      s"multi-JVM ann_ivf_stored diverges: ${(clusterStored diff expectedStored).take(5)}")
     // the marker ClusterSmokeSpec greps for
     println(s"CLUSTER_SMOKE_OK rows=${expected.size} " +
       s"dropped=${expected.count(!_._4)} merges=${expectedMerges.size} spill=$spillRoot")

@@ -36,16 +36,33 @@ object ChunkAnnTune {
     val nTruth = truth.count()
 
     val sources = args.lift(3).map(_.split(",").toSeq).getOrElse(Seq("seed"))
+    // optional 5th arg: Lloyd iteration counts to sweep for the trained
+    // source (e.g. "2,4") — the oracle cost dial (each iteration is one
+    // n×k CTE round in DuckDB)
+    val iterSweep = args.lift(4).map(_.split(",").map(_.toInt).toSeq)
     println("%8s %6s %7s | %6s | %s".format(
       "source", "mod", "nprobe", "n_hit", "recall"))
     sources.foreach { src =>
       mods.foreach { mod =>
         nprobes.foreach { np =>
-          val nHit = TextOps.chunkAnnWith(spark, sfDir, mod, np, src)
-            .select("query_doc", "chunk_doc", "chunk_id")
-            .join(truth, Seq("query_doc", "chunk_doc", "chunk_id")).count()
-          val recall = if (nTruth == 0) 1.0 else nHit.toDouble / nTruth
-          println(f"$src%8s $mod%6d $np%7d | $nHit%6d | $recall%.3f")
+          iterSweep match {
+            case Some(its) if src == "trained" => its.foreach { it =>
+              val cents = TextOps.mkChunkCentsDf(spark,
+                TextOps.trainedChunkCents(spark, sfDir, it, mod))
+              val nHit = TextOps.chunkAnnFrom(spark, sfDir,
+                  TextOps.chunkDense(spark, sfDir), cents, np)
+                .select("query_doc", "chunk_doc", "chunk_id")
+                .join(truth, Seq("query_doc", "chunk_doc", "chunk_id")).count()
+              val recall = if (nTruth == 0) 1.0 else nHit.toDouble / nTruth
+              println(f"$src%8s(i$it) $mod%6d $np%7d | $nHit%6d | $recall%.3f")
+            }
+            case _ =>
+              val nHit = TextOps.chunkAnnWith(spark, sfDir, mod, np, src)
+                .select("query_doc", "chunk_doc", "chunk_id")
+                .join(truth, Seq("query_doc", "chunk_doc", "chunk_id")).count()
+              val recall = if (nTruth == 0) 1.0 else nHit.toDouble / nTruth
+              println(f"$src%8s $mod%6d $np%7d | $nHit%6d | $recall%.3f")
+          }
         }
       }
     }

@@ -1140,25 +1140,39 @@ object TextOps {
        |ck_corpus AS (SELECT * FROM ck_nd WHERE nrm > 0)""".stripMargin
   }
 
-  private[graft] lazy val chunkKnnSql: String =
-    s"""WITH $ehDenseCtes,
-       |$ckDenseCtes,
-       |ck_scored AS (
+  /** The exact chunk-kNN scoring as prefix-free CTEs (final CTE
+    * `ckk_final` carries `chunk_knn`'s whole output; expects `eh_*` and
+    * `ck_*` in scope) — shared by `chunk_knn` and `chunk_ann_recall` so
+    * the truth side is COMPOSED, never NESTED: the r14 sf0.1 pass showed
+    * DuckDB exploding (>100 GB, OOM) on a nested `FROM (WITH eh_…, ck_…
+    * SELECT …)` whose inner CTE names shadow the outer chain's; the flat
+    * composition runs in normal memory.
+    */
+  private[graft] lazy val ckKnnCtes: String =
+    s"""ckk_scored AS (
        |  SELECT p.q_id, c.doc_id, c.chunk_id,
        |         CAST(list_sum([c.v[i] * p.qv[i]
        |                        for i in generate_series(1, len(c.v))]) AS BIGINT)
        |           / (sqrt(c.nrm) * sqrt(p.qn)) AS cos
        |  FROM ck_corpus c CROSS JOIN eh_probes p WHERE c.doc_id <> p.q_id
        |),
-       |ck_ranked AS (
+       |ckk_ranked AS (
        |  SELECT q_id, doc_id, chunk_id, cos,
        |         row_number() OVER (PARTITION BY q_id
        |                            ORDER BY cos DESC, doc_id, chunk_id) AS rank
-       |  FROM ck_scored
-       |)
-       |SELECT q_id AS query_doc, doc_id AS chunk_doc, chunk_id,
-       |       CAST(rank AS INT) AS rank, round(cos, 6) AS cosine
-       |FROM ck_ranked WHERE rank <= $ChunkKnnK""".stripMargin
+       |  FROM ckk_scored
+       |),
+       |ckk_final AS (
+       |  SELECT q_id AS query_doc, doc_id AS chunk_doc, chunk_id,
+       |         CAST(rank AS INT) AS rank, round(cos, 6) AS cosine
+       |  FROM ckk_ranked WHERE rank <= $ChunkKnnK
+       |)""".stripMargin
+
+  private[graft] lazy val chunkKnnSql: String =
+    s"""WITH $ehDenseCtes,
+       |$ckDenseCtes,
+       |$ckKnnCtes
+       |SELECT * FROM ckk_final""".stripMargin
 
   // ---------------------------------------------------------------- chunk_ann
 
@@ -1461,14 +1475,22 @@ object TextOps {
        |$ckDenseCtes,
        |$chunkKmeansIterCtes,
        |$chunkAnnCtes,
-       |car_truth AS (SELECT query_doc, chunk_doc, chunk_id FROM ($chunkKnnSql)),
+       |$ckKnnCtes,
+       |car_truth AS (SELECT query_doc, chunk_doc, chunk_id FROM ckk_final),
+       |-- ONE full-outer pass (the Spark side's shape): each heavy CTE is
+       |-- referenced exactly once — multi-referencing ca_final forced
+       |-- DuckDB to materialize the whole trained-quantizer pipeline
+       |-- un-pipelined (>24 GB OOM at sf0.1, r14)
        |car_counts AS (
-       |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM car_truth) AS n_truth,
-       |         (SELECT CAST(count(*) AS BIGINT) FROM ca_final) AS n_returned,
-       |         (SELECT CAST(count(*) AS BIGINT)
-       |          FROM car_truth t JOIN ca_final a
-       |            ON t.query_doc = a.query_doc AND t.chunk_doc = a.chunk_doc
-       |           AND t.chunk_id = a.chunk_id) AS n_hit
+       |  SELECT CAST(count(t.query_doc) AS BIGINT) AS n_truth,
+       |         CAST(count(a.query_doc) AS BIGINT) AS n_returned,
+       |         CAST(sum(CASE WHEN t.query_doc IS NOT NULL
+       |                        AND a.query_doc IS NOT NULL
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+       |  FROM car_truth t FULL OUTER JOIN
+       |       (SELECT query_doc, chunk_doc, chunk_id FROM ca_final) a
+       |    ON t.query_doc = a.query_doc AND t.chunk_doc = a.chunk_doc
+       |   AND t.chunk_id = a.chunk_id
        |)
        |SELECT 'ivf_chunks' AS method, n_truth, n_returned, n_hit,
        |       round(n_hit / CAST(n_truth AS DOUBLE), 6) AS recall

@@ -20,6 +20,11 @@ sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 
 con = duckdb.connect()
+# out-of-core insurance: with no temp_directory an in-memory DuckDB cannot
+# spill, so one heavy oracle OOMs the PROCESS and poisons every query after
+# it (r14: the pre-fix chunk_ann_recall took the whole sf0.1 pass down).
+# A temp dir turns that failure mode into disk spill.
+con.sql("SET temp_directory='/tmp/duckdb_oracle_spill'")
 for p in glob.glob(f"{sfdir}/*.parquet"):
     name = os.path.basename(p)[: -len(".parquet")]
     con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")

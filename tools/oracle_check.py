@@ -25,6 +25,11 @@ con = duckdb.connect()
 # it (r14: the pre-fix chunk_ann_recall took the whole sf0.1 pass down).
 # A temp dir turns that failure mode into disk spill.
 con.sql("SET temp_directory='/tmp/duckdb_oracle_spill'")
+# and a cap well under the host's RAM: the default (80% of RAM) assumes
+# DuckDB owns the machine, but a concurrently-running Spark JVM does not
+# shrink — the two allocators OOM-race each other. With spill enabled the
+# cap costs only disk I/O on the heaviest oracles.
+con.sql("SET memory_limit='48GB'")
 for p in glob.glob(f"{sfdir}/*.parquet"):
     name = os.path.basename(p)[: -len(".parquet")]
     con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")

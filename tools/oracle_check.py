@@ -19,20 +19,22 @@ import pandas as pd
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 
-con = duckdb.connect()
-# out-of-core insurance: with no temp_directory an in-memory DuckDB cannot
-# spill, so one heavy oracle OOMs the PROCESS and poisons every query after
-# it (r14: the pre-fix chunk_ann_recall took the whole sf0.1 pass down).
-# A temp dir turns that failure mode into disk spill.
-con.sql("SET temp_directory='/tmp/duckdb_oracle_spill'")
-# and a cap well under the host's RAM: the default (80% of RAM) assumes
-# DuckDB owns the machine, but a concurrently-running Spark JVM does not
-# shrink — the two allocators OOM-race each other. With spill enabled the
-# cap costs only disk I/O on the heaviest oracles.
-con.sql("SET memory_limit='48GB'")
-for p in glob.glob(f"{sfdir}/*.parquet"):
-    name = os.path.basename(p)[: -len(".parquet")]
-    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+def fresh_con():
+    """One connection PER QUERY: DuckDB's tracked buffer memory leaks
+    across heavy list-valued queries within a connection (r14: the sf0.1
+    pass OOM'd on queries that succeed in isolation — tiny allocations
+    failing after the heavy Lloyd-chain oracles ran earlier in the SAME
+    connection). A fresh connection resets the tracked counter; the views
+    are parquet-backed and cost nothing to recreate. Spill + an explicit
+    cap keep any single heavy oracle out-of-core instead of fatal.
+    """
+    c = duckdb.connect()
+    c.sql("SET temp_directory='/tmp/duckdb_oracle_spill'")
+    c.sql("SET memory_limit='48GB'")
+    for p in glob.glob(f"{sfdir}/*.parquet"):
+        name = os.path.basename(p)[: -len(".parquet")]
+        c.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+    return c
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 
@@ -50,7 +52,11 @@ for name in sorted(oracle):
         continue
     try:
         sdf = canon(pd.concat([pd.read_parquet(f) for f in glob.glob(f"{spark_dir}/*.parquet")]))
-        ddf = canon(con.sql(oracle[name]).df())
+        con = fresh_con()
+        try:
+            ddf = canon(con.sql(oracle[name]).df())
+        finally:
+            con.close()
     except Exception as e:
         print(f"FAIL {name}: {type(e).__name__}: {e}")
         fails.append(name)

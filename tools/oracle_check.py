@@ -19,22 +19,47 @@ import pandas as pd
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 
-def fresh_con():
-    """One connection PER QUERY: DuckDB's tracked buffer memory leaks
-    across heavy list-valued queries within a connection (r14: the sf0.1
-    pass OOM'd on queries that succeed in isolation — tiny allocations
-    failing after the heavy Lloyd-chain oracles ran earlier in the SAME
-    connection). A fresh connection resets the tracked counter; the views
-    are parquet-backed and cost nothing to recreate. Spill + an explicit
-    cap keep any single heavy oracle out-of-core instead of fatal.
+def _duck_child(sfdir, sql, q):
+    """Child-process body: run ONE oracle in a fresh process and ship the
+    DataFrame back. Full process isolation is the only reliable reset:
+    heavy list-valued oracles leave the allocator so fragmented that
+    LATER queries fail tiny allocations even on fresh connections (r14:
+    the sf0.1 pass failed queries that pass in isolation, differently
+    each run). A spawned process costs ~1 s — noise against the heavy
+    oracles, and the per-query memory cap + spill dir keep any single
+    query out-of-core instead of fatal.
     """
-    c = duckdb.connect()
+    import duckdb as dk
+    c = dk.connect()
     c.sql("SET temp_directory='/tmp/duckdb_oracle_spill'")
     c.sql("SET memory_limit='48GB'")
-    for p in glob.glob(f"{sfdir}/*.parquet"):
-        name = os.path.basename(p)[: -len(".parquet")]
-        c.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
-    return c
+    for pth in glob.glob(f"{sfdir}/*.parquet"):
+        name = os.path.basename(pth)[: -len(".parquet")]
+        c.sql(f"CREATE VIEW {name} AS SELECT * FROM '{pth}'")
+    q.put(c.sql(sql).df())
+
+def run_oracle(sql: str) -> pd.DataFrame:
+    import multiprocessing as mp
+    # fork, not spawn: spawn re-imports this module top-level (no main
+    # guard); fork inherits the parent copy-on-write and the parent never
+    # executes DuckDB queries itself, so every child starts allocator-clean
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    proc = ctx.Process(target=_duck_child, args=(sfdir, sql, q))
+    proc.start()
+    try:
+        import queue as _queue
+        while True:
+            try:
+                df = q.get(timeout=5)
+                break
+            except _queue.Empty:
+                if not proc.is_alive():
+                    raise RuntimeError(
+                        f"oracle child died (exit={proc.exitcode}) without a result")
+    finally:
+        proc.join()
+    return df
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 
@@ -52,11 +77,7 @@ for name in sorted(oracle):
         continue
     try:
         sdf = canon(pd.concat([pd.read_parquet(f) for f in glob.glob(f"{spark_dir}/*.parquet")]))
-        con = fresh_con()
-        try:
-            ddf = canon(con.sql(oracle[name]).df())
-        finally:
-            con.close()
+        ddf = canon(run_oracle(oracle[name]))
     except Exception as e:
         print(f"FAIL {name}: {type(e).__name__}: {e}")
         fails.append(name)

@@ -235,6 +235,89 @@ class Round14Spec extends AnyFunSuite with TestSpark {
     assert(got == want, "batched write changed the finalized read")
   }
 
+  // --------------------------- full cassabon.yaml parity (config_parser.go)
+
+  test("CassabonConfigFile parses the reference's own test config") {
+    import graft.model.CassabonConfigFile
+    // the fixture is the reference repo's config/config_test.yaml — read
+    // in place, never copied (it exercises every sanitation branch:
+    // below-minimum channel lengths clamp, garbage aggregations and
+    // malformed pairs reject, the default's duplicate retention table
+    // rejects it into the injected fallback)
+    val cfg = CassabonConfigFile.load("/root/reference/config/config_test.yaml")
+    assert(cfg.loglevel == "info" && cfg.logdir == "")
+    assert(cfg.statsd == CassabonConfigFile.Statsd(
+      "127.0.0.1", 8125, "carbon.received.success", 1.0,
+      "carbon.received.failure", 1.0))
+    assert(cfg.channels == CassabonConfigFile.Channels(10, 10, 10, 10))
+    assert(cfg.carbon.listen == "127.0.0.1:2003" && cfg.carbon.protocol == "tcp")
+    assert(cfg.carbon.tcpTimeoutSec == 5 && cfg.carbon.udpTimeoutSec == 5)
+    assert(cfg.carbon.peers == Seq("127.0.0.1:2003"))
+    assert(cfg.api.listen == "127.0.0.1:8080" &&
+      cfg.api.healthCheckFile == "config/healthcheckfile")
+    // api timeouts absent -> floor at 1 (the reference's < 1 guard)
+    assert(cfg.api.getIndexSec == 1L && cfg.api.deleteMetricSec == 1L)
+    assert(cfg.cassandra.keyspace == "cassabon_dev" &&
+      cfg.cassandra.batchSize == 2 && cfg.cassandra.hosts == Seq("127.0.0.1"))
+    assert(cfg.elasticSearch.isEmpty) // no ES section in that config
+    // rollups: the garbage aggregation, the 10q windows and the
+    // unparseable regex reject their expressions; `default`'s three
+    // malformed pairs reject at PAIR level (config dirty) while the
+    // expression itself survives with its three well-formed windows —
+    // the reference's LoadRollups keeps an expression whose window list
+    // is non-empty even when some pairs failed
+    val rej = cfg.rollups.rejected.map(_.expression).toSet
+    assert(rej.contains("^bar.zoom1.*") && rej.contains("^bar.zoom2.*") &&
+      rej.contains("^bar.(zoom2.*") && rej.contains("default"), s"rejects: $rej")
+    assert(!cfg.rollups.clean)
+    val default = cfg.rollups.defs.find(_.isCatchall).get
+    assert(default.windows.map(w => (w.windowSec, w.retentionSec)) ==
+      Seq((15L, 86400L), (3600L, 2592000L), (3600L, 1814400L)),
+      "default must keep its three well-formed windows")
+    // peer-list validation semantics (ValidatePeerList)
+    assert(CassabonConfigFile.validatePeerList(
+      cfg.carbon.listen, cfg.carbon.peers).isRight)
+    assert(CassabonConfigFile.validatePeerList(
+      "10.0.0.9:2003", cfg.carbon.peers).swap.exists(_.contains("not in peer list")))
+    assert(CassabonConfigFile.validatePeerList(
+      "x:1", Seq.empty).swap.exists(_ == "No peers in peer list"))
+    assert(CassabonConfigFile.validatePeerList(
+      "x:1", Seq("nonsense")).swap.exists(_.contains("Invalid host:port")))
+    // sanitation bounds on a synthetic config
+    val syn = CassabonConfigFile.parse(
+      """channels:
+        |    metricstorechanlen: 3
+        |    metricrequestchanlen: 5000
+        |carbon:
+        |    parameters:
+        |        tcptimeout: 0
+        |        udptimeout: 99
+        |cassandra:
+        |    keyspace: ""
+        |elasticsearch:
+        |    baseurl: "http://es:9200"
+        |rollups:
+        |  default:
+        |    retention:
+        |      - 10s:1h
+        |    aggregation: average
+        |""".stripMargin)
+    assert(syn.channels.metricStore == 10 && syn.channels.metricRequest == 1000)
+    assert(syn.carbon.tcpTimeoutSec == 1 && syn.carbon.udpTimeoutSec == 30)
+    assert(syn.cassandra.keyspace == "cassabon")
+    val es = syn.elasticSearch.get
+    assert(es.index == "cassabon" &&
+      es.mapUrl == "http://es:9200/cassabon" &&
+      es.putUrl == "http://es:9200/cassabon/path" &&
+      es.searchUrl == "http://es:9200/cassabon/path/_search" &&
+      es.countUrl == "http://es:9200/cassabon/path/_search?search_type=count")
+    // 0.0.0.0 resolves to a local non-loopback IPv4; specific hosts pass through
+    assert(CassabonConfigFile.resolveUnspecified("127.0.0.1:2003") == "127.0.0.1:2003")
+    val r = CassabonConfigFile.resolveUnspecified("0.0.0.0:2003")
+    assert(r.endsWith(":2003") && !r.startsWith("0.0.0.0") && !r.startsWith("127."),
+      s"unspecified listen resolved to $r")
+  }
+
   // ------------------------------------ refinedKnnLists spill-tag isolation
 
   test("refinedKnnLists spills are tag-isolated across interleaved calls") {

@@ -83,7 +83,11 @@ object VecMath {
     * 64×|tokens| interpreted lambdas per chunk — measured 64 s for
     * stream_chunk_ann's ingest at sf0.1; this one static call is the
     * same O(|tokens|) loop the batch groupBy performs, in JIT bytecode.
-    * Hashes are 60-bit non-negative by contract, so `%` is a true mod.
+    * Hashes are 60-bit non-negative by contract (floorMod below matches
+    * `%` exactly there), but `vec_hashbin` is a registered SQL function
+    * callable on ANY array<bigint> — floorMod keeps a stray negative
+    * hash a deterministic bin instead of an executor AIOOBE deep in
+    * generated code.
     */
   def hashBin(hs: ArrayData, dims: Int): ArrayData = {
     val out = new Array[Long](dims)
@@ -91,7 +95,7 @@ object VecMath {
     var i = 0
     while (i < n) {
       val h = hs.getLong(i)
-      out((h % dims).toInt) += (h / dims) % 2 * 2 - 1
+      out(Math.floorMod(h, dims.toLong).toInt) += Math.floorMod(h / dims, 2L) * 2 - 1
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)

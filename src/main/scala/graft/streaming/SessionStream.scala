@@ -632,7 +632,16 @@ object SessionStream {
           s = s.copy(buf = rest)
           state.update(s)
           state.setTimeoutTimestamp(math.max(wmMs + 1000L, 1000L))
-          Iterator.single((userId, s.k1, s.k2, s.k3))
+          // emit ONLY when the write-once triple advanced this invocation
+          // (change detection is trivial because stages never un-set): an
+          // unconditional per-batch emission grows the memory sink
+          // O(users × batches) for no information — the max-per-user
+          // readoff already tolerates repeated rows, and a user whose
+          // triple never leaves (None, None, None) contributes nothing
+          // downstream (r14 advice)
+          if ((s.k1, s.k2, s.k3) != (s0.k1, s0.k2, s0.k3))
+            Iterator.single((userId, s.k1, s.k2, s.k3))
+          else Iterator.empty
         })
       .toDF("user_id", "k1", "k2", "k3")
   }

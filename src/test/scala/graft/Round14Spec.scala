@@ -239,12 +239,15 @@ class Round14Spec extends AnyFunSuite with TestSpark {
 
   test("CassabonConfigFile parses the reference's own test config") {
     import graft.model.CassabonConfigFile
-    // the fixture is the reference repo's config/config_test.yaml — read
-    // in place, never copied (it exercises every sanitation branch:
-    // below-minimum channel lengths clamp, garbage aggregations and
-    // malformed pairs reject, the default's duplicate retention table
-    // rejects it into the injected fallback)
-    val cfg = CassabonConfigFile.load("/root/reference/config/config_test.yaml")
+    // the fixture is a verbatim copy of the reference repo's
+    // config/config_test.yaml (BSD-licensed public repo), vendored into
+    // src/test/resources so the suite runs without the reference checkout;
+    // it exercises every sanitation branch: below-minimum channel lengths
+    // clamp, garbage aggregations and malformed pairs reject, the
+    // default's duplicate retention table rejects it into the injected
+    // fallback
+    val cfg = CassabonConfigFile.load(
+      getClass.getResource("/config_test.yaml").getPath)
     assert(cfg.loglevel == "info" && cfg.logdir == "")
     assert(cfg.statsd == CassabonConfigFile.Statsd(
       "127.0.0.1", 8125, "carbon.received.success", 1.0,

@@ -32,7 +32,12 @@ def _duck_child(sfdir, sql, q):
     import duckdb as dk
     c = dk.connect()
     c.sql("SET temp_directory='/tmp/duckdb_oracle_spill'")
-    c.sql("SET memory_limit='48GB'")
+    # cap at 70% of physical RAM (never a host-specific constant: a fixed
+    # 48GB on a smaller host exceeds physical memory and heavy oracles get
+    # OOM-killed instead of spilling to the temp directory)
+    mem_gb = max(4, int(os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+                        * 0.70 / (1 << 30)))
+    c.sql(f"SET memory_limit='{mem_gb}GB'")
     for pth in glob.glob(f"{sfdir}/*.parquet"):
         name = os.path.basename(pth)[: -len(".parquet")]
         c.sql(f"CREATE VIEW {name} AS SELECT * FROM '{pth}'")

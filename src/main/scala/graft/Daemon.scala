@@ -162,6 +162,44 @@ final class Daemon(spark: SparkSession, store: String,
 
   def ingestQuery: StreamingQuery = ingestQ
 
+  @volatile private var statsdTicker: Thread = _
+  @volatile private var statsdStop = false
+
+  /** Periodic statsd gauge emission while serving — the reference pushes
+    * its memory/ops gauges through a statsd client on a 1 s ticker for as
+    * long as the daemon runs (logging/stats.go:24-61 opens the client and
+    * ticker; stats.go:77 sendMemoryStats is the per-tick body). Here the
+    * tick body is [[graft.operators.OpsStats.emit]] — the same stats.go
+    * gauge names in statsd's `prefix.name:value|g` wire format,
+    * fire-and-forget UDP. An empty host is the reference's no-op-client
+    * branch (stats.go:34-36): nothing is scheduled, the daemon runs
+    * un-instrumented. Idempotence guard like the reference's isOpen;
+    * [[stop]] closes the ticker (stats.go:66-73 Close).
+    *
+    * Pass a parsed `CassabonConfigFile.Statsd` host/port to ride the
+    * config file exactly as cassabon.go wires logging.Statsd.Open from
+    * config.Statsd.Host/Port.
+    */
+  def startStatsd(host: String, port: Int, prefix: String = "cassabon",
+      intervalMs: Long = 1000L): Boolean = {
+    require(statsdTicker == null, "statsd ticker already open")
+    if (host.isEmpty) false
+    else {
+      statsdStop = false
+      statsdTicker = new Thread(() => {
+        while (!statsdStop) {
+          try graft.operators.OpsStats.emit(spark, host, port, prefix)
+          catch { case _: Exception => () } // loss acceptable, blocking not
+          try Thread.sleep(intervalMs)
+          catch { case _: InterruptedException => statsdStop = true }
+        }
+      }, "graft-statsd-ticker")
+      statsdTicker.setDaemon(true)
+      statsdTicker.start()
+      true
+    }
+  }
+
   /** One maintenance pass: fold flush slices; optionally expire by TTL.
     * Fire-and-forget beside live ingest+serve (see class doc).
     */
@@ -171,6 +209,12 @@ final class Daemon(spark: SparkSession, store: String,
   }
 
   def stop(): Unit = {
+    if (statsdTicker != null) {
+      statsdStop = true
+      statsdTicker.interrupt()
+      statsdTicker.join(2000)
+      statsdTicker = null
+    }
     if (udp != null) udp.stop()
     if (tcp != null) tcp.stop()
     if (ingestQ != null) ingestQ.stop()

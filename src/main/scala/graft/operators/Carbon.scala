@@ -202,16 +202,22 @@ object Carbon {
       .agg(countDistinct("path").as("paths"), count(lit(1)).as("points"))
   }
 
+  // oracle shape: the Pearson chain renders as a large inlined SQL
+  // expression, so evaluate it once per DISTINCT path (a config-sized
+  // frame) and join the ownership back to the point rows — same result,
+  // and the r15 oracle-cost profile drops ~8× (the Spark side already
+  // pays one codegen'd hash per row, which is cheap — this is purely the
+  // DuckDB mirror's shape)
   private val peerRouteSql: String =
     s"""WITH ${Tables.metricsSql},
-       |hashed AS (
+       |ph AS MATERIALIZED (
        |  SELECT path, ${Pearson.hash8Sql("path")} % $PeerCount AS peer
-       |  FROM metrics
+       |  FROM (SELECT DISTINCT path FROM metrics)
        |)
-       |SELECT CAST(peer AS INT) AS peer,
-       |       CAST(count(DISTINCT path) AS BIGINT) AS paths,
+       |SELECT CAST(h.peer AS INT) AS peer,
+       |       CAST(count(DISTINCT m.path) AS BIGINT) AS paths,
        |       CAST(count(*) AS BIGINT) AS points
-       |FROM hashed GROUP BY 1""".stripMargin
+       |FROM metrics m JOIN ph h USING (path) GROUP BY 1""".stripMargin
 
   /** The 64-bit variant of the placement contract: `pearson_hash64(path)`
     * (reference pearson/pearson.go:44-59 — 8 segment-seeded 8-bit hashes
@@ -232,16 +238,19 @@ object Carbon {
       .agg(countDistinct("path").as("paths"), count(lit(1)).as("points"))
   }
 
+  // per-DISTINCT-path hashing, like [[peerRouteSql]] (the 64-bit chain is
+  // 8× the 8-bit expression — the worst per-row oracle cost in the suite
+  // before this shape)
   private val peerRoute64Sql: String =
     s"""WITH ${Tables.metricsSql},
-       |hashed AS (
+       |ph AS MATERIALIZED (
        |  SELECT path, ((${Pearson.hash64Sql("path")}) % $ShardCount + $ShardCount) % $ShardCount AS shard
-       |  FROM metrics
+       |  FROM (SELECT DISTINCT path FROM metrics)
        |)
-       |SELECT CAST(shard AS BIGINT) AS shard,
-       |       CAST(count(DISTINCT path) AS BIGINT) AS paths,
+       |SELECT CAST(h.shard AS BIGINT) AS shard,
+       |       CAST(count(DISTINCT m.path) AS BIGINT) AS paths,
        |       CAST(count(*) AS BIGINT) AS points
-       |FROM hashed GROUP BY 1""".stripMargin
+       |FROM metrics m JOIN ph h USING (path) GROUP BY 1""".stripMargin
 
   /** Ring-resize rebalance delta: when a `peers=` command changes the ring
     * from N to N' hosts (carbon_plaintext.go:258-270 triggers the reload,

@@ -57,9 +57,21 @@ object Similarity {
       .withColumn("nrm", expr(dotExpr("v", "v")))
   }
 
+  /** `AS MATERIALIZED` below (and in every chain builder in this file):
+    * DuckDB 1.0 INLINES a CTE once per reference, so a CTE referenced
+    * twice re-evaluates its whole upstream chain twice — across the
+    * 4-round unrolled Lloyd/PQ chains that compounds to 2–3^rounds
+    * re-evaluations, which is what made the r14 oracle pass minutes-long
+    * per key (and allocator-fatal at sf0.1). Materializing the
+    * multi-referenced chain CTEs is semantically free (same rows, and
+    * every cross-engine value is integer/fixed-point order-immune by the
+    * Portable rules) and collapses the blowup to linear — measured 9.8 s
+    * → 1.0 s on `ann_pq`'s oracle at sf0.01, bit-identical results.
+    * These strings are DuckDB-only (never parsed by Spark).
+    */
   private[graft] val fixedVecsCtes: String =
     s"""iv AS (SELECT vec_id, $toFixedSql AS v FROM embeddings),
-       |nv AS (SELECT vec_id, v, CAST(list_sum([x * x for x in v]) AS BIGINT) AS nrm FROM iv)""".stripMargin
+       |nv AS MATERIALIZED (SELECT vec_id, v, CAST(list_sum([x * x for x in v]) AS BIGINT) AS nrm FROM iv)""".stripMargin
 
   /** Brute-force cosine top-k per probe: broadcast the probe set, unrolled
     * integer dot (whole-stage codegen), window rank. One corpus scan, no
@@ -169,21 +181,21 @@ object Similarity {
     * mirror of [[mutualKnnEdges]], shared by both graph oracles.
     */
   private val knnGraphCtes: String =
-    s"""km_verts AS (SELECT * FROM nv WHERE vec_id % $KnnGraphMod = 0),
+    s"""km_verts AS MATERIALIZED (SELECT * FROM nv WHERE vec_id % $KnnGraphMod = 0),
        |km_pairs AS (
        |  SELECT p.vec_id AS q_id, n.vec_id,
        |         CAST(list_sum([n.v[i] * p.v[i] for i in generate_series(1, len(n.v))]) AS BIGINT)
        |           / (sqrt(n.nrm) * sqrt(p.nrm)) AS cos
        |  FROM km_verts n CROSS JOIN km_verts p WHERE n.vec_id <> p.vec_id
        |),
-       |km_knn AS (
+       |km_knn AS MATERIALIZED (
        |  SELECT q_id, vec_id AS n_id FROM (
        |    SELECT q_id, vec_id,
        |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
        |    FROM km_pairs
        |  ) WHERE rank <= $TopK
        |),
-       |km_me AS (
+       |km_me AS MATERIALIZED (
        |  SELECT x.q_id AS u, x.n_id AS v
        |  FROM km_knn x JOIN km_knn y ON x.q_id = y.n_id AND x.n_id = y.q_id
        |)""".stripMargin
@@ -311,7 +323,7 @@ object Similarity {
       meName: String): String = {
     val base = PrBase - PrBase * PrDamp / 100
     def round(n: Int): String =
-      s"""pr$n AS (
+      s"""pr$n AS MATERIALIZED (
          |  SELECT v.vec_id,
          |         CAST($base + (${PrDamp} * coalesce(s.inflow, 0)) // 100 AS BIGINT) AS r
          |  FROM $vertsName v LEFT JOIN (
@@ -324,8 +336,8 @@ object Similarity {
          |)""".stripMargin
     s"""WITH $fixedVecsCtes,
        |$ctes,
-       |pr_deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM $meName GROUP BY 1),
-       |pr0 AS (SELECT vec_id, CAST($PrBase AS BIGINT) AS r FROM $vertsName),
+       |pr_deg AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM $meName GROUP BY 1),
+       |pr0 AS MATERIALIZED (SELECT vec_id, CAST($PrBase AS BIGINT) AS r FROM $vertsName),
        |${(1 to PrIters).map(round).mkString(",\n")}
        |SELECT p.vec_id, coalesce(d.deg, 0) AS mutual_degree, p.r AS pr_ppm
        |FROM pr$PrIters p LEFT JOIN pr_deg d ON p.vec_id = d.u""".stripMargin
@@ -864,7 +876,7 @@ object Similarity {
        |           / (sqrt(n.nrm) * sqrt(c.cn)) AS ccos
        |  FROM nv n CROSS JOIN cents c
        |),
-       |ranked_c AS (
+       |ranked_c AS MATERIALIZED (
        |  SELECT vec_id, v, nrm, c_id,
        |         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS crn
        |  FROM cdist
@@ -931,7 +943,7 @@ object Similarity {
        |           / (sqrt(n.nrm) * sqrt(c.cn)) AS ccos
        |  FROM nv n CROSS JOIN ${p}cents c
        |),
-       |${p}assigned AS (
+       |${p}assigned AS MATERIALIZED (
        |  SELECT vec_id, c_id FROM (
        |    SELECT vec_id, c_id,
        |           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS crn
@@ -1095,7 +1107,11 @@ object Similarity {
     * different vertex frames and dials (full corpus vs the recall slice,
     * tune sweeps), and the returned frame reads its final spill LAZILY —
     * undiscriminated tags would let a second call's overwrite silently
-    * serve the first call's reader (r13 advice).
+    * serve the first call's reader (r13 advice). The spill name folds in
+    * tag, nprobe AND rounds; the one discriminator it cannot encode is
+    * the CENTS identity — callers passing different centroid frames under
+    * the same tag (tune sweeps) MUST use distinct tags or materialize
+    * before issuing the next call (r14 advice, documented contract).
     */
   private[graft] def refinedKnnLists(spark: SparkSession, dir: String,
       verts: DataFrame, cents: DataFrame, nprobe: Int,
@@ -1114,7 +1130,7 @@ object Similarity {
       // edge-spill precedent, same GC contract) so a round reads a
       // k·n-row parquet once and the returned plan pins nothing.
       val spill = graft.model.Spill.path(spark,
-        s"knn_refined_${tag}_${nprobe}_lists_$r", dir)
+        s"knn_refined_${tag}_${nprobe}_r${rounds}_lists_$r", dir)
       lists.write.mode("overwrite").parquet(spill)
       val prev = spark.read.parquet(spill)
       val cand = prev
@@ -1134,7 +1150,7 @@ object Similarity {
     // recompute of the last round left as lineage) — spill the final
     // frame too, so consumers read a k·n-row parquet
     val out = graft.model.Spill.path(spark,
-      s"knn_refined_${tag}_${nprobe}_lists_final", dir)
+      s"knn_refined_${tag}_${nprobe}_r${rounds}_lists_final", dir)
     lists.write.mode("overwrite").parquet(out)
     spark.read.parquet(out)
   }
@@ -1154,7 +1170,7 @@ object Similarity {
        |           / (sqrt(n.nrm) * sqrt(c.cn)) AS ccos
        |  FROM ${p}verts n CROSS JOIN ${p}cents c
        |),
-       |${p}assigned AS (
+       |${p}assigned AS MATERIALIZED (
        |  SELECT vec_id, v, nrm, c_id FROM (
        |    SELECT vec_id, v, nrm, c_id,
        |           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS crn
@@ -1168,14 +1184,14 @@ object Similarity {
        |  FROM ${p}assigned a JOIN ${p}assigned b
        |    ON a.c_id = b.c_id AND a.vec_id <> b.vec_id
        |),
-       |${p}knn AS (
+       |${p}knn AS MATERIALIZED (
        |  SELECT q_id, vec_id AS n_id FROM (
        |    SELECT q_id, vec_id,
        |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
        |    FROM ${p}pairs
        |  ) WHERE rank <= $TopK
        |),
-       |${p}me AS (
+       |${p}me AS MATERIALIZED (
        |  SELECT x.q_id AS u, x.n_id AS v
        |  FROM ${p}knn x JOIN ${p}knn y ON x.q_id = y.n_id AND x.n_id = y.q_id
        |)""".stripMargin
@@ -1203,7 +1219,7 @@ object Similarity {
          |  JOIN nv q ON q.vec_id = c.q_id
          |  JOIN nv n ON n.vec_id = c.n_id
          |),
-         |$out AS (
+         |$out AS MATERIALIZED (
          |  SELECT q_id, n_id FROM (
          |    SELECT q_id, n_id,
          |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
@@ -1212,7 +1228,7 @@ object Similarity {
          |)""".stripMargin
     }
     s"""${(1 to rounds).map(round).mkString(",\n")},
-       |${p}rme AS (
+       |${p}rme AS MATERIALIZED (
        |  SELECT x.q_id AS u, x.n_id AS v
        |  FROM ${p}rknn x JOIN ${p}rknn y ON x.q_id = y.n_id AND x.n_id = y.q_id
        |)""".stripMargin
@@ -1625,7 +1641,7 @@ object Similarity {
          |           / (sqrt(n.nrm) * sqrt(c.cn)) AS ccos
          |  FROM nv n CROSS JOIN cents${i - 1} c
          |),
-         |asg$i AS (
+         |asg$i AS MATERIALIZED (
          |  SELECT vec_id, v, c_id
          |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS crn
          |        FROM cd$i)
@@ -1637,13 +1653,13 @@ object Similarity {
          |  FROM asg$i a, generate_series(1, $Dim) AS g(j)
          |  GROUP BY 1, 2
          |),
-         |cents$i AS (
+         |cents$i AS MATERIALIZED (
          |  SELECT c_id, cv, CAST(list_sum([x * x for x in cv]) AS BIGINT) AS cn
          |  FROM (SELECT d.c_id, list(d.s // c.n ORDER BY d.dim) AS cv
          |        FROM dims$i d JOIN counts$i c USING (c_id) GROUP BY d.c_id)
          |)""".stripMargin
     }
-    (s"cents0 AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM nv WHERE vec_id % $CentroidMod = 1)"
+    (s"cents0 AS MATERIALIZED (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM nv WHERE vec_id % $CentroidMod = 1)"
       +: iters).mkString(",\n")
   }
 
@@ -1690,6 +1706,44 @@ object Similarity {
     val lists = spark.read.parquet(idx)
       .filter(col("c_id").isin(routed: _*))
       .select(col("vec_id"), col("v"), col("nrm"), col("c_id").cast("long").as("c_id"))
+    topKFromCands(ivfCandsFromAssigned(lists, probeLists))
+  }
+
+  /** `ann_ivf_stored_live`: the stored index under LIVE maintenance — the
+    * production loop `ann_ivf_stored`'s write-once build skips. New
+    * vectors arrive continuously (the `stream_ann` ingest shape), so the
+    * index accretes as append-only flush slices in the c_id-partitioned
+    * store ([[graft.sources.VecIndexStore]] — the rollup store's
+    * lease/manifest/additive-swap machinery at `c_id=*` depth), and a
+    * selective compaction folds multi-slice cells behind the ingest
+    * frontier while probes keep serving. Here the corpus lands as three
+    * hash-disjoint slices (vec_id % 3 — three flush cycles), compaction
+    * folds every touched cell to one file, and the probe is the SAME
+    * partition-pruned routed read as [[ivfStored]] — bit-identical to
+    * [[ivfTrained]] at every point of the lifecycle (slices are
+    * row-disjoint and the probe algebra is append-order-immune), so the
+    * oracle is [[ivfTrained]]'s SQL verbatim and Round15Spec drives the
+    * flush-mid-probe and compact-mid-probe races this single-threaded
+    * operator can't.
+    */
+  def ivfStoredLive(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.VecIndexStore
+    val vecs = fixedVecs(spark, dir)
+    val cents = mkCentsDf(spark, trainedCents(spark, dir)._1)
+    val idx = graft.model.Spill.path(spark, "ivf_lists_live", dir)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(idx), true) // fresh lifecycle per run
+    val assigned = assignNearest(vecs, cents).select("vec_id", "v", "nrm", "c_id")
+    (0 until 3).foreach { i =>
+      VecIndexStore.append(assigned.filter(pmod(col("vec_id"), lit(3)) === i), idx)
+    }
+    VecIndexStore.compact(spark, idx)
+    val probeLists = ivfProbeLists(vecs, cents, NProbe)
+    val routed = probeLists.select("c_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val lists = VecIndexStore.read(spark, idx)
+      .filter(col("c_id").isin(routed: _*))
     topKFromCands(ivfCandsFromAssigned(lists, probeLists))
   }
 
@@ -1801,19 +1855,19 @@ object Similarity {
            |           / (sqrt(n.nrm) * sqrt(c.cn)) AS ccos
            |  FROM nv n CROSS JOIN bcents${i - 1} c
            |),
-           |basg$i AS (
+           |basg$i AS MATERIALIZED (
            |  SELECT vec_id, v, c_id, ccos
            |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS crn
            |        FROM bcd$i)
            |  WHERE crn = 1
            |),
-           |bcnt$i AS (SELECT c_id, CAST(count(*) AS BIGINT) AS n FROM basg$i GROUP BY 1),
+           |bcnt$i AS MATERIALIZED (SELECT c_id, CAST(count(*) AS BIGINT) AS n FROM basg$i GROUP BY 1),
            |bdim$i AS (
            |  SELECT a.c_id, g.j AS dim, CAST(sum(a.v[g.j]) AS BIGINT) AS s
            |  FROM basg$i a, generate_series(1, $Dim) AS g(j)
            |  GROUP BY 1, 2
            |),
-           |bcents$i AS (
+           |bcents$i AS MATERIALIZED (
            |  SELECT c_id, cv, CAST(list_sum([x * x for x in cv]) AS BIGINT) AS cn
            |  FROM (SELECT d.c_id, list(d.s // c.n ORDER BY d.dim) AS cv
            |        FROM bdim$i d JOIN bcnt$i c USING (c_id) GROUP BY d.c_id)
@@ -1825,26 +1879,26 @@ object Similarity {
          |           / (sqrt(n.nrm) * sqrt(c.cn)) AS ccos
          |  FROM nv n CROSS JOIN bcents${i - 1} c
          |),
-         |basg$i AS (
+         |basg$i AS MATERIALIZED (
          |  SELECT vec_id, v, c_id, ccos
          |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS crn
          |        FROM bcd$i)
          |  WHERE crn = 1
          |),
-         |bcnt$i AS (SELECT c_id, CAST(count(*) AS BIGINT) AS n FROM basg$i GROUP BY 1),
+         |bcnt$i AS MATERIALIZED (SELECT c_id, CAST(count(*) AS BIGINT) AS n FROM basg$i GROUP BY 1),
          |bdim$i AS (
          |  SELECT a.c_id, g.j AS dim, CAST(sum(a.v[g.j]) AS BIGINT) AS s
          |  FROM basg$i a, generate_series(1, $Dim) AS g(j)
          |  GROUP BY 1, 2
          |),
-         |bref$i AS (
+         |bref$i AS MATERIALIZED (
          |  SELECT c_id, cv, CAST(list_sum([x * x for x in cv]) AS BIGINT) AS cn
          |  FROM (SELECT d.c_id, list(d.s // c.n ORDER BY d.dim) AS cv
          |        FROM bdim$i d JOIN bcnt$i c USING (c_id) GROUP BY d.c_id)
          |),
-         |bhot$i AS (SELECT c_id, n FROM bcnt$i ORDER BY n DESC, c_id ASC LIMIT 1),
+         |bhot$i AS MATERIALIZED (SELECT c_id, n FROM bcnt$i ORDER BY n DESC, c_id ASC LIMIT 1),
          |bcold$i AS (SELECT c_id, n FROM bcnt$i ORDER BY n ASC, c_id ASC LIMIT 1),
-         |bsw$i AS (
+         |bsw$i AS MATERIALIZED (
          |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM bcnt$i) >= 8
          |         AND h.n - c.n > greatest(
          |           1, (SELECT CAST(count(*) AS BIGINT) FROM nv)
@@ -1858,7 +1912,7 @@ object Similarity {
          |  FROM basg$i a JOIN bhot$i h USING (c_id) JOIN bref$i r USING (c_id)
          |  ORDER BY a.ccos ASC, a.vec_id ASC LIMIT 1
          |),
-         |bcents$i AS (
+         |bcents$i AS MATERIALIZED (
          |  SELECT c_id, cv, cn FROM bref$i
          |  WHERE NOT ((SELECT sw FROM bsw$i) AND c_id = (SELECT cold_c FROM bsw$i))
          |  UNION ALL
@@ -1866,7 +1920,7 @@ object Similarity {
          |  FROM bfar$i WHERE (SELECT sw FROM bsw$i)
          |)""".stripMargin
     }
-    (s"bcents0 AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM nv WHERE vec_id % $CentroidMod = 1)"
+    (s"bcents0 AS MATERIALIZED (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM nv WHERE vec_id % $CentroidMod = 1)"
       +: iters).mkString(",\n")
   }
 
@@ -2050,7 +2104,7 @@ object Similarity {
          |         s.xn - 2 * CAST(list_sum([s.x[n] * c.cv[n] for n in generate_series(1, len(s.x))]) AS BIGINT) + c.cn AS d2
          |  FROM ${p}sxn s JOIN ${p}tcb${i - 1} c USING (sub)
          |),
-         |${p}ta$i AS (
+         |${p}ta$i AS MATERIALIZED (
          |  SELECT sub, code, x FROM (
          |    SELECT sub, code, x,
          |           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS trn
@@ -2068,13 +2122,13 @@ object Similarity {
          |  FROM ${p}ts$i s JOIN ${p}tn$i n USING (sub, code)
          |  GROUP BY s.sub, s.code
          |),
-         |${p}tcb$i AS (
+         |${p}tcb$i AS MATERIALIZED (
          |  SELECT o.sub, o.code, coalesce(r.cv, o.cv) AS cv,
          |         CAST(list_sum([x * x for x in coalesce(r.cv, o.cv)]) AS BIGINT) AS cn
          |  FROM ${p}tcb${i - 1} o LEFT JOIN ${p}tref$i r USING (sub, code)
          |)""".stripMargin
     }
-    (s"${p}tcb0 AS (SELECT sub, code, cv, cn FROM ${p}cb_seed)" +: iters)
+    (s"${p}tcb0 AS MATERIALIZED (SELECT sub, code, cv, cn FROM ${p}cb_seed)" +: iters)
       .mkString(",\n")
   }
 
@@ -2085,12 +2139,12 @@ object Similarity {
        |         n.v[g.sub * $PqSubDim + 1 : g.sub * $PqSubDim + $PqSubDim] AS x
        |  FROM nv n CROSS JOIN ${p}grid g
        |),
-       |${p}sxn AS (
+       |${p}sxn AS MATERIALIZED (
        |  SELECT vec_id, sub, x, CAST(list_sum([e * e for e in x]) AS BIGINT) AS xn
        |  FROM ${p}sx
        |),
        |${pqTrainCtes(p)},
-       |${p}cb AS (SELECT sub, code, cv, cn FROM ${p}tcb$PqTrainIters),
+       |${p}cb AS MATERIALIZED (SELECT sub, code, cv, cn FROM ${p}tcb$PqTrainIters),
        |${p}dist AS (
        |  SELECT s.vec_id, s.sub, c.code,
        |         s.xn - 2 * CAST(list_sum([s.x[i] * c.cv[i] for i in generate_series(1, len(s.x))]) AS BIGINT) + c.cn AS d2
@@ -2425,6 +2479,7 @@ object Similarity {
     Op("ann_ivf", ivf, Some(ivfSql)),
     Op("ann_ivf_trained", ivfTrained, Some(ivfTrainedSql)),
     Op("ann_ivf_stored", ivfStored, Some(ivfTrainedSql)),
+    Op("ann_ivf_stored_live", ivfStoredLive, Some(ivfTrainedSql)),
     Op("ann_ivf_balanced", ivfBalanced, Some(ivfBalancedSql)),
     Op("ann_recall", recall, Some(recallSql)),
     Op("pq_encode", pqEncode, Some(pqEncodeSql)),

@@ -957,8 +957,8 @@ object TextOps {
        |  SELECT doc_id, v, CAST(list_sum([x * x for x in v]) AS BIGINT) AS nrm
        |  FROM eh_dense
        |),
-       |eh_corpus AS (SELECT * FROM eh_nd WHERE nrm > 0),
-       |eh_probes AS (
+       |eh_corpus AS MATERIALIZED (SELECT * FROM eh_nd WHERE nrm > 0),
+       |eh_probes AS MATERIALIZED (
        |  SELECT doc_id AS q_id, v AS qv, nrm AS qn FROM eh_corpus
        |  WHERE doc_id % $TextKnnMod = 0
        |)""".stripMargin
@@ -1137,7 +1137,7 @@ object TextOps {
        |         CAST(list_sum([x * x for x in v]) AS BIGINT) AS nrm
        |  FROM ck_dense
        |),
-       |ck_corpus AS (SELECT * FROM ck_nd WHERE nrm > 0)""".stripMargin
+       |ck_corpus AS MATERIALIZED (SELECT * FROM ck_nd WHERE nrm > 0)""".stripMargin
   }
 
   /** The exact chunk-kNN scoring as prefix-free CTEs (final CTE
@@ -1364,7 +1364,7 @@ object TextOps {
          |           / (sqrt(k.nrm) * sqrt(c.cn)) AS ccos
          |  FROM ck_corpus k CROSS JOIN cc_cents${i - 1} c
          |),
-         |cc_a$i AS (
+         |cc_a$i AS MATERIALIZED (
          |  SELECT doc_id, chunk_id, v, c_id FROM (
          |    SELECT *, row_number() OVER (PARTITION BY doc_id, chunk_id
          |                                 ORDER BY ccos DESC, c_id) AS crn
@@ -1377,13 +1377,13 @@ object TextOps {
          |  FROM cc_a$i a, generate_series(1, $EmbedDims) AS g(j)
          |  GROUP BY 1, 2
          |),
-         |cc_cents$i AS (
+         |cc_cents$i AS MATERIALIZED (
          |  SELECT c_id, cv, CAST(list_sum([x * x for x in cv]) AS BIGINT) AS cn
          |  FROM (SELECT s.c_id, list((s.s * $ChunkCentScale) // n.n ORDER BY s.dim) AS cv
          |        FROM cc_s$i s JOIN cc_n$i n USING (c_id) GROUP BY s.c_id)
          |)""".stripMargin
     }
-    (s"""cc_cents0 AS (
+    (s"""cc_cents0 AS MATERIALIZED (
        |  SELECT doc_id AS c_id, [x * $ChunkCentScale for x in v] AS cv,
        |         CAST(list_sum([x * x for x in v]) * $ChunkCentScale * $ChunkCentScale AS BIGINT) AS cn
        |  FROM ck_corpus WHERE doc_id % $ChunkCentMod = 1 AND chunk_id = 0
@@ -1397,7 +1397,7 @@ object TextOps {
     * `chunk_ann_recall`'s oracle can nest it verbatim.
     */
   private[graft] lazy val chunkAnnCtes: String =
-    s"""ca_cents AS (
+    s"""ca_cents AS MATERIALIZED (
        |  SELECT c_id, cv, cn FROM cc_cents$ChunkTrainIters
        |),
        |ca_adist AS (

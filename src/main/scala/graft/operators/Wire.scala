@@ -239,11 +239,18 @@ object Wire {
           .as("dropped"))
   }
 
+  // ownership is hashed per DISTINCT path (config-sized), not per line —
+  // the peerRouteSql oracle shape (the inlined Pearson chain is the whole
+  // oracle cost at point-row cardinality); invalid lines carry a NULL
+  // path, miss the join, and coalesce into peer 0 exactly as before
   private val peerForwardSql: String =
     s"""WITH ${Carbon.parsedFullSql},
+       |pfh AS MATERIALIZED (
+       |  SELECT path, ${Pearson.hash8Sql("path")} % ${Carbon.PeerCount} AS owner
+       |  FROM (SELECT DISTINCT path FROM parsed WHERE path IS NOT NULL)),
        |routed AS (
-       |  SELECT ts, valid, ${Pearson.hash8Sql("path")} % ${Carbon.PeerCount} AS owner
-       |  FROM parsed),
+       |  SELECT p.ts, p.valid, h.owner
+       |  FROM parsed p LEFT JOIN pfh h ON p.path = h.path),
        |verdict AS (
        |  SELECT valid, owner,
        |         ((ts // $DownSlotSec + owner) % $DownSlotMod = 0) AS down,

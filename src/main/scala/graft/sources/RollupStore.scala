@@ -202,7 +202,7 @@ object RollupStore {
     */
   val CompactLeaseMs: Long = 15L * 60 * 1000
 
-  private def leasePath(root: org.apache.hadoop.fs.Path) =
+  private[graft] def leasePath(root: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(root, "_compact.lease") // '_' prefix: invisible to parquet listing
 
   /** The fold manifest: the exact source parquet files a staged maintenance
@@ -216,21 +216,21 @@ object RollupStore {
     new org.apache.hadoop.fs.Path(root, "_compact.manifest")
 
   /** Relative `tbl=T/stat_date=D/file.parquet` paths, one per line. */
-  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
                             root: org.apache.hadoop.fs.Path,
                             files: Seq[String]): Unit = {
     val out = fs.create(manifestPath(root), true)
     try out.write(files.mkString("\n").getBytes("UTF-8")) finally out.close()
   }
 
-  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def readManifest(fs: org.apache.hadoop.fs.FileSystem,
                            root: org.apache.hadoop.fs.Path): Seq[String] = {
     val in = fs.open(manifestPath(root))
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
     finally in.close()
   }
 
-  private def leaseIsYoung(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def leaseIsYoung(fs: org.apache.hadoop.fs.FileSystem,
                            root: org.apache.hadoop.fs.Path,
                            leaseMs: Long): Boolean = {
     val l = leasePath(root)
@@ -364,9 +364,30 @@ object RollupStore {
     * consume their staged source). Each rename/delete is checked so a lost
     * race fails LOUDLY instead of silently dropping files.
     */
+  /** Partition directories `depth` levels under `base` (each level a
+    * `name=value` dir) — depth 2 is the rollup store's
+    * `tbl=… / stat_date=…`, depth 1 a flat layout like the ANN index
+    * store's `c_id=*` ([[VecIndexStore]]). Generalizing THIS listing (and
+    * the store-relative dir names below) is all it takes for the
+    * manifest + staged `_compact` + additive-swap machinery to maintain
+    * any partitioned append-only store.
+    */
+  private[graft] def partitionDirs(fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path, depth: Int): Array[org.apache.hadoop.fs.Path] = {
+    def level(ps: Array[org.apache.hadoop.fs.Path]) = ps.flatMap(p =>
+      fs.listStatus(p).filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .map(_.getPath))
+    (1 to depth).foldLeft(Array(base))((ps, _) => level(ps))
+  }
+
+  /** `base`-relative dir name of a partition dir `depth` levels down. */
+  private def relDirName(d: org.apache.hadoop.fs.Path, depth: Int): String =
+    if (depth == 1) d.getName else s"${d.getParent.getName}/${d.getName}"
+
   private[graft] def swapInAdditive(fs: org.apache.hadoop.fs.FileSystem,
                                     root: org.apache.hadoop.fs.Path,
-                                    staged: org.apache.hadoop.fs.Path): Unit = {
+                                    staged: org.apache.hadoop.fs.Path,
+                                    depth: Int = 2): Unit = {
     val folded = readManifest(fs, root)
     val byDir = folded.groupBy(f => f.substring(0, f.lastIndexOf('/')))
     def dropFolded(relDir: String): Unit =
@@ -375,12 +396,10 @@ object RollupStore {
         if (fs.exists(src))
           require(fs.delete(src, false), s"compact swap: cannot delete $src")
       }
-    val stagedDirs = fs.listStatus(staged).filter(_.getPath.getName.startsWith("tbl="))
-      .flatMap(t => fs.listStatus(t.getPath).filter(_.getPath.getName.startsWith("stat_date=")))
-      .map(_.getPath)
-    val covered = stagedDirs.map(d => s"${d.getParent.getName}/${d.getName}").toSet
+    val stagedDirs = partitionDirs(fs, staged, depth)
+    val covered = stagedDirs.map(d => relDirName(d, depth)).toSet
     stagedDirs.foreach { d =>
-      val relDir = s"${d.getParent.getName}/${d.getName}"
+      val relDir = relDirName(d, depth)
       val destDir = new org.apache.hadoop.fs.Path(root, relDir)
       require(fs.mkdirs(destDir) || fs.exists(destDir),
         s"compact swap: cannot create $destDir")
@@ -452,7 +471,8 @@ object RollupStore {
   private[graft] def recover(fs: org.apache.hadoop.fs.FileSystem,
                              root: org.apache.hadoop.fs.Path,
                              staged: org.apache.hadoop.fs.Path,
-                             leaseMs: Long = CompactLeaseMs): Unit =
+                             leaseMs: Long = CompactLeaseMs,
+                             depth: Int = 2): Unit =
     if (!leaseIsYoung(fs, root, leaseMs)) {
       if (fs.exists(staged)) {
         // re-check the lease IMMEDIATELY before acting: a compactor may
@@ -463,8 +483,9 @@ object RollupStore {
         if (fs.exists(new org.apache.hadoop.fs.Path(staged, "_SUCCESS"))) {
           // manifest present = this engine's own additive maintenance
           // (manifest committed before the staged write, so `_SUCCESS`
-          // implies it); absent = hand-staged legacy swap
-          if (fs.exists(manifestPath(root))) swapInAdditive(fs, root, staged)
+          // implies it); absent = hand-staged legacy swap (rollup layout
+          // only — every flat-layout maintenance write carries a manifest)
+          if (fs.exists(manifestPath(root))) swapInAdditive(fs, root, staged, depth)
           else swapIn(fs, root, staged)
         } else fs.delete(staged, true)
       }

@@ -1,0 +1,206 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.jdk.CollectionConverters._
+
+/** Round-15 gates: the oracle-cost budget (r14 verdict item 1 — the r14
+  * driver correctness artifact came back EMPTY because the DuckDB oracle
+  * pass could not finish; the exponential-reinlining class this budget
+  * pins showed minutes-per-key at sf0.01 on 500 vectors) and the daemon's
+  * periodic statsd emission (r14 verdict item 2).
+  *
+  *  1. Every oracle in `SparkEntry.oracleSql` must complete in DuckDB at
+  *     sf0.001 within a per-key budget. The budget is deliberately loose
+  *     (co-tenant steal spikes, fork+import overhead) — the regression
+  *     class it exists to catch (a multi-referenced CTE chain DuckDB 1.0
+  *     re-inlines exponentially, e.g. the unrolled Lloyd rounds before
+  *     they were AS MATERIALIZED) costs MINUTES per key at this scale,
+  *     two orders of magnitude past the budget, and would otherwise only
+  *     surface when the driver's gate silently failed to complete.
+  *  2. `Daemon.startStatsd` must push `prefix.name:value|g` gauge lines
+  *     to a real UDP socket on a ticker while the daemon serves
+  *     (logging/stats.go:24-61; the reference emits every second for the
+  *     daemon's whole lifetime), with the stats.go gauge names, and
+  *     `stop()` must close the ticker. An empty host is the reference's
+  *     no-op-client branch: nothing scheduled.
+  */
+class Round15Spec extends AnyFunSuite with TestSpark {
+
+  // ------------------------------------------------- oracle-cost budget
+
+  test("every DuckDB oracle completes within the per-key budget at sf0.001") {
+    val out = java.nio.file.Files.createTempDirectory("oracle_budget").toString
+    // the profile needs only oracle_sql.json — written straight from the
+    // registry (Verify.dump's escaping), no Spark query execution
+    Verify.writeOracleJson(out, SparkEntry.oracleSql)
+    val pb = new ProcessBuilder(
+      "python3", "tools/oracle_profile.py", Sf, out)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val log = new String(proc.getInputStream.readAllBytes())
+    val exit = proc.waitFor()
+    assert(exit == 0, s"oracle_profile failed:\n${log.takeRight(4000)}")
+    val tsv = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(s"$out/ORACLE_COST.tsv")).asScala.drop(1)
+      .map(_.split("\t")).map(a => (a(1), a(0).toDouble, a(2)))
+    assert(tsv.size == SparkEntry.oracleSql.size,
+      s"profile covered ${tsv.size} of ${SparkEntry.oracleSql.size} oracles")
+    val failed = tsv.filter(_._3 != "ok")
+    assert(failed.isEmpty, s"oracles errored: ${failed.map(_._1).mkString(", ")}")
+    val budgetSec = 20.0
+    val over = tsv.filter(_._2 > budgetSec).sortBy(-_._2)
+    assert(over.isEmpty,
+      s"oracle cost budget blown (> $budgetSec s at sf0.001): " +
+        over.map(t => f"${t._1}=${t._2}%.1fs").mkString(", ") +
+        " — a chain CTE probably lost its AS MATERIALIZED (DuckDB 1.0 " +
+        "re-inlines multi-referenced CTEs once per reference; across " +
+        "unrolled training rounds that compounds exponentially)")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+  }
+
+  // ---------------------------- live-maintained stored ANN index lifecycle
+
+  test("VecIndexStore lifecycle: append-mid-probe, compact-mid-probe, " +
+      "probe bit-equality with ann_ivf_trained throughout") {
+    import graft.operators.Similarity
+    import graft.sources.{RollupStore, VecIndexStore}
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions._
+    graft.functions.VecMath.register(spark)
+    val vecs = Similarity.fixedVecs(spark, Sf)
+    val cents = Similarity.centsFor(spark, Sf, "trained", Similarity.CentroidMod)
+    val assigned = Similarity.assignNearest(vecs, cents)
+      .select("vec_id", "v", "nrm", "c_id")
+    val want = Similarity.ivfTrained(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val idx = java.nio.file.Files.createTempDirectory("vec_idx_live").toString
+    val root = new Path(idx)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+
+    def probe(): Set[(Long, Long, Int, Double)] =
+      RollupStore.retryTransientReads { () =>
+        val probeLists = Similarity.ivfProbeLists(vecs, cents, Similarity.NProbe)
+        val routed = probeLists.select("c_id").distinct()
+          .collect().map(_.getLong(0)).sorted
+        val lists = VecIndexStore.read(spark, idx)
+          .filter(col("c_id").isin(routed: _*))
+        Similarity.topKFromCands(
+            Similarity.ivfCandsFromAssigned(lists, probeLists))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+      }
+
+    // probes serve CONCURRENTLY with every append and the compaction —
+    // the serving contract the single-threaded operator can't drive. Any
+    // mid-lifecycle answer must be the correct probe over SOME prefix of
+    // the appended slices (probe algebra is append-order-immune and
+    // slices are row-disjoint, so partial-index answers are subsets of
+    // per-probe candidate work — we assert no probe ever THROWS, and the
+    // quiesced answers are exact).
+    @volatile var stop = false
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val prober = new Thread(() => {
+      while (!stop) {
+        try { if (fs.exists(root)) probe() }
+        catch { case t: Throwable => errs.add(t); stop = true }
+      }
+    }, "r15-live-prober")
+
+    VecIndexStore.append(assigned.filter(pmod(col("vec_id"), lit(3)) === 0), idx)
+    prober.start()
+    try {
+      (1 until 3).foreach { i =>
+        VecIndexStore.append(assigned.filter(pmod(col("vec_id"), lit(3)) === i), idx)
+      }
+      assert(probe() == want, "full index (3 slices, uncompacted) probe diverges")
+      // multi-slice cells exist before compaction
+      def filesPerCell = RollupStore.partitionDirs(fs, root, 1)
+        .map(d => fs.listStatus(d).count(_.getPath.getName.endsWith(".parquet")))
+      assert(filesPerCell.exists(_ > 1),
+        "fixture produced no multi-slice cell — the compaction assert is vacuous")
+      VecIndexStore.compact(spark, idx, leaseMs = 60000)
+      assert(filesPerCell.forall(_ == 1),
+        s"compaction left multi-file cells: ${filesPerCell.mkString(",")}")
+      assert(probe() == want, "compacted index probe diverges")
+      // a slice appended AFTER compaction keeps the store serving (the
+      // append-only contract holds across maintenance)
+      VecIndexStore.append(
+        assigned.filter(pmod(col("vec_id"), lit(3)) === 0), idx)
+      // duplicate rows from the re-appended slice: reading raw now holds
+      // dupes, so fold them away and the probe answer must be unchanged
+      VecIndexStore.compact(spark, idx, leaseMs = 60000)
+      val rows = VecIndexStore.read(spark, idx)
+      assert(rows.count() > assigned.count(),
+        "post-compact append vanished — the additive swap ate a live slice")
+    } finally {
+      stop = true
+      prober.join(10000)
+    }
+    assert(errs.isEmpty,
+      s"a concurrent probe failed during maintenance: ${errs.peek()}")
+    // the operator end-to-end (fresh lifecycle in its own spill dir)
+    val live = Similarity.ivfStoredLive(spark, Sf)
+    val plan = live.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*c_id".r.findFirstIn(plan).isDefined,
+      s"live-store probe scan is not partition-pruned on c_id:\n${plan.take(3000)}")
+    val got = live.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(got == want, "ann_ivf_stored_live diverges from ann_ivf_trained")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
+  }
+
+  // ------------------------------------------- daemon statsd gauge ticker
+
+  test("Daemon.startStatsd emits stats.go gauges on a ticker; stop closes it") {
+    val store = java.nio.file.Files.createTempDirectory("statsd_store").toString
+    val recv = new java.net.DatagramSocket() // ephemeral receiver port
+    recv.setSoTimeout(5000)
+    val daemon = new Daemon(spark, store)
+    try {
+      assert(!daemon.startStatsd("", 0),
+        "empty host must take the no-op-client branch (stats.go:34-36)")
+      daemon.stop() // resets the ticker guard; no ticker was scheduled
+      val d2 = new Daemon(spark, store)
+      try {
+        assert(d2.startStatsd("127.0.0.1", recv.getLocalPort, "cassabon",
+          intervalMs = 100L))
+        // collect datagrams across ≥2 ticks
+        val lines = scala.collection.mutable.ArrayBuffer[String]()
+        val buf = new Array[Byte](512)
+        val deadline = System.nanoTime() + 8L * 1000 * 1000 * 1000
+        val wantTicks = 2 * graft.operators.OpsStats.liveGauges(spark).size
+        while (lines.size < wantTicks && System.nanoTime() < deadline) {
+          val p = new java.net.DatagramPacket(buf, buf.length)
+          recv.receive(p)
+          lines += new String(p.getData, p.getOffset, p.getLength, "UTF-8")
+        }
+        assert(lines.size >= wantTicks,
+          s"expected ≥$wantTicks gauge datagrams (two ticks), got ${lines.size}")
+        val wire = """^cassabon\.([a-z_.]+):(-?\d+)\|g$""".r
+        lines.foreach {
+          case wire(_, _) => ()
+          case bad => fail(s"malformed statsd gauge line: '$bad'")
+        }
+        val names = lines.map { case wire(n, _) => n }.toSet
+        val expected = graft.operators.OpsStats.liveGauges(spark).map(_._1).toSet
+        assert(names == expected,
+          s"gauge name drift vs OpsStats.liveGauges: missing " +
+            s"${expected diff names}, extra ${names diff expected}")
+      } finally d2.stop()
+      // after stop, the ticker is closed: drain anything in flight, then
+      // the socket must go quiet
+      Thread.sleep(300)
+      recv.setSoTimeout(400)
+      var drained = true
+      while (drained) {
+        try recv.receive(new java.net.DatagramPacket(new Array[Byte](512), 512))
+        catch { case _: java.net.SocketTimeoutException => drained = false }
+      }
+    } finally {
+      recv.close()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(store))
+    }
+  }
+}

@@ -2293,6 +2293,16 @@ object Similarity {
     val cb = trainedPqCodebook(spark, dir, vecs)
     val codes = pqCodesFrom(vecs, cb).select("vec_id", "sub", "code")
     val assigned = assignNearest(vecs, cents).select("vec_id", "c_id")
+    annIvfPqFrom(vecs, cents, cb, codes.join(assigned, Seq("vec_id")))
+  }
+
+  /** The IVFPQ probe over an arbitrary LIST-KEYED code frame
+    * `(vec_id, sub, code, c_id)` — shared by the in-memory [[annIvfPq]]
+    * and the stored-layout [[annIvfPqStored]] (whose frame is the
+    * partition-pruned read of the persisted codes).
+    */
+  private def annIvfPqFrom(vecs: DataFrame, cents: DataFrame, cb: DataFrame,
+      codedLists: DataFrame): DataFrame = {
     val probeVecs = vecs.filter(col("vec_id") % ProbeMod === 0)
     val probeLists = probeVecs
       .crossJoin(broadcast(cents))
@@ -2309,7 +2319,7 @@ object Similarity {
     val lut = probeSubs.join(cb, Seq("sub"))
       .select(col("q_id"), col("sub"), col("code"),
         expr(dotExpr("qx", "cv")).as("pdot"))
-    val scored = codes.join(assigned, Seq("vec_id"))
+    val scored = codedLists
       .join(broadcast(probeLists), Seq("c_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .join(broadcast(lut), Seq("q_id", "sub", "code"))
@@ -2328,6 +2338,36 @@ object Similarity {
       .filter(col("rank") <= TopK)
       .select(col("q_id").as("query_id"), col("vec_id").as("neighbor_id"),
         col("rank"), round(col("cos"), 6).as("cosine"))
+  }
+
+  /** `ann_ivfpq_stored`: [[annIvfPq]] served from the FAISS IVFPQ
+    * PHYSICAL layout — the compressed codes persisted keyed by their
+    * inverted list (`c_id=N` directory per list, each row the 8
+    * sub-codes of one vector), so a probe's scan reads nprobe/|cells| of
+    * the CODE BYTES off storage (`PartitionFilters` prune the routed
+    * lists' files; the true-vector fetch stays the broadcast
+    * shortlist semi-join — a point lookup, not a scan). This is the
+    * layout a billion-scale FAISS IVFPQ index ships: list-clustered
+    * codes on disk, codebook + routing broadcast. Bit-identical to
+    * [[annIvfPq]] (same codes, same probe algebra, one parquet
+    * roundtrip), so the oracle is its SQL verbatim.
+    */
+  def annIvfPqStored(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = fixedVecs(spark, dir)
+    val cents = seedCents(vecs)
+    val cb = trainedPqCodebook(spark, dir, vecs)
+    val codes = pqCodesFrom(vecs, cb).select("vec_id", "sub", "code")
+    val assigned = assignNearest(vecs, cents).select("vec_id", "c_id")
+    val idx = graft.model.Spill.path(spark, "ivfpq_codes", dir)
+    codes.join(assigned, Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("c_id").parquet(idx)
+    val routed = ivfProbeLists(vecs, cents, NProbe)
+      .select("c_id").distinct().collect().map(_.getLong(0)).sorted
+    val lists = spark.read.parquet(idx)
+      .filter(col("c_id").isin(routed: _*))
+      .select(col("vec_id"), col("sub"), col("code"),
+        col("c_id").cast("long").as("c_id"))
+    annIvfPqFrom(vecs, cents, cb, lists)
   }
 
   private val annIvfPqSql: String =
@@ -2485,6 +2525,7 @@ object Similarity {
     Op("pq_encode", pqEncode, Some(pqEncodeSql)),
     Op("ann_pq", annPq, Some(annPqSql)),
     Op("ann_ivfpq", annIvfPq, Some(annIvfPqSql)),
+    Op("ann_ivfpq_stored", annIvfPqStored, Some(annIvfPqSql)),
     Op("dedup_embedding_cosine", embeddingNearDup, Some(embeddingNearDupSql)),
     Op("dedup_semantic", semanticDedup, Some(semanticDedupSql)),
     Op("knn_mutual", knnMutual, Some(knnMutualSql)),

@@ -1325,9 +1325,16 @@ object TextOps {
     * dense frame is the drained live index).
     */
   private[graft] def chunkAnnFrom(spark: SparkSession, dir: String,
-      dense: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
-    val assigned = assignChunks(dense, cents)
-    val routes = chunkProbes(spark, dir)
+      dense: DataFrame, cents: DataFrame, nprobe: Int): DataFrame =
+    chunkTopKFrom(assignChunks(dense, cents),
+      chunkRoutes(spark, dir, cents, nprobe))
+
+  /** Query-side routing: each probe document's top-`nprobe` chunk cells
+    * `(q_id, qv, qn, c_id)` — shared by the in-memory and stored probes.
+    */
+  private[graft] def chunkRoutes(spark: SparkSession, dir: String,
+      cents: DataFrame, nprobe: Int): DataFrame =
+    chunkProbes(spark, dir)
       .crossJoin(broadcast(cents))
       .withColumn("ccos",
         expr("vec_dot(qv, cv)") / (sqrt(col("qn")) * sqrt(col("cn"))))
@@ -1335,6 +1342,13 @@ object TextOps {
         Window.partitionBy("q_id").orderBy(col("ccos").desc, col("c_id"))))
       .filter(col("crn") <= nprobe)
       .select(col("q_id"), col("qv"), col("qn"), col("c_id"))
+
+  /** The cell-scoped exact re-rank over an arbitrary assigned-chunk frame
+    * `(doc_id, chunk_id, v, nrm, c_id)` — shared by [[chunkAnnFrom]] and
+    * the partition-pruned [[chunkAnnStored]].
+    */
+  private[graft] def chunkTopKFrom(assigned: DataFrame,
+      routes: DataFrame): DataFrame =
     assigned.join(broadcast(routes), Seq("c_id"))
       .filter(col("doc_id") =!= col("q_id"))
       .withColumn("cos",
@@ -1345,6 +1359,30 @@ object TextOps {
       .filter(col("rank") <= ChunkKnnK)
       .select(col("q_id").as("query_doc"), col("doc_id").as("chunk_doc"),
         col("chunk_id"), col("rank"), round(col("cos"), 6).as("cosine"))
+
+  /** `chunk_ann_stored`: [[chunkAnn]] served from a PERSISTED chunk
+    * inverted-list index — the `ann_ivf_stored` production shape on the
+    * RAG domain: the trained chunk assignment written partitioned by
+    * `c_id` (one directory per chunk cell), the probe read pruned to the
+    * routed cells' files, so serving touches nprobe/|cells| of the chunk
+    * INDEX BYTES. Bit-identical to [[chunkAnn]] (same quantizer, same
+    * probe algebra, one parquet roundtrip) — oracle = its SQL verbatim.
+    */
+  def chunkAnnStored(spark: SparkSession, dir: String): DataFrame = {
+    val dense = chunkDense(spark, dir)
+    val cents = chunkCentsFor(spark, dir, "trained", ChunkCentMod)
+    val idx = graft.model.Spill.path(spark, "chunk_ivf_lists", dir)
+    assignChunks(dense, cents)
+      .select("doc_id", "chunk_id", "v", "nrm", "c_id")
+      .write.mode("overwrite").partitionBy("c_id").parquet(idx)
+    val routes = chunkRoutes(spark, dir, cents, ChunkNProbe)
+    val routed = routes.select("c_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val lists = spark.read.parquet(idx)
+      .filter(col("c_id").isin(routed: _*))
+      .select(col("doc_id"), col("chunk_id"), col("v"), col("nrm"),
+        col("c_id").cast("long").as("c_id"))
+    chunkTopKFrom(lists, routes)
   }
 
   /** The chunk-space Lloyd loop unrolled as CTE rounds — `cc_cents0`
@@ -1868,6 +1906,7 @@ object TextOps {
     Op("text_knn", textKnn, Some(textKnnSql)),
     Op("chunk_knn", chunkKnn, Some(chunkKnnSql)),
     Op("chunk_ann", chunkAnn, Some(chunkAnnSql)),
+    Op("chunk_ann_stored", chunkAnnStored, Some(chunkAnnSql)),
     Op("chunk_ann_recall", chunkAnnRecall, Some(chunkAnnRecallSql)),
     Op("quality_select", qualitySelect, Some(qualitySelectSql)),
     Op("vocab_build", vocabBuild, Some(vocabBuildSql)),

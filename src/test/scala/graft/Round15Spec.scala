@@ -151,6 +151,37 @@ class Round15Spec extends AnyFunSuite with TestSpark {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
   }
 
+  // ------------------- partition-pruned serving: chunk index and PQ codes
+
+  test("chunk_ann_stored and ann_ivfpq_stored prune partitions and match " +
+      "their in-memory twins") {
+    import graft.operators.{Similarity, TextOps}
+    graft.functions.VecMath.register(spark)
+    val prunedRe = "PartitionFilters: \\[[^\\]]*c_id".r
+
+    val chunkStored = TextOps.chunkAnnStored(spark, Sf)
+    val cPlan = chunkStored.queryExecution.executedPlan.toString
+    assert(prunedRe.findFirstIn(cPlan).isDefined,
+      s"chunk index probe scan is not partition-pruned on c_id:\n${cPlan.take(3000)}")
+    val cGot = chunkStored.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4))).toSet
+    val cWant = TextOps.chunkAnn(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4))).toSet
+    assert(cGot == cWant, "chunk_ann_stored diverges from chunk_ann")
+
+    val pqStored = Similarity.annIvfPqStored(spark, Sf)
+    val pPlan = pqStored.queryExecution.executedPlan.toString
+    assert(prunedRe.findFirstIn(pPlan).isDefined,
+      s"IVFPQ code scan is not partition-pruned on c_id:\n${pPlan.take(3000)}")
+    val pGot = pqStored.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val pWant = Similarity.annIvfPq(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(pGot == pWant, "ann_ivfpq_stored diverges from ann_ivfpq")
+  }
+
   // ------------------------------------------- daemon statsd gauge ticker
 
   test("Daemon.startStatsd emits stats.go gauges on a ticker; stop closes it") {

@@ -982,9 +982,13 @@ object Similarity {
     * TUNING.md) reads 0.767/0.783 (cells/refined) edge recall at
     * trained-125/3 vs 0.434/0.476 at seed-125/2, for ~2.25× in-cell pair
     * work and an unchanged exchange shape; sf0.01 at the new dial is
-    * 1.000.
+    * 1.000. r15: 3 → 4 — the next measured knee (sweep table in
+    * TUNING.md): sf0.1 edge recall 0.934 cells / 0.940 refined at the
+    * SAME cell width (trained-125), ~1.78× in-cell pair work over
+    * nprobe 3, still no exchange-shape change; a THIRD NN-Descent round
+    * measured +0.000 at every dial point, so KnnRefineRounds stays 2.
     */
-  val KnnGraphNProbe = 3
+  val KnnGraphNProbe = 4
 
   /** Top-`nprobe` cell MEMBERSHIPS `(vec_id, v, nrm, c_id)` — chained
     * [[assignNearest]] max_by passes (each pass re-scores with the cells

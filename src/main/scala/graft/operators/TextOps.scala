@@ -1186,9 +1186,14 @@ object TextOps {
     * the r13 seed-50/4 point (and 1.000 vs 0.900 at sf0.01) — nprobe is
     * the scan knob (~nprobe/|cells| of the chunk corpus per probe) and
     * training tightens the near-isotropic hashing-trick cells at zero
-    * probe cost below mod ~100.
+    * probe cost below mod ~100. r15: 8 → 12 — the next measured knee
+    * (sweep in TUNING.md): sf0.1 retrieval recall 0.852 at trained-50/12
+    * vs 0.748 at trained-50/8, scan fraction 12% vs 8% of the chunk
+    * corpus per probe; the narrower mod 38 cells measured WORSE at equal
+    * scan (0.802 at 38/12 ≈ 9% — boundary loss dominates), so the cell
+    * width stays and nprobe carries the target.
     */
-  val ChunkNProbe = 8
+  val ChunkNProbe = 12
   /** Lloyd rounds for the TRAINED chunk-space quantizer (r14): the house
     * [[graft.operators.Similarity.TrainIters]] knee, re-measured on the
     * chunk domain by `graft.ChunkAnnTune` seed-vs-trained.

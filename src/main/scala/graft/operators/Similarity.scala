@@ -1683,7 +1683,7 @@ object Similarity {
     ivfFrom(vecs, mkCentsDf(spark, trainedCents(spark, dir)._1))
   }
 
-  private val ivfTrainedSql: String =
+  private[graft] val ivfTrainedSql: String =
     ivfSqlFrom(s"$kmeansIterCtes,\ncents AS (SELECT c_id, cv, cn FROM cents$TrainIters)")
 
   /** `ann_ivf_stored`: [[ivfTrained]] served from a PERSISTED inverted-

@@ -106,7 +106,70 @@ object AnnStream {
       Similarity.DupThreshold)
   }
 
+  /** The PERSISTED form of [[annQuery]] — the full production ANN ingest
+    * loop live: `stream_ann` holds the inverted-list membership as
+    * complete-mode streaming state (the whole index in the sink — fine
+    * for a demo, RAM-bounded at 100 TB), while here each micro-batch's
+    * vectors are assigned (stream-static broadcast against the TRAINED
+    * quantizer) and appended to the c_id-partitioned index store as one
+    * flush slice ([[graft.sources.VecIndexStore]] — the metricmanager
+    * flush loop on vectors), so the STREAMING STATE IS ZERO: the index
+    * lives on shared storage, exactly where a vector store keeps it.
+    * After the drain, maintenance folds the accumulated slices
+    * (selective compaction behind the ingest frontier) and the readoff
+    * is the partition-pruned routed probe — `ann_ivf_stored`'s serve
+    * path over a streamed-in index. The corpus replays as three
+    * vec_id-tertile mtime-ordered files = three flush cycles; slices
+    * are row-disjoint and the probe algebra is append-order-immune, so
+    * the converged index equals the batch build bit-for-bit and the
+    * oracle is `ann_ivf_trained`'s SQL verbatim.
+    */
+  def annStoredQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.sources.VecIndexStore
+    val batchVecs = Similarity.fixedVecs(spark, dir)
+    val cents = Similarity.centsFor(spark, dir, "trained", Similarity.CentroidMod)
+    val idx = graft.model.Spill.path(spark, "ivf_lists_stream", dir)
+    val fsRoot = new org.apache.hadoop.fs.Path(idx)
+    fsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(fsRoot, true) // fresh lifecycle per run
+    val raw = spark.read.parquet(s"$dir/embeddings.parquet")
+    val src = java.nio.file.Files.createTempDirectory("stream_ann_stored_src").toString
+    (0 until 3).foreach { i =>
+      DedupStream.writeOneFile(raw.filter(pmod(col("vec_id"), lit(3)) === i),
+        s"$src/slice$i.parquet", (3 - i) * 60000L)
+    }
+    try {
+      CarbonStream.withStreamPartitions(spark) {
+        val stream = spark.readStream
+          .schema(raw.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(src)
+        val q = Similarity.fixedVecsFrom(stream)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            VecIndexStore.append(
+              Similarity.assignNearest(batch, cents)
+                .select("vec_id", "v", "nrm", "c_id"), idx)
+          }
+          .outputMode("append")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      VecIndexStore.compact(spark, idx)
+      val probeLists = Similarity.ivfProbeLists(batchVecs, cents, Similarity.NProbe)
+      val routed = probeLists.select("c_id").distinct()
+        .collect().map(_.getLong(0)).sorted
+      val lists = VecIndexStore.read(spark, idx)
+        .filter(col("c_id").isin(routed: _*))
+      Similarity.topKFromCands(Similarity.ivfCandsFromAssigned(lists, probeLists))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(src))
+    }
+  }
+
   def ops: Seq[Op] = Seq(
     Op("stream_ann", annQuery, Some(Similarity.ivfSql)),
+    Op("stream_ann_stored", annStoredQuery, Some(Similarity.ivfTrainedSql)),
     Op("stream_semantic", semanticQuery, Some(Similarity.semanticDedupSql)))
 }

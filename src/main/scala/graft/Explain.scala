@@ -36,7 +36,8 @@ object Explain {
         "quality_select", "chunk_knn", "series_holt_deviation",
         "multimodal_phash", "engagement",
         "knn_graph_ivf", "knn_graph_recall", "chunk_ann",
-        "ann_ivf_stored", "multimodal_decode_real"))
+        "ann_ivf_stored", "multimodal_decode_real",
+        "ann_ivf_stored_live", "ann_ivfpq_stored", "chunk_ann_stored"))
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

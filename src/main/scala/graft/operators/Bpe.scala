@@ -187,20 +187,20 @@ object Bpe {
          |        FROM (SELECT freq, string_split(trim(s), '  ') AS t FROM $prev))
          |  GROUP BY 1, 2
          |),
-         |${p}top$r AS (SELECT lhs, rhs, cnt FROM ${p}p$r ORDER BY cnt DESC, lhs, rhs LIMIT 1),
-         |${p}seq$r AS (
+         |${p}top$r AS MATERIALIZED (SELECT lhs, rhs, cnt FROM ${p}p$r ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |${p}seq$r AS MATERIALIZED (
          |  SELECT word, freq,
          |         replace(s, coalesce(' ' || lhs || '  ' || rhs || ' ', chr(1)),
          |                    coalesce(' ' || lhs || rhs || ' ', '')) AS s
          |  FROM $prev LEFT JOIN ${p}top$r ON true
          |)""".stripMargin
     }
-    s"""${p}words AS (
+    s"""${p}words AS MATERIALIZED (
        |  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
        |  GROUP BY 1 ORDER BY freq DESC, word LIMIT $VocabCap
        |),
-       |${p}seq0 AS (
+       |${p}seq0 AS MATERIALIZED (
        |  SELECT word, freq,
        |         ' ' || array_to_string(list_append([word[i] for i in generate_series(1, len(word))], '</w>'), '  ') || ' ' AS s
        |  FROM ${p}words
@@ -214,10 +214,10 @@ object Bpe {
         s"SELECT CAST($r AS INT) AS step, lhs, rhs, lhs || rhs AS merged, cnt AS pair_freq FROM bpe_top$r")
         .mkString("\nUNION ALL\n")}""".stripMargin
 
-  private val encodeSql: String = {
+  private[graft] val encodeSql: String = {
     val applies = (1 to Merges).map { r =>
       val prev = if (r == 1) "bpe_e0" else s"bpe_e${r - 1}"
-      s"""bpe_e$r AS (
+      s"""bpe_e$r AS MATERIALIZED (
          |  SELECT word, replace(s, coalesce(' ' || lhs || '  ' || rhs || ' ', chr(1)),
          |                          coalesce(' ' || lhs || rhs || ' ', '')) AS s
          |  FROM $prev LEFT JOIN bpe_top$r ON true
@@ -233,7 +233,7 @@ object Bpe {
        |  FROM bpe_allw
        |),
        |${applies.mkString(",\n")},
-       |bpe_wtok AS (SELECT word, CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_sym FROM bpe_e$Merges),
+       |bpe_wtok AS MATERIALIZED (SELECT word, CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_sym FROM bpe_e$Merges),
        |bpe_docw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents)
        |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
        |       CAST(sum(w.n_sym) AS BIGINT) AS n_tokens,

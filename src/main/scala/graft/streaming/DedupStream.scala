@@ -608,7 +608,75 @@ object DedupStream {
       spark.createDataFrame(drained.rdd, drained.schema))
   }
 
+  /** The LIVE form of `bpe_encode` — tokenize-on-ingest: a training
+    * pipeline tokenizes documents AS they arrive (the data loader's
+    * tokenizer pass moved to the ingest boundary), with the merge table
+    * trained OFFLINE and shipped as static config (exactly how a real
+    * tokenizer deploys — the `stream_ann` quantizer contract applied to
+    * BPE). Each micro-batch is tokenized with the SAME composed
+    * replace-chain `bpe_encode` applies — evaluated once per DISTINCT
+    * word in the batch (the vocabulary-sized memoization, batch-local)
+    * and broadcast back onto the batch's words — and the per-doc token
+    * counts are APPENDED to shared storage (foreachBatch, the
+    * `stream_ann_stored` zero-state pattern: the tokenized corpus lives
+    * on disk, streaming state is ZERO). A document is whole within its
+    * micro-batch (file replay = 3 doc_id-tertile files), so per-batch
+    * per-doc aggregation is exact; batches are doc-disjoint, so the
+    * accumulated store equals the batch encode row-for-row and the
+    * oracle is `bpe_encode`'s SQL verbatim.
+    */
+  def bpeQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Bpe
+    val chain = Bpe.applyChainSql(Bpe.trainedMerges(spark, dir))
+    val out = graft.model.Spill.path(spark, "stream_bpe_tokens", dir)
+    val outRoot = new org.apache.hadoop.fs.Path(out)
+    outRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(outRoot, true) // fresh run
+    val docs = graft.model.Tables.documents(spark, dir).persist()
+    val src = java.nio.file.Files.createTempDirectory("stream_bpe_src").toString
+    try {
+      val (lo, hi) = {
+        val r = docs.agg(min("doc_id"), max("doc_id")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+      writeOneFile(docs.filter(col("doc_id") <= c1), s"$src/batch0.parquet", 120000)
+      writeOneFile(docs.filter(col("doc_id") > c1 && col("doc_id") <= c2),
+        s"$src/batch1.parquet", 90000)
+      writeOneFile(docs.filter(col("doc_id") > c2), s"$src/batch2.parquet", 60000)
+    } finally docs.unpersist(blocking = true)
+    try {
+      CarbonStream.withStreamPartitions(spark) {
+        val q = spark.readStream
+          .schema(documentsSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(src)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val words = batch.select(col("doc_id"), explode(
+              expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+            val wtok = words.select("word").distinct()
+              .withColumn("n_sym",
+                expr(s"cast(size(split(trim($chain), '  ')) as bigint)"))
+            words.join(broadcast(wtok), "word")
+              .groupBy("doc_id")
+              .agg(count(lit(1)).as("n_words"), sum("n_sym").as("n_tokens"))
+              .select(col("doc_id"), col("n_words"), col("n_tokens"),
+                round(col("n_tokens") / col("n_words"), 6).as("tokens_per_word"))
+              .write.mode("append").parquet(out)
+          }
+          .outputMode("append")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      spark.read.parquet(out)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(src))
+    }
+  }
+
   def ops: Seq[Op] = Seq(
+    Op("stream_bpe", bpeQuery, Some(graft.operators.Bpe.encodeSql)),
     Op("stream_phash", phashQuery,
       Some(graft.operators.Multimodal.phashPairsSql)),
     Op("stream_pack", packQuery,

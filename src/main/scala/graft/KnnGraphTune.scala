@@ -57,7 +57,9 @@ object KnnGraphTune {
       }
     }
     println(s"(truth = $nTruth directed mutual edges from the exact slice " +
-      "kNN; shipped dial = CentroidMod 125, nprobe 2)")
+      "kNN; shipped dial = CentroidMod " +
+      s"${graft.operators.Similarity.CentroidMod}, nprobe " +
+      s"${graft.operators.Similarity.KnnGraphNProbe}, trained)")
     exact.unpersist()
     spark.stop()
   }

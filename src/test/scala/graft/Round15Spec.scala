@@ -151,6 +151,79 @@ class Round15Spec extends AnyFunSuite with TestSpark {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
   }
 
+  // ------------------ depth-1 crash recovery (the Round6Spec states, vec)
+
+  test("VecIndexStore recovery finishes a committed staged fold and " +
+      "discards an uncommitted one") {
+    import graft.operators.Similarity
+    import graft.sources.{RollupStore, VecIndexStore}
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions._
+    graft.functions.VecMath.register(spark)
+    val vecs = Similarity.fixedVecs(spark, Sf)
+    val cents = Similarity.centsFor(spark, Sf, "trained", Similarity.CentroidMod)
+    val assigned = Similarity.assignNearest(vecs, cents)
+      .select("vec_id", "v", "nrm", "c_id").persist()
+    val wantRows = assigned.count()
+
+    def freshStore(): String = {
+      val idx = java.nio.file.Files.createTempDirectory("vec_idx_rec").toString
+      new java.io.File(idx).delete()
+      (0 until 2).foreach { i =>
+        VecIndexStore.append(
+          assigned.filter(pmod(col("vec_id"), lit(2)) === i), idx)
+      }
+      idx
+    }
+    // stage exactly what a compactor stages (manifest first, then the
+    // committed staged write), then "crash" before the swap
+    def stageCrash(idx: String, committed: Boolean): (Path,
+        org.apache.hadoop.fs.FileSystem) = {
+      val root = new Path(idx)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val files = RollupStore.partitionDirs(fs, root, 1).flatMap(d =>
+        fs.listStatus(d).filter(_.getPath.getName.endsWith(".parquet"))
+          .map(f => s"${d.getName}/${f.getPath.getName}")).toSeq
+      RollupStore.writeManifest(fs, root, files)
+      spark.read.option("basePath", idx)
+        .parquet(files.map(f => new Path(root, f).toString): _*)
+        .repartition(col("c_id"))
+        .write.mode("overwrite").partitionBy("c_id")
+        .parquet(new Path(root, "_compact").toString)
+      if (!committed)
+        fs.delete(new Path(root, "_compact/_SUCCESS"), false)
+      (root, fs)
+    }
+
+    // committed staged write + aged-out (absent) lease -> recovery
+    // FINISHES the swap on the next store entry
+    val idx1 = freshStore()
+    val (root1, fs1) = stageCrash(idx1, committed = true)
+    val rows1 = VecIndexStore.read(spark, idx1)
+    assert(rows1.count() == wantRows,
+      "recovered store lost or duplicated rows after finishing the swap")
+    assert(!fs1.exists(new Path(root1, "_compact")),
+      "finished recovery left the staging root behind")
+    assert(RollupStore.partitionDirs(fs1, root1, 1).forall(d =>
+      fs1.listStatus(d).count(_.getPath.getName.endsWith(".parquet")) == 1),
+      "a finished fold must leave one file per cell")
+
+    // uncommitted staged write -> recovery DISCARDS it; sources untouched
+    val idx2 = freshStore()
+    val (root2, fs2) = stageCrash(idx2, committed = false)
+    val rows2 = VecIndexStore.read(spark, idx2)
+    assert(rows2.count() == wantRows,
+      "discarded recovery changed the store's rows")
+    assert(!fs2.exists(new Path(root2, "_compact")),
+      "discarding recovery left the garbage staging root")
+    assert(RollupStore.partitionDirs(fs2, root2, 1).exists(d =>
+      fs2.listStatus(d).count(_.getPath.getName.endsWith(".parquet")) > 1),
+      "discarding recovery must leave the un-folded multi-slice cells")
+    assigned.unpersist(blocking = true)
+    Seq(idx1, idx2).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+  }
+
   // ------------------- partition-pruned serving: chunk index and PQ codes
 
   test("chunk_ann_stored and ann_ivfpq_stored prune partitions and match " +

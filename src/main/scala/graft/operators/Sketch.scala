@@ -100,6 +100,12 @@ object Sketch {
       .unionByName(occupancyOf(
         Multimodal.phashBanded(spark, dir), "phash_band",
         Seq("media_kind", "band", "sig")))
+      // the chunk-space IVF cells (r15): chunk_ann's scan-fraction dial —
+      // a probe scans its nprobe routed cells, so a hot chunk cell is
+      // retrieval-latency skew exactly like a hot vector cell; watched
+      // here at the SHIPPED trained quantizer
+      .unionByName(occupancyOf(
+        TextOps.chunkAssignments(spark, dir), "chunk_cell", Seq("c_id")))
   }
 
   /** One WITH clause composing all four signature chains under
@@ -130,7 +136,10 @@ object Sketch {
        |${Carbon.cmsAssignCtes("cmp_", Carbon.CmsBucketBitsProd)},
        |${OpsStats.hllAssignCtes("hl6_", OpsStats.HllRegs)},
        |${OpsStats.hllAssignCtes("hlp_", OpsStats.HllRegsProd)},
-       |${Multimodal.phashBandCtes("phb_")}
+       |${Multimodal.phashBandCtes("phb_")},
+       |${TextOps.ckDenseCtes},
+       |${TextOps.chunkKmeansIterCtes},
+       |${TextOps.chunkAssignCtes}
        |${stats("minhash_band", "mh_sigs", "band, sig")}
        |UNION ALL
        |${stats("simhash_piece", "sh_pieces", "t, piece")}
@@ -153,7 +162,9 @@ object Sketch {
        |UNION ALL
        |${stats("hll_register_prod", "hlp_assign", "event_type, r")}
        |UNION ALL
-       |${stats("phash_band", "phb_b", "media_kind, band, sig")}""".stripMargin
+       |${stats("phash_band", "phb_b", "media_kind, band, sig")}
+       |UNION ALL
+       |${stats("chunk_cell", "ca_assigned", "c_id")}""".stripMargin
   }
 
   def ops: Seq[Op] = Seq(

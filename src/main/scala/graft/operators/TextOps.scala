@@ -1215,7 +1215,7 @@ object TextOps {
     * path ([[chunkAnnWith]]) and the Lloyd trainer so the assignment rule
     * cannot drift between training and serving.
     */
-  private def assignChunks(dense: DataFrame, cents: DataFrame): DataFrame =
+  private[graft] def assignChunks(dense: DataFrame, cents: DataFrame): DataFrame =
     dense.crossJoin(broadcast(cents))
       .withColumn("ccos",
         expr("vec_dot(v, cv)") / (sqrt(col("nrm")) * sqrt(col("cn"))))
@@ -1324,6 +1324,15 @@ object TextOps {
       centMod: Int, nprobe: Int, source: String = "seed"): DataFrame =
     chunkAnnFrom(spark, dir, chunkDense(spark, dir),
       chunkCentsFor(spark, dir, source, centMod), nprobe)
+
+  /** The trained-quantizer chunk assignment `(doc_id, chunk_id, c_id)` —
+    * the inverted-list membership `sketch_occupancy`'s `chunk_cell`
+    * family measures (cells ARE the chunk-probe scan-fraction dial).
+    */
+  private[graft] def chunkAssignments(spark: SparkSession, dir: String): DataFrame =
+    assignChunks(chunkDense(spark, dir),
+      chunkCentsFor(spark, dir, "trained", ChunkCentMod))
+      .select("doc_id", "chunk_id", "c_id")
 
   /** The chunk-IVF probe over an arbitrary dense-chunk frame — shared by
     * the batch [[chunkAnnWith]] and `stream_chunk_ann`'s readoff (whose
@@ -1439,7 +1448,12 @@ object TextOps {
     * the final CTE `ca_final` carries `chunk_ann`'s whole output so
     * `chunk_ann_recall`'s oracle can nest it verbatim.
     */
-  private[graft] lazy val chunkAnnCtes: String =
+  /** Just the trained-quantizer chunk ASSIGNMENT (`ca_cents` …
+    * `ca_assigned`) — split out of [[chunkAnnCtes]] so the occupancy
+    * oracle can watch the chunk cells without paying the probe chain
+    * (and without drifting from the serving oracle's assignment).
+    */
+  private[graft] lazy val chunkAssignCtes: String =
     s"""ca_cents AS MATERIALIZED (
        |  SELECT c_id, cv, cn FROM cc_cents$ChunkTrainIters
        |),
@@ -1456,7 +1470,10 @@ object TextOps {
        |                              ORDER BY ccos DESC, c_id) AS crn
        |    FROM ca_adist
        |  ) WHERE crn = 1
-       |),
+       |)""".stripMargin
+
+  private[graft] lazy val chunkAnnCtes: String =
+    s"""$chunkAssignCtes,
        |ca_routes AS (
        |  SELECT q_id, qv, qn, c_id FROM (
        |    SELECT p.q_id, p.qv, p.qn, c.c_id,

@@ -19,10 +19,10 @@ class Round8Spec extends AnyFunSuite with TestSpark {
     buckets.groupBy(cols.map(col): _*).count()
       .agg(sum(expr("count * (count - 1) DIV 2"))).head().getLong(0)
 
-  test("sketch_occupancy reports all twelve bucketed families with coherent stats") {
+  test("sketch_occupancy reports all thirteen bucketed families with coherent stats") {
     val rows = Sketch.occupancy(spark, Sf).collect()
     assert(rows.map(_.getString(0)).sorted.sameElements(
-      Array("cms_bucket", "cms_bucket_prod", "embcos_band",
+      Array("chunk_cell", "cms_bucket", "cms_bucket_prod", "embcos_band",
         "hll_register", "hll_register_prod", "ivf_cell", "lsh_table",
         "minhash_band", "phash_band", "pq_cell", "simhash_piece",
         "substr_window")))

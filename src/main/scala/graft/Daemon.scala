@@ -224,6 +224,42 @@ final class Daemon(spark: SparkSession, store: String,
 
 object Daemon {
 
+  /** Boot a daemon from a full cassabon.yaml — cassabon.go's main wiring
+    * (cassabon.go:60-120: read config, open the stats writer against
+    * `statsd.host:port`, install the rollup table, bind the API on
+    * `api.listen`) driven by [[graft.model.CassabonConfigFile]] instead
+    * of hand-assembled parts:
+    *
+    *  - `rollups:` (when it parsed CLEAN) becomes the dispatch config
+    *    every flush cycle reads — a dirty table keeps the built-in
+    *    reference config, the log-and-keep-running rule [[Daemon.reload]]
+    *    applies mid-flight;
+    *  - `statsd.host/port` open the gauge ticker ([[Daemon.startStatsd]];
+    *    empty host = the no-op client, nothing scheduled);
+    *  - `api.listen`'s port binds the HTTP API; `api.health_check_file`
+    *    serves `/healthcheck` from disk exactly like the reference.
+    *    `portOverride` exists for tests (a fixture yaml pins 8080; specs
+    *    must bind ephemeral).
+    *
+    * Returns the daemon and its bound HTTP port.
+    */
+  def fromConfig(spark: SparkSession, store: String, configPath: String,
+      nowSec: Option[Long] = None,
+      portOverride: Option[Int] = None): (Daemon, Int) = {
+    val cfg = graft.model.CassabonConfigFile.load(configPath)
+    val healthFile = Option(cfg.api.healthCheckFile).filter(_.nonEmpty)
+      .map(java.nio.file.Paths.get(_))
+    val daemon = new Daemon(spark, store, nowSec, healthFile)
+    if (cfg.rollups.clean) daemon.rollupDefs = cfg.rollups.defs
+    daemon.startStatsd(cfg.statsd.host, cfg.statsd.port)
+    val port = portOverride.getOrElse {
+      val listen = cfg.api.listen
+      val i = listen.lastIndexOf(':')
+      if (i < 0) 0 else listen.substring(i + 1).toInt
+    }
+    (daemon, daemon.startHttp(port))
+  }
+
   /** Stage one events slice as a single parquet FILE in `srcDir` — the
     * unit the flush query turns into one micro-batch (one file = one
     * flush cycle, `maxFilesPerTrigger = 1`).

@@ -151,6 +151,58 @@ class Round15Spec extends AnyFunSuite with TestSpark {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
   }
 
+  // --------------------------- daemon boot from the full cassabon.yaml
+
+  test("Daemon.fromConfig wires statsd, rollups and the API from cassabon.yaml") {
+    val recv = new java.net.DatagramSocket()
+    recv.setSoTimeout(5000)
+    // the vendored reference fixture, with OUR receiver as the statsd
+    // sink and a real healthcheck file (the fixture's relative path
+    // doesn't exist here — the reference serves the file's CONTENT)
+    val health = java.nio.file.Files.createTempFile("r15_health", ".txt")
+    java.nio.file.Files.writeString(health, "OK-R15")
+    val yaml = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(getClass.getResource("/config_test.yaml").getPath)),
+      "UTF-8")
+      .replace("port: 8125", s"port: ${recv.getLocalPort}")
+      .replace("\"config/healthcheckfile\"", s"\"${health}\"")
+    val cfgPath = java.nio.file.Files.createTempFile("r15_cassabon", ".yaml")
+    java.nio.file.Files.writeString(cfgPath, yaml)
+    val store = java.nio.file.Files.createTempDirectory("r15_boot_store").toString
+    val (daemon, port) = Daemon.fromConfig(spark, store, cfgPath.toString,
+      portOverride = Some(0))
+    try {
+      // the fixture's rollup table exercises the sanitation branches and
+      // is DIRTY (rejected expressions) — the boot must keep the built-in
+      // reference config, the reference's log-and-keep-running rule
+      assert(daemon.rollupConfig == graft.model.RollupConfig.reference,
+        "a dirty config rollup table must not replace the dispatch config")
+      // the API serves; /healthcheck rides the CONFIGURED file with the
+      // reference's drain semantics (api/api.go:65-80: ALIVE unless the
+      // file says DEAD)
+      val http = java.net.http.HttpClient.newHttpClient()
+      def healthBody(): String = http.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+          s"http://127.0.0.1:$port/healthcheck")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+      assert(healthBody() == "ALIVE",
+        "a non-DEAD healthcheck file must answer ALIVE")
+      java.nio.file.Files.writeString(health, "dead\n")
+      assert(healthBody() == "DEAD",
+        "the configured healthcheck file's DEAD override was not wired")
+      // the statsd ticker is live against the configured host:port
+      val p = new java.net.DatagramPacket(new Array[Byte](512), 512)
+      recv.receive(p) // throws SocketTimeoutException if nothing arrives
+      val line = new String(p.getData, p.getOffset, p.getLength, "UTF-8")
+      assert(line.matches("""cassabon\.[a-z_.]+:-?\d+\|g"""),
+        s"unexpected statsd line from the booted daemon: '$line'")
+    } finally {
+      daemon.stop()
+      recv.close()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(store))
+    }
+  }
+
   // ------------------ depth-1 crash recovery (the Round6Spec states, vec)
 
   test("VecIndexStore recovery finishes a committed staged fold and " +

@@ -29,6 +29,7 @@ object ClusterSmoke {
            Set[(Long, Long, Option[Long], Boolean)],
            Set[(Long, String, Double, Long, Double, Boolean)],
            Set[(Long, Long)],
+           Set[(Long, Long, Int, Double)],
            Set[(Long, Long, Int, Double)]) =
       try {
         val lbl = graft.operators.Dedup.cluster(spark, sf)
@@ -87,7 +88,17 @@ object ClusterSmoke {
           .collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
           .toSet
-        (lbl, merges, mix, temp, sem, qs, kg, stored)
+        // ann_ivf_stored_live runs the store MAINTENANCE machinery
+        // (append-only flush slices, compaction lease + manifest +
+        // additive swap, fold) with every file committed by forked-
+        // executor tasks — the distributed form of Round15Spec's
+        // lifecycle; its probe must stay bit-identical to the write-once
+        // stored index (same quantizer, append-order-immune algebra)
+        val live = graft.operators.Similarity.ivfStoredLive(spark, sf)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+          .toSet
+        (lbl, merges, mix, temp, sem, qs, kg, stored, live)
       } finally spark.stop()
 
     def builder(master: String) = SparkSession.builder()
@@ -97,12 +108,12 @@ object ClusterSmoke {
       .config("spark.ui.enabled", "false")
 
     val (expected, expectedMerges, expectedMix, expectedTemp, expectedSem,
-      expectedQs, expectedKg, expectedStored) =
+      expectedQs, expectedKg, expectedStored, expectedLive) =
       labels(builder("local[2]").getOrCreate())
 
     val spillRoot = Files.createTempDirectory("cluster_smoke_spill").toString
     val (clustered, clusterMerges, clusterMix, clusterTemp, clusterSem,
-      clusterQs, clusterKg, clusterStored) = labels(
+      clusterQs, clusterKg, clusterStored, clusterLive) = labels(
       builder("local-cluster[2,2,1024]")
         .appName("graft-cluster-smoke")
         .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
@@ -132,6 +143,10 @@ object ClusterSmoke {
       s"multi-JVM knn_graph_refined diverges: ${(clusterKg diff expectedKg).take(5)}")
     require(expectedStored.nonEmpty && clusterStored == expectedStored,
       s"multi-JVM ann_ivf_stored diverges: ${(clusterStored diff expectedStored).take(5)}")
+    require(expectedLive == expectedStored,
+      "live-maintained index diverged from the write-once build in ONE JVM")
+    require(clusterLive == expectedStored,
+      s"multi-JVM live-store maintenance diverges: ${(clusterLive diff expectedStored).take(5)}")
     // the marker ClusterSmokeSpec greps for
     println(s"CLUSTER_SMOKE_OK rows=${expected.size} " +
       s"dropped=${expected.count(!_._4)} merges=${expectedMerges.size} spill=$spillRoot")

@@ -185,6 +185,11 @@ final class Daemon(spark: SparkSession, store: String,
     require(statsdTicker == null, "statsd ticker already open")
     if (host.isEmpty) false
     else {
+      // one statsd client serves BOTH halves of the reference's
+      // instrumentation: the 1 s memory-gauge ticker (stats.go) and the
+      // per-request API timers (api/requestlogger.go:36-44) — opening
+      // the client wires them together exactly like cassabon.go
+      httpd.timingSink = httpd.statsdTimingSink(host, port, prefix)
       statsdStop = false
       statsdTicker = new Thread(() => {
         while (!statsdStop) {

@@ -47,6 +47,34 @@ final class MetricsHttpServer(backend: MetricsHttpServer.Backend,
   @volatile private[graft] var accessLogSink: String => Unit =
     line => System.err.println(line)
 
+  /** The OTHER half of requestlogger.go's middleware: a per-request
+    * statsd TIMER beside the access-log line
+    * (api/requestlogger.go:36-44 assembles `api.<route>.<method>` from
+    * the first path segment — empty → "root" — and sends the elapsed
+    * time through `Statsd.Client.TimingDuration`). Pluggable like the
+    * log sink; default no-op (the reference's no-op statsd client).
+    * [[statsdTimingSink]] wires a real UDP sender in statsd's timer
+    * wire format `prefix.api.<route>.<method>:<ms>|ms`.
+    */
+  @volatile private[graft] var timingSink: (String, Long) => Unit =
+    (_, _) => ()
+
+  /** A fire-and-forget UDP statsd timing sender for [[timingSink]] —
+    * loss acceptable, blocking not (the OpsStats.emit contract).
+    */
+  def statsdTimingSink(host: String, port: Int,
+      prefix: String = "cassabon"): (String, Long) => Unit = {
+    val addr = java.net.InetAddress.getByName(host)
+    (stat, ms) => {
+      val socket = new java.net.DatagramSocket()
+      try {
+        val line = s"$prefix.$stat:$ms|ms".getBytes("UTF-8")
+        try socket.send(new java.net.DatagramPacket(line, line.length, addr, port))
+        catch { case _: java.io.IOException => () }
+      } finally socket.close()
+    }
+  }
+
   /** Bind (port 0 = ephemeral) and serve; returns the bound port. */
   def start(port: Int = 0): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -87,6 +115,11 @@ final class MetricsHttpServer(backend: MetricsHttpServer.Backend,
       val us = (System.nanoTime() - t0) / 1000
       try accessLogSink(s"[$code] $method $path (${us}us)")
       catch { case _: Throwable => () } // a broken log sink must not kill serving
+      // requestlogger.go:36-44: stat name = api.<first path segment,
+      // "root" when empty>.<lowercased method>, value = elapsed ms
+      val route = path.split("/").find(_.nonEmpty).getOrElse("root")
+      try timingSink(s"api.$route.${method.toLowerCase}", us / 1000)
+      catch { case _: Throwable => () }
       ex.close()
     }
   }

@@ -190,12 +190,25 @@ class Round15Spec extends AnyFunSuite with TestSpark {
       java.nio.file.Files.writeString(health, "dead\n")
       assert(healthBody() == "DEAD",
         "the configured healthcheck file's DEAD override was not wired")
-      // the statsd ticker is live against the configured host:port
-      val p = new java.net.DatagramPacket(new Array[Byte](512), 512)
-      recv.receive(p) // throws SocketTimeoutException if nothing arrives
-      val line = new String(p.getData, p.getOffset, p.getLength, "UTF-8")
-      assert(line.matches("""cassabon\.[a-z_.]+:-?\d+\|g"""),
-        s"unexpected statsd line from the booted daemon: '$line'")
+      // the statsd ticker is live against the configured host:port, and
+      // the API emits requestlogger.go's per-request TIMER beside it —
+      // drain datagrams until both kinds show (same socket, one client)
+      var sawGauge, sawTimer = false
+      val deadline = System.nanoTime() + 8L * 1000 * 1000 * 1000
+      while ((!sawGauge || !sawTimer) && System.nanoTime() < deadline) {
+        val p = new java.net.DatagramPacket(new Array[Byte](512), 512)
+        recv.receive(p)
+        val line = new String(p.getData, p.getOffset, p.getLength, "UTF-8")
+        if (line.matches("""cassabon\.[a-z_.]+:-?\d+\|g""")) sawGauge = true
+        else if (line.matches("""cassabon\.api\.healthcheck\.get:\d+\|ms"""))
+          sawTimer = true
+        else fail(s"unexpected statsd line from the booted daemon: '$line'")
+        if (!sawTimer) healthBody() // keep generating API requests
+      }
+      assert(sawGauge, "no memory gauge arrived from the booted daemon")
+      assert(sawTimer,
+        "no api.healthcheck.get timer arrived — requestlogger.go's " +
+          "statsd half is not wired")
     } finally {
       daemon.stop()
       recv.close()

@@ -34,7 +34,12 @@ object PqTune {
 
     val sources = args.lift(1).map(_.split(",").toSeq)
       .getOrElse(Seq("seed", "trained"))
-    for (source <- sources; k <- Seq(8, 16, 32); shortlist <- Seq(10, 25, 50, 100)) {
+    // optional dial lists (r15: the frontier moved past the built-ins)
+    val ks = args.lift(2).map(_.split(",").map(_.toInt).toSeq)
+      .getOrElse(Seq(8, 16, 32))
+    val shortlists = args.lift(3).map(_.split(",").map(_.toInt).toSeq)
+      .getOrElse(Seq(10, 25, 50, 100))
+    for (source <- sources; k <- ks; shortlist <- shortlists) {
       val vecs = Similarity.fixedVecs(spark, dir)
       val cb =
         if (source == "seed") Similarity.pqCodebook(vecs, k)

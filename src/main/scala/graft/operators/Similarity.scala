@@ -1946,7 +1946,15 @@ object Similarity {
     */
   val PqSubs = 8
   val PqSubDim: Int = Dim / PqSubs
-  val PqCodebookK = 32
+  /** r15: 32 → 64 — the r15 `graft.PqTune` re-sweep (trained codebooks,
+    * sf0.1): k 32→64 at UNCHANGED shortlist lifts recall@5
+    * 0.780 → 0.895 at the SAME 5% re-rank fetch fraction — codebook
+    * size is the cheaper dial (encode work, never re-rank fetches), and
+    * the fixture's 500-vector sample pool holds k=64 at every SF. The
+    * 0.95 point (k=64 × shortlist 200) doubles the re-rank fetches —
+    * left to the dial surface.
+    */
+  val PqCodebookK = 64
 
   private val pqSlices =
     s"transform(sequence(0, ${PqSubs - 1}), m -> slice(v, m * $PqSubDim + 1, $PqSubDim))"

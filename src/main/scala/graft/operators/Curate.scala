@@ -31,20 +31,38 @@ object Curate {
     */
   val MaxRep2 = 0.10
 
-  def curate(spark: SparkSession, dir: String): DataFrame =
-    verdictFrom(
-      TextOps.textQuality(spark, dir)
-        .select(col("doc_id"), col("keep").as("quality_ok")),
-      TextOps.textRepetition(spark, dir)
-        .select(col("doc_id"), (col("rep2") <= MaxRep2).as("repetition_ok")),
-      TextOps.perplexityFilter(spark, dir)
-        .select(col("doc_id"), col("perplexity_ok")),
-      TextOps.qualitySelect(spark, dir)
-        .select(col("doc_id"), col("keep").as("select_ok")),
-      Dedup.decontaminate(spark, dir)
-        .select(col("doc_id"), (!col("contaminated")).as("decontaminated")),
-      Dedup.cluster(spark, dir)
+  def curate(spark: SparkSession, dir: String): DataFrame = {
+    // Three constituents do EAGER driver-side work when constructed
+    // (dedup_cluster's propagation loop + spill, perplexity_filter's
+    // median rank, quality_select's cut-pair collects); built
+    // sequentially their jobs ran back to back with most executors idle
+    // in each one's tail. Constructing them from a small thread pool
+    // lets the scheduler back-fill (independent concurrent jobs — the
+    // standard driver-thread overlap pattern); the verdict join below is
+    // unchanged, so the composed rows are identical.
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val fCluster = Future(Dedup.cluster(spark, dir)
         .select(col("doc_id"), col("keep").as("dedup_keep")))
+      val fPerplexity = Future(TextOps.perplexityFilter(spark, dir)
+        .select(col("doc_id"), col("perplexity_ok")))
+      val fSelect = Future(TextOps.qualitySelect(spark, dir)
+        .select(col("doc_id"), col("keep").as("select_ok")))
+      verdictFrom(
+        TextOps.textQuality(spark, dir)
+          .select(col("doc_id"), col("keep").as("quality_ok")),
+        TextOps.textRepetition(spark, dir)
+          .select(col("doc_id"), (col("rep2") <= MaxRep2).as("repetition_ok")),
+        Await.result(fPerplexity, Duration.Inf),
+        Await.result(fSelect, Duration.Inf),
+        Dedup.decontaminate(spark, dir)
+          .select(col("doc_id"), (!col("contaminated")).as("decontaminated")),
+        Await.result(fCluster, Duration.Inf))
+    } finally pool.shutdown()
+  }
 
   /** The composition itself, constituent-agnostic so the absence
     * semantics are directly testable (Round7Spec).

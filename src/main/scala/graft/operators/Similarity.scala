@@ -153,7 +153,7 @@ object Similarity {
     val verts = graphVerts(spark, dir)
     val probes = verts
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val knn = verts.crossJoin(broadcast(probes))
+    val knn0 = verts.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos",
         expr(dotExpr("v", "qv")) / (sqrt(col("nrm")) * sqrt(col("qn"))))
@@ -161,6 +161,14 @@ object Similarity {
         Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))))
       .filter(col("rank") <= TopK)
       .select(col("q_id"), col("vec_id").as("n_id"))
+    // The mutuality self-join references the lists twice; left as lineage
+    // the quadratic crossJoin + top-k window executed on BOTH sides. One
+    // spill of the k·|slice|-row id lists makes each side a parquet read.
+    // Output is a pure function of `dir` (fixed slice, fixed k), so the
+    // one tag can be shared by all four exact-graph consumers.
+    val spill = graft.model.Spill.path(spark, "knn_exact_lists", dir)
+    knn0.write.mode("overwrite").parquet(spill)
+    val knn = spark.read.parquet(spill)
     knn.as("x")
       .join(knn.as("y"),
         col("x.q_id") === col("y.n_id") && col("x.n_id") === col("y.q_id"))
@@ -1003,8 +1011,15 @@ object Similarity {
       nprobe: Int): DataFrame = {
     val a1 = assignNearest(verts, cents).select("vec_id", "v", "nrm", "c_id")
     if (nprobe <= 1) return a1
-    var out = a1
-    var picked = a1.select(col("vec_id"), col("v"), col("nrm"),
+    // Each pass's scoring crossJoin is checkpointed: pass i's plan
+    // otherwise embeds passes 1..i-1 as LINEAGE, and the returned union
+    // re-executes arm i with all of its ancestry — nprobe 4 paid 10
+    // crossJoin evaluations where 4 exist (the refinedKnnLists
+    // iteration-lineage class). Callers that spill/sweep after consuming
+    // this frame free the blocks (mutualKnnEdgesIvf / refinedKnnLists).
+    val a1c = a1.localCheckpoint()
+    var out = a1c
+    var picked = a1c.select(col("vec_id"), col("v"), col("nrm"),
       array(col("c_id")).as("cs"))
     (2 to nprobe).foreach { _ =>
       val next = picked
@@ -1017,6 +1032,7 @@ object Similarity {
           struct(col("ccos"), -col("c_id"))).as("b"))
         .select(col("vec_id"), col("b.v").as("v"), col("b.nrm").as("nrm"),
           col("b.cs").as("cs"), col("b.c_id").as("c_id"))
+        .localCheckpoint()
       out = out.unionByName(next.select("vec_id", "v", "nrm", "c_id"))
       picked = next.select(col("vec_id"), col("v"), col("nrm"),
         array_union(col("cs"), array(col("c_id"))).as("cs"))
@@ -1025,9 +1041,13 @@ object Similarity {
   }
 
   private[graft] def mutualKnnEdgesIvf(spark: SparkSession, dir: String,
-      verts: DataFrame): DataFrame =
-    mutualFromLists(cellKnnLists(spark, graphCents(spark, dir), verts,
-      KnnGraphNProbe))
+      verts: DataFrame, tag: String): DataFrame = {
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val lists = cellKnnLists(spark, graphCents(spark, dir), verts,
+      KnnGraphNProbe)
+    mutualFromSpilledLists(spark, dir, lists, s"knn_cell_lists_$tag",
+      pinnedBefore)
+  }
 
   /** [[mutualKnnEdgesIvf]] at an explicit `(source, centroidMod, nprobe)`
     * — the dial surface `graft.KnnGraphTune` sweeps (docs/TUNING.md
@@ -1035,9 +1055,33 @@ object Similarity {
     * sf0.01; seed→trained quantizer is the r14 lever).
     */
   private[graft] def mutualKnnEdgesIvfWith(spark: SparkSession, dir: String,
-      verts: DataFrame, source: String, centroidMod: Int, nprobe: Int): DataFrame =
-    mutualFromLists(cellKnnLists(spark,
-      centsFor(spark, dir, source, centroidMod), verts, nprobe))
+      verts: DataFrame, source: String, centroidMod: Int, nprobe: Int): DataFrame = {
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val lists = cellKnnLists(spark,
+      centsFor(spark, dir, source, centroidMod), verts, nprobe)
+    mutualFromSpilledLists(spark, dir, lists,
+      s"knn_cell_lists_tune_${source}_${centroidMod}_$nprobe", pinnedBefore)
+  }
+
+  /** Spill the top-k lists ONCE and run the mutuality self-join over the
+    * parquet readback: [[mutualFromLists]] references its input on both
+    * sides of the reversed-edge join, so left as lineage the WHOLE
+    * list-building chain (membership assignment, cell-mate self-join,
+    * exact re-rank, top-k window) executed twice per consumer (measured
+    * ~2× on the graph keys). The write also bounds the sweep window:
+    * every block the chain checkpointed ([[assignTopN]]'s per-pass
+    * materialization) is freed here, so the RETURNED plan pins zero
+    * block-manager state — the dedup_cluster contract.
+    */
+  private def mutualFromSpilledLists(spark: SparkSession, dir: String,
+      lists: DataFrame, tag: String,
+      pinnedBefore: scala.collection.Set[Int]): DataFrame = {
+    val spill = graft.model.Spill.path(spark, tag, dir)
+    lists.write.mode("overwrite").parquet(spill)
+    spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!pinnedBefore.contains(id)) rdd.unpersist(false) }
+    mutualFromLists(spark.read.parquet(spill))
+  }
 
   /** Quantizer selection for the tune sweeps: `seed` = every mod-th
     * vector; `trained` = [[TrainIters]] Lloyd rounds from those seeds.
@@ -1120,6 +1164,7 @@ object Similarity {
   private[graft] def refinedKnnLists(spark: SparkSession, dir: String,
       verts: DataFrame, cents: DataFrame, nprobe: Int,
       rounds: Int = KnnRefineRounds, tag: String = "full"): DataFrame = {
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val qside = verts.select(col("vec_id").as("q_id"),
       col("v").as("qv"), col("nrm").as("qn"))
     val nside = verts.select(col("vec_id").as("n_id"),
@@ -1156,6 +1201,11 @@ object Similarity {
     val out = graft.model.Spill.path(spark,
       s"knn_refined_${tag}_${nprobe}_r${rounds}_lists_final", dir)
     lists.write.mode("overwrite").parquet(out)
+    // free the blocks the seed chain checkpointed (assignTopN's per-pass
+    // materialization) — every round has read its input from spill, so
+    // the returned plan depends on parquet only
+    spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!pinnedBefore.contains(id)) rdd.unpersist(false) }
     spark.read.parquet(out)
   }
 
@@ -1245,7 +1295,7 @@ object Similarity {
     */
   def knnGraphIvf(spark: SparkSession, dir: String): DataFrame = {
     val verts = fixedVecs(spark, dir)
-    val mutual = mutualKnnEdgesIvf(spark, dir, verts)
+    val mutual = mutualKnnEdgesIvf(spark, dir, verts, "graph_full")
       .groupBy(col("q_id").as("vec_id"))
       .agg(count(lit(1)).as("mutual_degree"))
     verts.select("vec_id").join(mutual, Seq("vec_id"), "left")
@@ -1274,7 +1324,7 @@ object Similarity {
     */
   def knnComponentsIvf(spark: SparkSession, dir: String): DataFrame =
     Dedup.componentsFrom(spark, dir,
-      mutualKnnEdgesIvf(spark, dir, fixedVecs(spark, dir))
+      mutualKnnEdgesIvf(spark, dir, fixedVecs(spark, dir), "comp_full")
         .filter(col("q_id") < col("n_id")),
       "q_id", "n_id", fixedVecs(spark, dir).select("vec_id"),
       "vec_id", "knn_ivf_labels")
@@ -1333,7 +1383,7 @@ object Similarity {
     */
   def knnPagerankIvf(spark: SparkSession, dir: String): DataFrame =
     pagerankFrom(spark, dir,
-      mutualKnnEdgesIvf(spark, dir, fixedVecs(spark, dir)),
+      mutualKnnEdgesIvf(spark, dir, fixedVecs(spark, dir), "pr_full"),
       fixedVecs(spark, dir).select("vec_id"), "knn_pagerank_ivf_edges")
 
   private lazy val knnPagerankIvfSql: String =
@@ -1368,7 +1418,7 @@ object Similarity {
   def knnGraphRecall(spark: SparkSession, dir: String): DataFrame = {
     val slice = graphVerts(spark, dir)
     val truth = mutualKnnEdges(spark, dir).select(col("q_id"), col("n_id"))
-    val approx = mutualKnnEdgesIvf(spark, dir, slice)
+    val approx = mutualKnnEdgesIvf(spark, dir, slice, "recall_slice")
       .withColumn("method", lit("ivf_cells"))
       .unionByName(
         mutualFromLists(
@@ -2467,13 +2517,22 @@ object Similarity {
     */
   def recall(spark: SparkSession, dir: String): DataFrame = {
     val vecs = fixedVecs(spark, dir).persist()
+    // truth and approx each feed TWO aggregates (the semi-join hit count
+    // and the returned-count totals); left as lineage the quadratic
+    // brute-force plan and all six approximate plans executed twice in
+    // the one eager collect. Persisting the two tiny (method, id-pair)
+    // frames makes the second consumer a cache read. Both are freed in
+    // the same finally as the corpus — nothing stays pinned after return.
+    var truth: DataFrame = null
+    var approx: DataFrame = null
     try {
-      val truth = cosineTopK(spark, dir).select(col("query_id"), col("neighbor_id"))
+      truth = cosineTopK(spark, dir).select(col("query_id"), col("neighbor_id"))
+        .persist()
       val trained = mkCentsDf(spark,
         trainedCents(spark, dir, TrainIters, Some(vecs))._1)
       val balanced = mkCentsDf(spark,
         trainedCentsBalanced(spark, dir, TrainIters, Some(vecs)))
-      val approx =
+      approx =
         lshBucketed(spark, dir).select(col("query_id"), col("neighbor_id"))
           .withColumn("method", lit("lsh_bucketed"))
           .union(ivf(spark, dir).select(col("query_id"), col("neighbor_id"))
@@ -2486,6 +2545,7 @@ object Similarity {
             .withColumn("method", lit("pq")))
           .union(annIvfPq(spark, dir).select(col("query_id"), col("neighbor_id"))
             .withColumn("method", lit("ivfpq")))
+          .persist()
       val matched = approx.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
         .groupBy("method").agg(count(lit(1)).as("n_matched"))
       val totals = approx.groupBy("method").agg(count(lit(1)).as("n_returned"))
@@ -2497,7 +2557,11 @@ object Similarity {
           round(coalesce(col("n_matched"), lit(0L)) / col("n_truth"), 6).as("recall"))
       val rows = java.util.Arrays.asList(result.collect(): _*)
       spark.createDataFrame(rows, result.schema)
-    } finally vecs.unpersist(blocking = true)
+    } finally {
+      if (approx != null) approx.unpersist(blocking = false)
+      if (truth != null) truth.unpersist(blocking = false)
+      vecs.unpersist(blocking = true)
+    }
   }
 
   private val recallSql: String =

@@ -487,24 +487,29 @@ object TextOps {
     * read order-independent: any row at position k carries the k-th value.
     */
   def perplexityFilter(spark: SparkSession, dir: String): DataFrame = {
-    val s = tokenSurprisal(spark, dir).select("doc_id", "mean_bits").persist()
-    try {
-      val n = s.count()
-      val corpusMedian =
-        if (n == 0) 0.0
-        else Partitioning.withGlobalRank(
-          s.select(col("mean_bits").as("v")), Seq("v")) { g =>
-          g.where(col("grank") === (n + 1) / 2).select("v").head.getDouble(0)
-        }
-      s.select(col("doc_id"), col("mean_bits"),
-        lit(corpusMedian).as("corpus_median"),
-        (abs(col("mean_bits") - lit(corpusMedian)) <= PerplexityBand)
-          .as("perplexity_ok"))
-    } finally {
-      // median already collected; the caller's eval recomputes the
-      // surprisal aggregate once, as the crossJoin form did
-      s.unpersist(); ()
-    }
+    // The per-doc surprisal frame feeds the count, the median rank AND
+    // the returned band compare. The r12 form persisted it for the two
+    // eager reads but unpersisted before returning, so every CONSUMER
+    // eval re-ran the whole surprisal aggregate (one full
+    // tokenize+tf pass — measured as a second copy of token_surprisal
+    // inside this op and again inside curate). Spill once through the
+    // shared-storage gate instead: the eager reads and the returned plan
+    // all read a 16-byte-per-doc parquet, and nothing stays pinned.
+    val spill = graft.model.Spill.path(spark, "perplexity_surprisal", dir)
+    tokenSurprisal(spark, dir).select("doc_id", "mean_bits")
+      .write.mode("overwrite").parquet(spill)
+    val s = spark.read.parquet(spill)
+    val n = s.count()
+    val corpusMedian =
+      if (n == 0) 0.0
+      else Partitioning.withGlobalRank(
+        s.select(col("mean_bits").as("v")), Seq("v")) { g =>
+        g.where(col("grank") === (n + 1) / 2).select("v").head.getDouble(0)
+      }
+    s.select(col("doc_id"), col("mean_bits"),
+      lit(corpusMedian).as("corpus_median"),
+      (abs(col("mean_bits") - lit(corpusMedian)) <= PerplexityBand)
+        .as("perplexity_ok"))
   }
 
   private[graft] val perplexityFilterSql: String =

@@ -1163,13 +1163,19 @@ object Similarity {
     */
   private[graft] def refinedKnnLists(spark: SparkSession, dir: String,
       verts: DataFrame, cents: DataFrame, nprobe: Int,
-      rounds: Int = KnnRefineRounds, tag: String = "full"): DataFrame = {
+      rounds: Int = KnnRefineRounds, tag: String = "full",
+      seedLists: Option[DataFrame] = None): DataFrame = {
     val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val qside = verts.select(col("vec_id").as("q_id"),
       col("v").as("qv"), col("nrm").as("qn"))
     val nside = verts.select(col("vec_id").as("n_id"),
       col("v").as("cv2"), col("nrm").as("cn2"))
-    var lists = cellKnnLists(spark, cents, verts, nprobe)
+    // seedLists: a caller that has ALREADY built (and spilled) the
+    // cell-mate top-k lists for the same (verts, cents, nprobe) passes
+    // them in — knn_graph_recall's ivf arm and its refined arm's seed are
+    // the identical frame, and rebuilding it paid the whole assignment
+    // chain a second time.
+    var lists = seedLists.getOrElse(cellKnnLists(spark, cents, verts, nprobe))
     for (r <- 1 to rounds) {
       // each round's DAG references the previous lists THREE times (the
       // union's left arm + both sides of the expansion self-join); left
@@ -1418,12 +1424,25 @@ object Similarity {
   def knnGraphRecall(spark: SparkSession, dir: String): DataFrame = {
     val slice = graphVerts(spark, dir)
     val truth = mutualKnnEdges(spark, dir).select(col("q_id"), col("n_id"))
-    val approx = mutualKnnEdgesIvf(spark, dir, slice, "recall_slice")
+    // ONE slice list build feeds both arms: the ivf_cells edges are the
+    // mutual closure of exactly the lists the refinement seeds from
+    // (same verts, same trained cents, same nprobe) — built twice, the
+    // assignment chain dominated this harness.
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val sliceLists = cellKnnLists(spark, graphCents(spark, dir), slice,
+      KnnGraphNProbe)
+    val seedSpill = graft.model.Spill.path(spark,
+      "knn_cell_lists_recall_slice", dir)
+    sliceLists.write.mode("overwrite").parquet(seedSpill)
+    spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!pinnedBefore.contains(id)) rdd.unpersist(false) }
+    val seed = spark.read.parquet(seedSpill)
+    val approx = mutualFromLists(seed)
       .withColumn("method", lit("ivf_cells"))
       .unionByName(
         mutualFromLists(
           refinedKnnLists(spark, dir, slice, graphCents(spark, dir),
-            KnnGraphNProbe, KnnRefineRounds, "recall_slice"))
+            KnnGraphNProbe, KnnRefineRounds, "recall_slice", Some(seed)))
           .withColumn("method", lit("ivf_refined")))
     val matched = approx.join(truth, Seq("q_id", "n_id"), "left_semi")
       .groupBy("method").agg(count(lit(1)).as("n_hit"))

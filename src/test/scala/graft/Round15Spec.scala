@@ -372,4 +372,65 @@ class Round15Spec extends AnyFunSuite with TestSpark {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(store))
     }
   }
+
+  // ------------------------- r15-opt: graph-chain spill/seed equivalences
+
+  /** The r15 optimization pass spills the cell-mate top-k lists once per
+    * consumer (the mutuality self-join otherwise re-executed the whole
+    * list-building chain on both sides) and lets `knn_graph_recall` seed
+    * its NN-Descent arm with the ivf arm's already-spilled lists. Both
+    * are pure evaluation-strategy changes — these tests pin the row
+    * equivalences and the no-pinned-blocks contract so a future edit
+    * can't silently turn the spill into a semantic fork.
+    */
+  test("refinedKnnLists with a pre-spilled seed equals the self-built seed") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions._
+    graft.functions.VecMath.register(spark)
+    val verts = Similarity.fixedVecs(spark, Sf)
+      .filter(col("vec_id") % Similarity.KnnGraphMod === 0)
+    val cents = Similarity.centsFor(spark, Sf, "trained", Similarity.CentroidMod)
+    val seed0 = Similarity.cellKnnLists(spark, cents, verts, 2)
+    val spill = graft.model.Spill.path(spark, "r15opt_seed_lists", Sf)
+    seed0.write.mode("overwrite").parquet(spill)
+    val seed = spark.read.parquet(spill)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val withSeed = rows(Similarity.refinedKnnLists(spark, Sf, verts, cents,
+      2, 1, "r15opt_a", Some(seed)))
+    val selfBuilt = rows(Similarity.refinedKnnLists(spark, Sf, verts, cents,
+      2, 1, "r15opt_b"))
+    assert(withSeed == selfBuilt,
+      s"seeded refinement diverged: ${(withSeed diff selfBuilt).take(5)} vs " +
+        s"${(selfBuilt diff withSeed).take(5)}")
+  }
+
+  test("mutualKnnEdgesIvf equals the direct closure and pins zero blocks") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions._
+    graft.functions.VecMath.register(spark)
+    val verts = Similarity.fixedVecs(spark, Sf)
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val edges = Similarity.mutualKnnEdgesIvf(spark, Sf, verts, "r15opt_full")
+    val got = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the spill write swept every block the chain checkpointed — the
+    // returned plan must depend on parquet only (the dedup_cluster
+    // contract; Bench's inter-query sweep relies on it)
+    val pinnedAfter = spark.sparkContext.getPersistentRDDs.keySet
+    assert((pinnedAfter diff pinnedBefore).isEmpty,
+      s"mutualKnnEdgesIvf left pinned RDDs: ${pinnedAfter diff pinnedBefore}")
+    // row-equivalence against the unspilled closure, built inline
+    val lists = Similarity.cellKnnLists(spark,
+      Similarity.graphCents(spark, Sf), verts, Similarity.KnnGraphNProbe)
+    val want = lists.as("x").join(lists.as("y"),
+        col("x.q_id") === col("y.n_id") && col("x.n_id") === col("y.q_id"))
+      .select(col("x.q_id"), col("x.n_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // free the checkpoints the inline chain pinned (test-local cleanup)
+    spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!pinnedBefore.contains(id)) rdd.unpersist(false) }
+    assert(got == want,
+      s"spilled closure diverged: ${(got diff want).take(5)} vs " +
+        s"${(want diff got).take(5)}")
+  }
 }

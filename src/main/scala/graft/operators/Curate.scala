@@ -31,7 +31,20 @@ object Curate {
     */
   val MaxRep2 = 0.10
 
-  def curate(spark: SparkSession, dir: String): DataFrame = {
+  def curate(spark: SparkSession, dir: String): DataFrame =
+    curateFrom(spark, dir, TextOps.qualityScoredSpilled(spark, dir))
+
+  /** [[curate]] over a pre-built quality-scored frame (the
+    * [[TextOps.qualityScoredSpilled]] readback) — the absolute gate and
+    * the relative selection BOTH derive from it, so the scored corpus
+    * pass runs once per evaluation instead of once per consumer
+    * (`curation_report` passes the same frame in and reads the score
+    * column too). Gate semantics are unchanged: `quality_ok` is the same
+    * `score >= 0.5` textQuality computes, and qualitySelectFrom ranks the
+    * identical (doc_id, lang, score) rows.
+    */
+  private[graft] def curateFrom(spark: SparkSession, dir: String,
+      scoredBuilder: => DataFrame): DataFrame = {
     // Three constituents do EAGER driver-side work when constructed
     // (dedup_cluster's propagation loop + spill, perplexity_filter's
     // median rank, quality_select's cut-pair collects); built
@@ -49,11 +62,14 @@ object Curate {
         .select(col("doc_id"), col("keep").as("dedup_keep")))
       val fPerplexity = Future(TextOps.perplexityFilter(spark, dir)
         .select(col("doc_id"), col("perplexity_ok")))
-      val fSelect = Future(TextOps.qualitySelect(spark, dir)
+      // by-name so `curate`'s eager spill write lands INSIDE the overlap
+      // window the two futures above open (report passes a ready frame)
+      val scored = scoredBuilder
+      val fSelect = Future(TextOps.qualitySelectFrom(
+          scored.select(col("doc_id"), col("lang"), col("score")))
         .select(col("doc_id"), col("keep").as("select_ok")))
       verdictFrom(
-        TextOps.textQuality(spark, dir)
-          .select(col("doc_id"), col("keep").as("quality_ok")),
+        scored.select(col("doc_id"), (col("score") >= 0.5).as("quality_ok")),
         TextOps.textRepetition(spark, dir)
           .select(col("doc_id"), (col("rep2") <= MaxRep2).as("repetition_ok")),
         Await.result(fPerplexity, Duration.Inf),
@@ -138,10 +154,18 @@ object Curate {
   def report(spark: SparkSession, dir: String): DataFrame = {
     val src = graft.model.Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"))
-    val score = TextOps.textQuality(spark, dir)
+    // ONE scored corpus pass feeds the verdict's quality/selection gates
+    // AND the report's score column (the spilled readback) — the previous
+    // form ran TextOps.textQuality's full tokenize+score projection once
+    // inside curate and again here. lazy + by-name so the spill write
+    // (the only blocking job here) runs INSIDE curateFrom's overlap
+    // window, not serially before it.
+    lazy val scored = TextOps.qualityScoredSpilled(spark, dir)
+    val verdict = curateFrom(spark, dir, scored).select(col("doc_id"), col("keep"))
+    val score = scored
       .select(col("doc_id"),
         expr("CAST(round(score * 1000000) AS BIGINT)").as("score_micro"))
-    curate(spark, dir).select(col("doc_id"), col("keep"))
+    verdict
       .join(src, "doc_id")
       .join(score, "doc_id")
       .groupBy("source")

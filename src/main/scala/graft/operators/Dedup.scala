@@ -545,6 +545,17 @@ object Dedup {
       .localCheckpoint()
     var labels = edges.select(col("u").as("vid")).distinct()
       .withColumn("lbl", col("vid")).localCheckpoint()
+    // Convergence detector: every step takes each vertex's label to a MIN
+    // over a set containing its current label, so per-vertex labels are
+    // non-increasing and the label SUM is strictly decreasing until the
+    // fixpoint — sum unchanged ⟺ no label changed. Reading the sum is one
+    // agg job over the just-checkpointed blocks (no join, no shuffle of
+    // two label frames — the previous form joined next against labels and
+    // counted diffs, a per-round co-shuffle of both frames). decimal(38)
+    // keeps the sum exact for any realistic |V|×2⁶³ (≤ ~1e19 vertices).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < 50) {
@@ -566,10 +577,11 @@ object Dedup {
         .select(hop("vid"),
           least(hop("lbl"), coalesce(col("plbl"), hop("lbl"))).as("lbl"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("lbl", "prev"), "vid")
-        .filter(col("lbl") =!= col("prev")).count()
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = (prevSum == null && nextSum == null) ||
+        (prevSum != null && nextSum != null && prevSum.compareTo(nextSum) == 0)
+      prevSum = nextSum
       iter += 1
     }
     lastIterations.set(iter)

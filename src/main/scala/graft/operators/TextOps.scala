@@ -189,6 +189,25 @@ object TextOps {
        |       score, score >= 0.5 AS keep
        |FROM tq_scored""".stripMargin
 
+  /** [[qualityScoredFrom]] computed ONCE and parked through the shared-
+    * storage spill gate — for consumers that read the scored frame more
+    * than once in a single evaluation (`curate` derives the absolute gate
+    * AND the relative selection from it; `curation_report` additionally
+    * reads the score column). The tokenize+score projection is map-only
+    * but it is a FULL corpus pass; without the spill each reference
+    * re-ran it (three lazy copies inside one curation_report evaluation).
+    * Values round-trip parquet exactly (rounded doubles, ints), so every
+    * derived column is bit-identical to the unspilled form.
+    */
+  private[graft] def qualityScoredSpilled(spark: SparkSession, dir: String): DataFrame = {
+    val spill = graft.model.Spill.path(spark, "tq_scored", dir)
+    qualityScoredFrom(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("chars"),
+        col("punct_ratio"), col("stop_ratio"), col("mean_tok_len"), col("score"))
+      .write.mode("overwrite").parquet(spill)
+    spark.read.parquet(spill)
+  }
+
   // ---------------------------------------------------------- quality_select
 
   /** The relative half of quality curation (the DCLM/FineWeb-style

@@ -433,4 +433,44 @@ class Round15Spec extends AnyFunSuite with TestSpark {
       s"spilled closure diverged: ${(got diff want).take(5)} vs " +
         s"${(want diff got).take(5)}")
   }
+
+  /** Optimization-round continuations: `componentsFrom`'s convergence
+    * detector became a monotone label-sum readoff (one agg job per round
+    * instead of a join+count co-shuffle of two label frames), and
+    * curate/curation_report share ONE spilled quality-scored corpus pass.
+    * These pin the detector on a graph with NEGATIVE vertex ids (the sum
+    * crosses zero — any sign bug in the decimal(38) comparison shows) and
+    * the bit-equality of the spilled scored frame.
+    */
+  test("componentsFrom label-sum detector: negative-id graph converges correctly") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    // two components: a 5-path over negatives {-9..-5} and a triangle
+    // {3,7,11}; isolated vertex 99 comes back as a singleton
+    val pairs = Seq((-9L, -8L), (-8L, -7L), (-7L, -6L), (-6L, -5L),
+      (3L, 7L), (7L, 11L), (11L, 3L)).toDF("a", "b")
+    val universe = (Seq(-9L, -8L, -7L, -6L, -5L, 3L, 7L, 11L, 99L)).toDF("id")
+    val out = Dedup.componentsFrom(spark, Sf, pairs, "a", "b",
+      universe, "id", "r15opt_neg_labels")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Set(
+      (-9L, -9L, 5L), (-8L, -9L, 5L), (-7L, -9L, 5L), (-6L, -9L, 5L),
+      (-5L, -9L, 5L), (3L, 3L, 3L), (7L, 3L, 3L), (11L, 3L, 3L),
+      (99L, 99L, 1L))
+    assert(out == want, s"components diverged: $out")
+  }
+
+  test("qualityScoredSpilled round-trips qualityScoredFrom bit-exactly") {
+    import graft.operators.TextOps
+    import org.apache.spark.sql.functions._
+    val cols = Seq("doc_id", "lang", "n_tok", "chars", "punct_ratio",
+      "stop_ratio", "mean_tok_len", "score")
+    val direct = TextOps.qualityScoredFrom(graft.model.Tables.documents(spark, Sf))
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    val spilled = TextOps.qualityScoredSpilled(spark, Sf)
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    assert(spilled == direct,
+      s"spilled scored frame diverged: ${(spilled diff direct).take(3)} vs " +
+        s"${(direct diff spilled).take(3)}")
+  }
 }

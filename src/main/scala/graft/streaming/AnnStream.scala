@@ -135,10 +135,10 @@ object AnnStream {
       .delete(fsRoot, true) // fresh lifecycle per run
     val raw = spark.read.parquet(s"$dir/embeddings.parquet")
     val src = java.nio.file.Files.createTempDirectory("stream_ann_stored_src").toString
-    (0 until 3).foreach { i =>
-      DedupStream.writeOneFile(raw.filter(pmod(col("vec_id"), lit(3)) === i),
+    DedupStream.writeFiles((0 until 3).map { i =>
+      (raw.filter(pmod(col("vec_id"), lit(3)) === i),
         s"$src/slice$i.parquet", (3 - i) * 60000L)
-    }
+    }: _*)
     try {
       CarbonStream.withStreamPartitions(spark) {
         val stream = spark.readStream

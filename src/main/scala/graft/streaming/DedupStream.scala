@@ -116,6 +116,30 @@ object DedupStream {
       java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - ageMs))
   }
 
+  /** A replay fixture's files written CONCURRENTLY from a small pool —
+    * each [[writeOneFile]] is one tiny coalesce(1) job whose task tail
+    * leaves the other cores idle, and every replay stages 3-7 of them
+    * back to back (the §2.6 driver-thread overlap pattern, same as
+    * curate's gate construction). Order cannot matter by construction:
+    * targets are distinct paths and the replay ORDER rides the explicit
+    * `ageMs` mtimes, not write completion order; slices come off frames
+    * whose blocks the caller already materialized (min/max collects), so
+    * concurrent jobs read cached blocks.
+    */
+  private[streaming] def writeFiles(files: (DataFrame, String, Long)*): Unit = {
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(files.size)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    try {
+      val fs = files.map { case (df, target, age) =>
+        Future(writeOneFile(df, target, age))
+      }
+      fs.foreach(Await.result(_, Duration.Inf))
+    } finally pool.shutdown()
+  }
+
   /** The STATE-BOUNDED form — the only dedup that can run FOREVER:
     * `dropDuplicatesWithinWatermark` keeps a key only until the watermark
     * passes its expiry (event time + horizon), so state is ingest-rate x
@@ -175,9 +199,10 @@ object DedupStream {
       .select((col("doc_id") + 2000000L).as("doc_id"),
         col("text_hash"), (col("doc_id") + TsOffset).as("ts"))
     val src = java.nio.file.Files.createTempDirectory("stream_dedup_wm_src").toString
-    writeOneFile(base, s"$src/batch0.parquet", ageMs = 120000)
-    writeOneFile(sentinel, s"$src/batch1.parquet", ageMs = 90000)
-    writeOneFile(replay, s"$src/batch2.parquet", ageMs = 60000)
+    writeFiles(
+      (base, s"$src/batch0.parquet", 120000L),
+      (sentinel, s"$src/batch1.parquet", 90000L),
+      (replay, s"$src/batch2.parquet", 60000L))
     deduped.unpersist(blocking = true)
 
     val streamSchema = StructType(Seq(
@@ -527,12 +552,13 @@ object DedupStream {
         (r.getLong(0), r.getLong(1))
       }
       val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
-      writeOneFile(docs.filter(col("doc_id") <= c1).toDF(),
-        s"$src/batch0.parquet", ageMs = 120000)
-      writeOneFile(docs.filter(col("doc_id") > c1 && col("doc_id") <= c2).toDF(),
-        s"$src/batch1.parquet", ageMs = 90000)
-      writeOneFile(docs.filter(col("doc_id") > c2).toDF(),
-        s"$src/batch2.parquet", ageMs = 60000)
+      writeFiles(
+        (docs.filter(col("doc_id") <= c1).toDF(),
+          s"$src/batch0.parquet", 120000L),
+        (docs.filter(col("doc_id") > c1 && col("doc_id") <= c2).toDF(),
+          s"$src/batch1.parquet", 90000L),
+        (docs.filter(col("doc_id") > c2).toDF(),
+          s"$src/batch2.parquet", 60000L))
     } finally docs.unpersist(blocking = true)
 
     val schema = StructType(Seq(
@@ -640,10 +666,11 @@ object DedupStream {
         (r.getLong(0), r.getLong(1))
       }
       val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
-      writeOneFile(docs.filter(col("doc_id") <= c1), s"$src/batch0.parquet", 120000)
-      writeOneFile(docs.filter(col("doc_id") > c1 && col("doc_id") <= c2),
-        s"$src/batch1.parquet", 90000)
-      writeOneFile(docs.filter(col("doc_id") > c2), s"$src/batch2.parquet", 60000)
+      writeFiles(
+        (docs.filter(col("doc_id") <= c1), s"$src/batch0.parquet", 120000L),
+        (docs.filter(col("doc_id") > c1 && col("doc_id") <= c2),
+          s"$src/batch1.parquet", 90000L),
+        (docs.filter(col("doc_id") > c2), s"$src/batch2.parquet", 60000L))
     } finally docs.unpersist(blocking = true)
     try {
       CarbonStream.withStreamPartitions(spark) {

@@ -271,12 +271,13 @@ object SessionStream {
         (r.getLong(0), r.getLong(1))
       }
       val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
-      DedupStream.writeOneFile(ev.filter(col("k") <= c1).toDF(),
-        s"$src/batch0.parquet", ageMs = 120000)
-      DedupStream.writeOneFile(ev.filter(col("k") > c1 && col("k") <= c2).toDF(),
-        s"$src/batch1.parquet", ageMs = 90000)
-      DedupStream.writeOneFile(ev.filter(col("k") > c2).toDF(),
-        s"$src/batch2.parquet", ageMs = 60000)
+      DedupStream.writeFiles(
+        (ev.filter(col("k") <= c1).toDF(),
+          s"$src/batch0.parquet", 120000L),
+        (ev.filter(col("k") > c1 && col("k") <= c2).toDF(),
+          s"$src/batch1.parquet", 90000L),
+        (ev.filter(col("k") > c2).toDF(),
+          s"$src/batch2.parquet", 60000L))
     } finally ev.unpersist(blocking = true)
 
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -399,20 +400,20 @@ object SessionStream {
         .map { case Seq(a, b) => ev.filter(col("k") > a && col("k") <= b) }
       // pairwise-swapped ingest order: s2 s1 s4 s3 s6 s5
       val order = Seq(1, 0, 3, 2, 5, 4)
-      order.zipWithIndex.foreach { case (sliceIdx, fileIdx) =>
-        DedupStream.writeOneFile(slices(sliceIdx).toDF(),
-          f"$src/batch$fileIdx%02d.parquet", ageMs = 130000 - fileIdx * 10000)
-      }
       val spanSec = ((hi / shift) - (lo / shift)) / 6 + 1
       // sentinel: one far-future row for a reserved user advances the
       // closing watermark past every real event, flushing all buffers
       val sentinelSec = hi / shift + 10 * spanSec
-      DedupStream.writeOneFile(
-        spark.range(1).select(lit(-1L).as("user_id"),
-          lit("sentinel").as("event_type"),
-          lit(sentinelSec * shift).as("k"),
-          expr(s"timestamp_seconds($sentinelSec)").as("et")),
-        s"$src/batch99.parquet", ageMs = 50000)
+      DedupStream.writeFiles(
+        order.zipWithIndex.map { case (sliceIdx, fileIdx) =>
+          (slices(sliceIdx).toDF(),
+            f"$src/batch$fileIdx%02d.parquet", 130000L - fileIdx * 10000L)
+        } :+ ((
+          spark.range(1).select(lit(-1L).as("user_id"),
+            lit("sentinel").as("event_type"),
+            lit(sentinelSec * shift).as("k"),
+            expr(s"timestamp_seconds($sentinelSec)").as("et")),
+          s"$src/batch99.parquet", 50000L)): _*)
       2 * spanSec + 1
     } finally ev.unpersist(blocking = true)
   }
@@ -540,12 +541,13 @@ object SessionStream {
         (r.getLong(0), r.getLong(1))
       }
       val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
-      DedupStream.writeOneFile(ev.filter(col("k") <= c1).toDF(),
-        s"$src/batch0.parquet", ageMs = 120000)
-      DedupStream.writeOneFile(ev.filter(col("k") > c1 && col("k") <= c2).toDF(),
-        s"$src/batch1.parquet", ageMs = 90000)
-      DedupStream.writeOneFile(ev.filter(col("k") > c2).toDF(),
-        s"$src/batch2.parquet", ageMs = 60000)
+      DedupStream.writeFiles(
+        (ev.filter(col("k") <= c1).toDF(),
+          s"$src/batch0.parquet", 120000L),
+        (ev.filter(col("k") > c1 && col("k") <= c2).toDF(),
+          s"$src/batch1.parquet", 90000L),
+        (ev.filter(col("k") > c2).toDF(),
+          s"$src/batch2.parquet", 60000L))
     } finally ev.unpersist(blocking = true)
 
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -765,12 +767,10 @@ object SessionStream {
       }
       val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
       def k = expr(s"ts * $shift + event_id")
-      DedupStream.writeOneFile(ev.filter(k <= c1).toDF(),
-        s"$src/batch0.parquet", ageMs = 120000)
-      DedupStream.writeOneFile(ev.filter(k > c1 && k <= c2).toDF(),
-        s"$src/batch1.parquet", ageMs = 90000)
-      DedupStream.writeOneFile(ev.filter(k > c2).toDF(),
-        s"$src/batch2.parquet", ageMs = 60000)
+      DedupStream.writeFiles(
+        (ev.filter(k <= c1).toDF(), s"$src/batch0.parquet", 120000L),
+        (ev.filter(k > c1 && k <= c2).toDF(), s"$src/batch1.parquet", 90000L),
+        (ev.filter(k > c2).toDF(), s"$src/batch2.parquet", 60000L))
     } finally ev.unpersist(blocking = true)
 
     val schema = org.apache.spark.sql.types.StructType(Seq(

@@ -76,12 +76,13 @@ object WireStream {
     try {
       val mx = pkts.agg(max("p")).head().getLong(0)
       val (c1, c2) = (mx / 3, 2 * mx / 3)
-      DedupStream.writeOneFile(pkts.filter(col("p") <= c1).toDF(),
-        s"$src/batch0.parquet", ageMs = 120000)
-      DedupStream.writeOneFile(pkts.filter(col("p") > c1 && col("p") <= c2).toDF(),
-        s"$src/batch1.parquet", ageMs = 90000)
-      DedupStream.writeOneFile(pkts.filter(col("p") > c2).toDF(),
-        s"$src/batch2.parquet", ageMs = 60000)
+      DedupStream.writeFiles(
+        (pkts.filter(col("p") <= c1).toDF(),
+          s"$src/batch0.parquet", 120000L),
+        (pkts.filter(col("p") > c1 && col("p") <= c2).toDF(),
+          s"$src/batch1.parquet", 90000L),
+        (pkts.filter(col("p") > c2).toDF(),
+          s"$src/batch2.parquet", 60000L))
     } finally pkts.unpersist(blocking = true)
 
     val schema = org.apache.spark.sql.types.StructType(Seq(

@@ -48,7 +48,7 @@ object VecServeScale {
     val root = new org.apache.hadoop.fs.Path(idx)
     root.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(root, true)
     // three flush slices + fold — the lifecycle shape the live store has
-    val assigned = Similarity.assignNearest(vecs, cents)
+    val assigned = Similarity.assignNearestLocal(vecs, cents)
       .select("vec_id", "v", "nrm", "c_id")
     (0 until 3).foreach(i =>
       VecIndexStore.append(assigned.filter(pmod(col("vec_id"), lit(3)) === i), idx))

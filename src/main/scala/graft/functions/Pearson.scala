@@ -150,5 +150,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_signbits"),
       new ExpressionInfo("graft.functions.VecSignBits", "vec_signbits"),
       (args: Seq[Expression]) => VecSignBits.fromArgs(args)))
+    e.injectFunction((
+      FunctionIdentifier("vec_top_cells"),
+      new ExpressionInfo("graft.functions.VecTopCells", "vec_top_cells"),
+      (args: Seq[Expression]) => VecTopCells.fromArgs(args)))
+    e.injectFunction((
+      FunctionIdentifier("vec_best_code"),
+      new ExpressionInfo("graft.functions.VecBestCode", "vec_best_code"),
+      (args: Seq[Expression]) => VecBestCode.fromArgs(args)))
   }
 }

@@ -107,6 +107,83 @@ object VecMath {
       case (m, (s, i)) => if (s > 0L) m | (1L << i) else m
     }).toArray
 
+  /** Row-local top-`n` quantizer cells by (cosine DESC, c_id ASC) — the
+    * kernel behind `vec_top_cells` (r16). `cents` is the WHOLE quantizer
+    * as one array of `(c_id, cv, cn)` structs (field ordinals passed by
+    * the expression, resolved by name at plan time); per cell the cosine
+    * is `dot / (sqrt(nrm) * sqrt(cn))` in EXACTLY the arithmetic order
+    * of the crossJoin form it replaces (one long→double cast, one IEEE
+    * multiply of two correctly-rounded sqrts, one IEEE divide), so the
+    * selected cells and reported cosines are bit-identical to
+    * `assignNearest`'s `max_by(struct(ccos, -c_id))` / the oracle's
+    * `row_number() OVER (ORDER BY ccos DESC, c_id)` — Round16Spec pins
+    * both. The selection is one insertion pass, loop in pre-compiled
+    * bytecode (the [[dot]] rationale: higher-order-function lambdas
+    * evaluate interpreted, ~25x slower).
+    */
+  def topCells(v: ArrayData, nrm: Long, cents: ArrayData, n: Int,
+      idOrd: Int, cvOrd: Int, cnOrd: Int): ArrayData = {
+    val k = cents.numElements()
+    val m = if (n < k) n else k
+    val cos = new Array[Double](m)
+    val ids = new Array[Long](m)
+    var size = 0
+    val qn = java.lang.Math.sqrt(nrm.toDouble)
+    var i = 0
+    while (i < k) {
+      val cell = cents.getStruct(i, 3)
+      val cid = cell.getLong(idOrd)
+      val c = dot(v, cell.getArray(cvOrd)).toDouble /
+        (qn * java.lang.Math.sqrt(cell.getLong(cnOrd).toDouble))
+      // insertion position by (cos DESC, c_id ASC); bail early when the
+      // candidate ranks below the current n-th
+      if (size < m || c > cos(size - 1) ||
+          (c == cos(size - 1) && cid < ids(size - 1))) {
+        var p = if (size < m) size else m - 1
+        while (p > 0 && (c > cos(p - 1) || (c == cos(p - 1) && cid < ids(p - 1)))) {
+          cos(p) = cos(p - 1); ids(p) = ids(p - 1); p -= 1
+        }
+        cos(p) = c; ids(p) = cid
+        if (size < m) size += 1
+      }
+      i += 1
+    }
+    val rows = new Array[Any](size)
+    i = 0
+    while (i < size) {
+      rows(i) = org.apache.spark.sql.catalyst.InternalRow(cos(i), ids(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  /** Row-local nearest PQ codebook entry by (L2 ASC, code ASC) — the
+    * kernel behind `vec_best_code` (r16). `entries` is ONE subspace's
+    * codebook as an array of `(code, cv, cn)` structs; the metric is the
+    * exact integer `|x|² − 2·x·c + |c|²` of the broadcast-join form it
+    * replaces, so code and qerr are bit-identical to `pqCodesFrom`'s
+    * `min_by(struct(d2, code))`.
+    */
+  def bestCode(x: ArrayData, xn: Long, entries: ArrayData,
+      codeOrd: Int, cvOrd: Int, cnOrd: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val k = entries.numElements()
+    var bestCode = 0
+    var bestD2 = 0L
+    var has = false
+    var i = 0
+    while (i < k) {
+      val e = entries.getStruct(i, 3)
+      val code = e.getInt(codeOrd)
+      val d2 = xn - 2L * dot(x, e.getArray(cvOrd)) + e.getLong(cnOrd)
+      if (!has || d2 < bestD2 || (d2 == bestD2 && code < bestCode)) {
+        has = true; bestCode = code; bestD2 = d2
+      }
+      i += 1
+    }
+    if (!has) null
+    else org.apache.spark.sql.catalyst.InternalRow(bestCode, bestD2)
+  }
+
   /** Register `vec_dot` / `vec_signbits` as SQL functions on an existing
     * session (the programmatic twin of [[GraftExtensions]], same pattern
     * as [[Pearson.register]]). `vec_signbits(v, array(m0, m1, ...))`
@@ -120,6 +197,10 @@ object VecMath {
       "vec_signbits", args => VecSignBits.fromArgs(args), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_hashbin", args => VecHashBin.fromArgs(args), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_top_cells", args => VecTopCells.fromArgs(args), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_best_code", args => VecBestCode.fromArgs(args), "built-in")
   }
 }
 
@@ -192,6 +273,121 @@ object VecSignBits {
       case other => throw new IllegalArgumentException(s"bad masks: $other")
     }
     VecSignBits(args(0), masks)
+  }
+}
+
+/** `vec_top_cells(v, nrm, cents, n)`: the row-local quantizer argmax/top-N
+  * (see [[VecMath.topCells]]) — returns `array<struct<ccos double, c_id
+  * bigint>>` of the `n` best cells by (cosine DESC, c_id ASC). `cents` is
+  * an `array<struct<…>>` column whose `c_id`/`cv`/`cn` fields are resolved
+  * BY NAME at plan time (ordinal config, not positional guesswork); `n` is
+  * plan-build-time config like VecSignBits' masks. One static call per
+  * row; the quantizer loop lives in pre-compiled bytecode.
+  */
+case class VecTopCells(vec: Expression, nrm: Expression, cents: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  import org.apache.spark.sql.types.{StructType, DoubleType}
+
+  override def first: Expression = vec
+  override def second: Expression = nrm
+  override def third: Expression = cents
+
+  private lazy val centStruct: StructType =
+    cents.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+  @transient private lazy val idOrd = centStruct.fieldIndex("c_id")
+  @transient private lazy val cvOrd = centStruct.fieldIndex("cv")
+  @transient private lazy val cnOrd = centStruct.fieldIndex("cn")
+
+  override def dataType: DataType = ArrayType(
+    new StructType().add("ccos", DoubleType, nullable = false)
+      .add("c_id", LongType, nullable = false),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (vec.dataType, nrm.dataType, cents.dataType) match {
+      case (ArrayType(LongType, _), LongType, ArrayType(s: StructType, _))
+          if Seq("c_id", "cv", "cn").forall(f => s.fieldNames.contains(f)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (v, q, c) => TypeCheckResult.TypeCheckFailure(
+        "vec_top_cells needs (array<bigint>, bigint, array<struct{c_id, cv, cn}>), got " +
+          s"${v.catalogString}, ${q.catalogString}, ${c.catalogString}")
+    }
+
+  override protected def nullSafeEval(v: Any, q: Any, c: Any): Any =
+    VecMath.topCells(v.asInstanceOf[ArrayData], q.asInstanceOf[Long],
+      c.asInstanceOf[ArrayData], n, idOrd, cvOrd, cnOrd)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, q, c) =>
+      s"graft.functions.VecMath.topCells($v, $q, $c, $n, $idOrd, $cvOrd, $cnOrd)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): VecTopCells =
+    copy(vec = newFirst, nrm = newSecond, cents = newThird)
+  override def prettyName: String = "vec_top_cells"
+}
+
+object VecTopCells {
+  def fromArgs(args: Seq[Expression]): VecTopCells = {
+    require(args.length == 4 && args(3).foldable,
+      "vec_top_cells(v, nrm, cents, n) needs a foldable n literal")
+    VecTopCells(args(0), args(1), args(2),
+      args(3).eval().asInstanceOf[Number].intValue())
+  }
+}
+
+/** `vec_best_code(x, xn, entries)`: the row-local PQ argmin (see
+  * [[VecMath.bestCode]]) — returns `struct<code int, d2 bigint>` of the
+  * nearest codebook entry by (exact integer L2 ASC, code ASC); `entries`
+  * field ordinals resolved by name like [[VecTopCells]].
+  */
+case class VecBestCode(vec: Expression, nrm: Expression, entries: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  import org.apache.spark.sql.types.{StructType, IntegerType}
+
+  override def first: Expression = vec
+  override def second: Expression = nrm
+  override def third: Expression = entries
+
+  private lazy val entryStruct: StructType =
+    entries.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+  @transient private lazy val codeOrd = entryStruct.fieldIndex("code")
+  @transient private lazy val cvOrd = entryStruct.fieldIndex("cv")
+  @transient private lazy val cnOrd = entryStruct.fieldIndex("cn")
+
+  override def dataType: DataType =
+    new StructType().add("code", IntegerType, nullable = false)
+      .add("d2", LongType, nullable = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (vec.dataType, nrm.dataType, entries.dataType) match {
+      case (ArrayType(LongType, _), LongType, ArrayType(s: StructType, _))
+          if Seq("code", "cv", "cn").forall(f => s.fieldNames.contains(f)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (v, q, c) => TypeCheckResult.TypeCheckFailure(
+        "vec_best_code needs (array<bigint>, bigint, array<struct{code, cv, cn}>), got " +
+          s"${v.catalogString}, ${q.catalogString}, ${c.catalogString}")
+    }
+
+  override protected def nullSafeEval(v: Any, q: Any, c: Any): Any =
+    VecMath.bestCode(v.asInstanceOf[ArrayData], q.asInstanceOf[Long],
+      c.asInstanceOf[ArrayData], codeOrd, cvOrd, cnOrd)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, q, c) =>
+      s"graft.functions.VecMath.bestCode($v, $q, $c, $codeOrd, $cvOrd, $cnOrd)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): VecBestCode =
+    copy(vec = newFirst, nrm = newSecond, entries = newThird)
+  override def prettyName: String = "vec_best_code"
+}
+
+object VecBestCode {
+  def fromArgs(args: Seq[Expression]): VecBestCode = {
+    require(args.length == 3,
+      "vec_best_code(x, xn, entries) takes exactly three args")
+    VecBestCode(args(0), args(1), args(2))
   }
 }
 

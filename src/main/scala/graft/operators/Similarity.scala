@@ -149,7 +149,8 @@ object Similarity {
     * appears in both directions. Shared by the degree view
     * ([[knnMutual]]) and the component clustering ([[knnComponents]]).
     */
-  private def mutualKnnEdges(spark: SparkSession, dir: String): DataFrame = {
+  private def mutualKnnEdges(spark: SparkSession, dir: String,
+      tag: String): DataFrame = {
     val verts = graphVerts(spark, dir)
     val probes = verts
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
@@ -164,9 +165,11 @@ object Similarity {
     // The mutuality self-join references the lists twice; left as lineage
     // the quadratic crossJoin + top-k window executed on BOTH sides. One
     // spill of the k·|slice|-row id lists makes each side a parquet read.
-    // Output is a pure function of `dir` (fixed slice, fixed k), so the
-    // one tag can be shared by all four exact-graph consumers.
-    val spill = graft.model.Spill.path(spark, "knn_exact_lists", dir)
+    // Output is a pure function of `dir` (fixed slice, fixed k), but the
+    // returned frame reads its spill LAZILY — a shared tag would let a
+    // concurrent consumer's overwrite race another's read (the r13
+    // advice class; r16 makes the tag per-caller like every other spill).
+    val spill = graft.model.Spill.path(spark, s"knn_exact_lists_$tag", dir)
     knn0.write.mode("overwrite").parquet(spill)
     val knn = spark.read.parquet(spill)
     knn.as("x")
@@ -176,7 +179,7 @@ object Similarity {
   }
 
   def knnMutual(spark: SparkSession, dir: String): DataFrame = {
-    val mutual = mutualKnnEdges(spark, dir)
+    val mutual = mutualKnnEdges(spark, dir, "mutual")
       .groupBy(col("q_id").as("vec_id"))
       .agg(count(lit(1)).as("mutual_degree"))
     graphVerts(spark, dir).select("vec_id")
@@ -232,7 +235,7 @@ object Similarity {
     */
   def knnComponents(spark: SparkSession, dir: String): DataFrame =
     Dedup.componentsFrom(spark, dir,
-      mutualKnnEdges(spark, dir).filter(col("q_id") < col("n_id")),
+      mutualKnnEdges(spark, dir, "components").filter(col("q_id") < col("n_id")),
       "q_id", "n_id", graphVerts(spark, dir).select("vec_id"),
       "vec_id", "knn_labels")
 
@@ -284,7 +287,7 @@ object Similarity {
     * frame rides the same key partitioning every round.
     */
   def knnPagerank(spark: SparkSession, dir: String): DataFrame =
-    pagerankFrom(spark, dir, mutualKnnEdges(spark, dir),
+    pagerankFrom(spark, dir, mutualKnnEdges(spark, dir, "pagerank"),
       graphVerts(spark, dir).select("vec_id"), "knn_pagerank_edges")
 
   /** The power-iteration engine over an arbitrary DIRECTED mutual edge
@@ -687,7 +690,7 @@ object Similarity {
       threshold: Double, centroidMod: Int): DataFrame = {
     val vecs = fixedVecs(spark, dir)
     semanticFromAssigned(
-      assignNearest(vecs, seedCentsEvery(vecs, centroidMod)), threshold)
+      assignNearestLocal(vecs, seedCentsEvery(vecs, centroidMod)), threshold)
   }
 
   /** The SemDeDup verdict over a precomputed `assigned(vec_id, v, nrm,
@@ -797,6 +800,42 @@ object Similarity {
       .select(col("vec_id"), col("b.v").as("v"), col("b.nrm").as("nrm"),
         col("b.c_id").as("c_id"), col("b.ccos").as("ccos"))
 
+  /** ROW-LOCAL top-`nprobe` cell selection (r16, guide §2.4 "remove
+    * shuffles outright"): the quantizer is collapsed to ONE
+    * array-of-structs row (a single-row broadcast nested-loop join ≈
+    * attaching a constant column — works for ANY cents frame, no driver
+    * collect) and each vector ranks the k scored cells with the native
+    * `vec_top_cells` kernel, so the assignment is a pure map-side
+    * projection: the corpus NEVER shuffles. [[assignNearest]]'s `max_by`
+    * already kept the n×k scored rows off the wire, but it still
+    * exchanged the FULL corpus (id + vector + norm, n rows) to group by
+    * vec_id — at 100 TB that exchange IS the corpus, paid once per
+    * assignment pass by every IVF/graph/chunk consumer. Selection key =
+    * (ccos DESC, c_id ASC) with per-pair arithmetic identical to the agg
+    * form, so the rows are bit-equal (Round16Spec pins local == agg ==
+    * the oracle's window form). The agg form stays for the complete-mode
+    * STREAMING paths (stream_ann / stream_semantic), where the
+    * aggregation itself is the live index state.
+    */
+  private[graft] def withTopCells(df: DataFrame, cents: DataFrame,
+      vCol: String, nCol: String, nprobe: Int): DataFrame = {
+    graft.functions.VecMath.register(df.sparkSession)
+    df.crossJoin(broadcast(cents.agg(
+        sort_array(collect_list(struct(col("c_id"), col("cv"), col("cn"))))
+          .as("_cents"))))
+      .withColumn("_top", expr(s"vec_top_cells($vCol, $nCol, _cents, $nprobe)"))
+      .drop("_cents")
+  }
+
+  /** [[assignNearest]] with the corpus exchange removed — same columns,
+    * bit-equal rows (see [[withTopCells]]); every BATCH assignment call
+    * site rides this.
+    */
+  private[graft] def assignNearestLocal(vecs: DataFrame, cents: DataFrame): DataFrame =
+    withTopCells(vecs, cents, "v", "nrm", 1)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        expr("_top[0].c_id").as("c_id"), expr("_top[0].ccos").as("ccos"))
+
   /** Seed quantizer at an explicit spacing: every `mod`-th vector serves
     * as a centroid — deterministic, data-independent. `mod` IS the
     * cell-count dial (k ≈ n/mod): halving it doubles the quantizer's
@@ -846,7 +885,7 @@ object Similarity {
     // rank, but only over the 1/ProbeMod probe SUBSET × k — negligible
     // beside the corpus, and filtering before the crossJoin keeps the
     // big branch free of any n×k exchange or sort.
-    ivfCandsFromAssigned(assignNearest(vecs, cents),
+    ivfCandsFromAssigned(assignNearestLocal(vecs, cents),
       ivfProbeLists(vecs, cents, nprobe))
 
   /** Per-probe top-`nprobe` cell routing `(q_id, qv, qn, c_id)` — the
@@ -854,14 +893,12 @@ object Similarity {
     */
   private[graft] def ivfProbeLists(vecs: DataFrame, cents: DataFrame,
       nprobe: Int): DataFrame =
-    vecs.filter(col("vec_id") % ProbeMod === 0)
-      .crossJoin(broadcast(cents))
-      .withColumn("ccos",
-        expr(dotExpr("v", "cv")) / (sqrt(col("nrm")) * sqrt(col("cn"))))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("c_id"))))
-      .filter(col("crn") <= nprobe)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"), col("c_id"))
+    // row-local top-nprobe (r16): same (ccos DESC, c_id ASC) selection
+    // the window rank computed, minus the probe-subset exchange + sort
+    withTopCells(vecs.filter(col("vec_id") % ProbeMod === 0), cents,
+        "v", "nrm", nprobe)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(expr("_top.c_id")).as("c_id"))
 
   /** The inverted-list probe join over a precomputed `assigned(vec_id, v,
     * nrm, c_id)` membership frame — shared verbatim by the batch [[ivf]]
@@ -922,7 +959,7 @@ object Similarity {
   private[graft] def ivfAssignmentsWith(spark: SparkSession, dir: String,
       centroidMod: Int): DataFrame = {
     val vecs = fixedVecs(spark, dir)
-    assignNearest(vecs, seedCentsEvery(vecs, centroidMod)).select("vec_id", "c_id")
+    assignNearestLocal(vecs, seedCentsEvery(vecs, centroidMod)).select("vec_id", "c_id")
   }
 
   /** [[ivfAssignmentsWith]] at the shipped [[CentroidMod]]. */
@@ -934,7 +971,7 @@ object Similarity {
     * recall for the seed/trained/balanced quantizers.
     */
   private[graft] def assignNearestOcc(vecs: DataFrame, cents: DataFrame): DataFrame =
-    assignNearest(vecs, cents).groupBy("c_id").agg(count(lit(1)).as("occ"))
+    assignNearestLocal(vecs, cents).groupBy("c_id").agg(count(lit(1)).as("occ"))
 
   /** CTE chain `{p}cents … {p}assigned(vec_id, c_id)` — the DuckDB mirror
     * of [[ivfAssignmentsWith]] (expects `nv` in scope; prefixed like
@@ -1008,37 +1045,18 @@ object Similarity {
     * window computes.
     */
   private[graft] def assignTopN(verts: DataFrame, cents: DataFrame,
-      nprobe: Int): DataFrame = {
-    val a1 = assignNearest(verts, cents).select("vec_id", "v", "nrm", "c_id")
-    if (nprobe <= 1) return a1
-    // Each pass's scoring crossJoin is checkpointed: pass i's plan
-    // otherwise embeds passes 1..i-1 as LINEAGE, and the returned union
-    // re-executes arm i with all of its ancestry — nprobe 4 paid 10
-    // crossJoin evaluations where 4 exist (the refinedKnnLists
-    // iteration-lineage class). Callers that spill/sweep after consuming
-    // this frame free the blocks (mutualKnnEdgesIvf / refinedKnnLists).
-    val a1c = a1.localCheckpoint()
-    var out = a1c
-    var picked = a1c.select(col("vec_id"), col("v"), col("nrm"),
-      array(col("c_id")).as("cs"))
-    (2 to nprobe).foreach { _ =>
-      val next = picked
-        .crossJoin(broadcast(cents))
-        .filter(!array_contains(col("cs"), col("c_id")))
-        .withColumn("ccos",
-          expr(dotExpr("v", "cv")) / (sqrt(col("nrm")) * sqrt(col("cn"))))
-        .groupBy("vec_id")
-        .agg(max_by(struct(col("v"), col("nrm"), col("cs"), col("c_id")),
-          struct(col("ccos"), -col("c_id"))).as("b"))
-        .select(col("vec_id"), col("b.v").as("v"), col("b.nrm").as("nrm"),
-          col("b.cs").as("cs"), col("b.c_id").as("c_id"))
-        .localCheckpoint()
-      out = out.unionByName(next.select("vec_id", "v", "nrm", "c_id"))
-      picked = next.select(col("vec_id"), col("v"), col("nrm"),
-        array_union(col("cs"), array(col("c_id"))).as("cs"))
-    }
-    out
-  }
+      nprobe: Int): DataFrame =
+    // r16: ONE row-local pass (guide §2.4). The r15 form chained nprobe
+    // max_by aggregations (each pass re-scoring with picked cells
+    // excluded, localCheckpointed against union-arm lineage) — nprobe
+    // corpus exchanges and nprobe scoring passes where the top-N of
+    // (ccos DESC, c_id ASC) is ONE map-side projection per vector: the
+    // chained argmax picks exactly that sequence, so the membership rows
+    // are identical (Round16Spec pins it against the oracle's window
+    // form) and the corpus never shuffles or checkpoints at all.
+    withTopCells(verts, cents, "v", "nrm", nprobe)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        explode(expr("_top.c_id")).as("c_id"))
 
   private[graft] def mutualKnnEdgesIvf(spark: SparkSession, dir: String,
       verts: DataFrame, tag: String): DataFrame = {
@@ -1408,7 +1426,7 @@ object Similarity {
     * dial — `graft.KnnGraphTune`'s two measurement surfaces.
     */
   private[graft] def exactSliceEdges(spark: SparkSession, dir: String): DataFrame =
-    mutualKnnEdges(spark, dir)
+    mutualKnnEdges(spark, dir, "tune_slice")
   private[graft] def sliceEdgesIvfWith(spark: SparkSession, dir: String,
       source: String, centroidMod: Int, nprobe: Int): DataFrame =
     mutualKnnEdgesIvfWith(spark, dir, graphVerts(spark, dir), source,
@@ -1423,7 +1441,7 @@ object Similarity {
 
   def knnGraphRecall(spark: SparkSession, dir: String): DataFrame = {
     val slice = graphVerts(spark, dir)
-    val truth = mutualKnnEdges(spark, dir).select(col("q_id"), col("n_id"))
+    val truth = mutualKnnEdges(spark, dir, "recall_truth").select(col("q_id"), col("n_id"))
     // ONE slice list build feeds both arms: the ivf_cells edges are the
     // mutual closure of exactly the lists the refinement seeds from
     // (same verts, same trained cents, same nprobe) — built twice, the
@@ -1552,7 +1570,7 @@ object Similarity {
     val vecs = fixedVecs(spark, dir)
     val cents = vecs.filter(col("vec_id") % CentroidMod === 1)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val assigned = assignNearest(vecs, cents)
+    val assigned = assignNearestLocal(vecs, cents)
     val sums = assigned.groupBy("c_id")
       .agg(count(lit(1)).as("n"),
         (1 to Dim).map(i => sum(expr(s"element_at(v, $i)")).as(s"s$i")): _*)
@@ -1655,7 +1673,7 @@ object Similarity {
         .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).sortBy(_._1)
       var stats = Seq.empty[(Long, Long, Seq[Long])] // (c_id, n, raw sums)
       (1 to iters).foreach { _ =>
-        val sums = assignNearest(vecs, mkCentsDf(spark, cents))
+        val sums = assignNearestLocal(vecs, mkCentsDf(spark, cents))
           .groupBy("c_id")
           .agg(count(lit(1)).as("n"),
             (1 to Dim).map(i => sum(expr(s"element_at(v, $i)")).as(s"s$i")): _*)
@@ -1771,7 +1789,7 @@ object Similarity {
     val vecs = fixedVecs(spark, dir)
     val cents = mkCentsDf(spark, trainedCents(spark, dir)._1)
     val idx = graft.model.Spill.path(spark, "ivf_lists_trained", dir)
-    assignNearest(vecs, cents).select("vec_id", "v", "nrm", "c_id")
+    assignNearestLocal(vecs, cents).select("vec_id", "v", "nrm", "c_id")
       .write.mode("overwrite").partitionBy("c_id").parquet(idx)
     val probeLists = ivfProbeLists(vecs, cents, NProbe)
     val routed = probeLists.select("c_id").distinct()
@@ -1807,7 +1825,7 @@ object Similarity {
     val fs = new org.apache.hadoop.fs.Path(idx)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(idx), true) // fresh lifecycle per run
-    val assigned = assignNearest(vecs, cents).select("vec_id", "v", "nrm", "c_id")
+    val assigned = assignNearestLocal(vecs, cents).select("vec_id", "v", "nrm", "c_id")
     (0 until 3).foreach { i =>
       VecIndexStore.append(assigned.filter(pmod(col("vec_id"), lit(3)) === i), idx)
     }
@@ -1863,7 +1881,7 @@ object Similarity {
           (1 to Dim).map(j => sum(expr(s"element_at(v, $j)")).as(s"s$j"))) :+
           min_by(struct(col("vec_id"), col("v")),
             struct(col("ccos"), col("vec_id"))).as("far")
-        val sums = assignNearest(vecs, mkCentsDf(spark, cents))
+        val sums = assignNearestLocal(vecs, mkCentsDf(spark, cents))
           .groupBy("c_id")
           .agg(aggCols.head, aggCols.tail: _*)
           .collect()
@@ -2025,7 +2043,7 @@ object Similarity {
     */
   val PqCodebookK = 64
 
-  private val pqSlices =
+  private[graft] val pqSlices =
     s"transform(sequence(0, ${PqSubs - 1}), m -> slice(v, m * $PqSubDim + 1, $PqSubDim))"
 
   /** Per-subspace codebook `(sub, code, cv, cn)`: the hash-ranked seed
@@ -2063,13 +2081,31 @@ object Similarity {
     * aggregation collapses them map-side — the exchange carries n x M code
     * rows (the PQ-compressed corpus itself), never n x M x K.
     */
+  /** The whole M×K codebook collapsed to ONE map row `sub →
+    * array<struct<code, cv, cn>>` and attached by single-row broadcast,
+    * each sub-vector picking its code with the native `vec_best_code`
+    * argmin — the [[withTopCells]] shape on the PQ domain (r16, guide
+    * §2.4): the r15 `min_by` form exchanged n×M code rows (the whole
+    * compressed corpus) to group by (vec_id, sub); here encoding is
+    * map-only and nothing shuffles. Metric and tiebreak are the same
+    * exact integers, so codes/qerr are bit-equal (Round16Spec).
+    */
+  private def withBestCode(subVecs: DataFrame, cb: DataFrame): DataFrame = {
+    graft.functions.VecMath.register(subVecs.sparkSession)
+    subVecs.crossJoin(broadcast(cb
+        .groupBy("sub")
+        .agg(sort_array(collect_list(struct(col("code"), col("cv"), col("cn"))))
+          .as("es"))
+        .agg(map_from_entries(collect_list(struct(col("sub"), col("es"))))
+          .as("_cb"))))
+      .withColumn("_best", expr("vec_best_code(x, xn, element_at(_cb, sub))"))
+      .drop("_cb")
+  }
+
   private[graft] def pqCodesFrom(vecs: DataFrame, cb: DataFrame): DataFrame =
-    pqSubVecs(vecs).join(broadcast(cb), Seq("sub"))
-      .withColumn("d2",
-        col("xn") - lit(2L) * expr(dotExpr("x", "cv")) + col("cn"))
-      .groupBy("vec_id", "sub")
-      .agg(min_by(struct(col("code"), col("d2")), struct(col("d2"), col("code"))).as("b"))
-      .select(col("vec_id"), col("sub"), col("b.code").as("code"), col("b.d2").as("qerr"))
+    withBestCode(pqSubVecs(vecs), cb)
+      .select(col("vec_id"), col("sub"),
+        expr("_best.code").as("code"), expr("_best.d2").as("qerr"))
 
   /** Lloyd rounds for the TRAINED per-subspace codebooks (r14): FAISS
     * trains PQ codebooks with k-means in each subspace; the hash-ranked
@@ -2113,14 +2149,8 @@ object Similarity {
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toSeq))
       .sortBy(t => (t._1, t._2))
     (1 to iters).foreach { _ =>
-      val assigned = pqSubVecs(vecs)
-        .join(broadcast(mkPqCbDf(spark, cb)), Seq("sub"))
-        .withColumn("d2",
-          col("xn") - lit(2L) * expr(dotExpr("x", "cv")) + col("cn"))
-        .groupBy("vec_id", "sub")
-        .agg(min_by(struct(col("code"), col("x")),
-          struct(col("d2"), col("code"))).as("b"))
-        .select(col("sub"), col("b.code").as("code"), col("b.x").as("x"))
+      val assigned = withBestCode(pqSubVecs(vecs), mkPqCbDf(spark, cb))
+        .select(col("sub"), expr("_best.code").as("code"), col("x"))
       val sums = assigned
         .groupBy("sub", "code")
         .agg(count(lit(1)).as("n"),
@@ -2373,7 +2403,7 @@ object Similarity {
     val cents = seedCents(vecs)
     val cb = trainedPqCodebook(spark, dir, vecs)
     val codes = pqCodesFrom(vecs, cb).select("vec_id", "sub", "code")
-    val assigned = assignNearest(vecs, cents).select("vec_id", "c_id")
+    val assigned = assignNearestLocal(vecs, cents).select("vec_id", "c_id")
     annIvfPqFrom(vecs, cents, cb, codes.join(assigned, Seq("vec_id")))
   }
 
@@ -2438,7 +2468,7 @@ object Similarity {
     val cents = seedCents(vecs)
     val cb = trainedPqCodebook(spark, dir, vecs)
     val codes = pqCodesFrom(vecs, cb).select("vec_id", "sub", "code")
-    val assigned = assignNearest(vecs, cents).select("vec_id", "c_id")
+    val assigned = assignNearestLocal(vecs, cents).select("vec_id", "c_id")
     val idx = graft.model.Spill.path(spark, "ivfpq_codes", dir)
     codes.join(assigned, Seq("vec_id"))
       .write.mode("overwrite").partitionBy("c_id").parquet(idx)

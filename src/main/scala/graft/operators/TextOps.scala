@@ -1240,14 +1240,14 @@ object TextOps {
     * cannot drift between training and serving.
     */
   private[graft] def assignChunks(dense: DataFrame, cents: DataFrame): DataFrame =
-    dense.crossJoin(broadcast(cents))
-      .withColumn("ccos",
-        expr("vec_dot(v, cv)") / (sqrt(col("nrm")) * sqrt(col("cn"))))
-      .groupBy("doc_id", "chunk_id")
-      .agg(max_by(struct(col("v"), col("nrm"), col("c_id")),
-        struct(col("ccos"), -col("c_id"))).as("b"))
-      .select(col("doc_id"), col("chunk_id"), col("b.v").as("v"),
-        col("b.nrm").as("nrm"), col("b.c_id").as("c_id"))
+    // row-local argmax (r16, guide §2.4 — see Similarity.withTopCells):
+    // the r15 max_by form exchanged EVERY chunk row (key + vector +
+    // norm) to group by (doc_id, chunk_id); the same (ccos DESC, c_id
+    // ASC) pick is one map-side `vec_top_cells` call per chunk, so the
+    // chunk corpus never shuffles for assignment.
+    Similarity.withTopCells(dense, cents, "v", "nrm", 1)
+      .select(col("doc_id"), col("chunk_id"), col("v"), col("nrm"),
+        expr("_top[0].c_id").as("c_id"))
 
   /** Driver-held chunk centroids back to a `(c_id, cv, cn)` frame. */
   private[graft] def mkChunkCentsDf(spark: SparkSession,
@@ -1372,14 +1372,11 @@ object TextOps {
     */
   private[graft] def chunkRoutes(spark: SparkSession, dir: String,
       cents: DataFrame, nprobe: Int): DataFrame =
-    chunkProbes(spark, dir)
-      .crossJoin(broadcast(cents))
-      .withColumn("ccos",
-        expr("vec_dot(qv, cv)") / (sqrt(col("qn")) * sqrt(col("cn"))))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("ccos").desc, col("c_id"))))
-      .filter(col("crn") <= nprobe)
-      .select(col("q_id"), col("qv"), col("qn"), col("c_id"))
+    // row-local top-nprobe routing (r16): same (ccos DESC, c_id ASC)
+    // selection the window rank computed, minus the probe exchange + sort
+    Similarity.withTopCells(chunkProbes(spark, dir), cents, "qv", "qn", nprobe)
+      .select(col("q_id"), col("qv"), col("qn"),
+        explode(expr("_top.c_id")).as("c_id"))
 
   /** The cell-scoped exact re-rank over an arbitrary assigned-chunk frame
     * `(doc_id, chunk_id, v, nrm, c_id)` — shared by [[chunkAnnFrom]] and

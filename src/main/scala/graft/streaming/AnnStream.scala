@@ -149,7 +149,7 @@ object AnnStream {
           .writeStream
           .foreachBatch { (batch: DataFrame, _: Long) =>
             VecIndexStore.append(
-              Similarity.assignNearest(batch, cents)
+              Similarity.assignNearestLocal(batch, cents)
                 .select("vec_id", "v", "nrm", "c_id"), idx)
           }
           .outputMode("append")

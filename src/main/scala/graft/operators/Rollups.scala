@@ -130,7 +130,15 @@ object Rollups {
     * already in the store keep the shape they were written with (the
     * reference likewise re-dispatches only subsequent metrics).
     */
-  def mergeableWith(metrics: DataFrame, config: Seq[RollupDef]): DataFrame = {
+  /** `extraKeys` (r16): additional group columns carried through the
+    * aggregation — `storeLifecycle` tags each point with its flush-cycle
+    * id and aggregates ALL cycles in one stream pass (a per-cycle
+    * constant column splits every group exactly like the per-cycle
+    * filters did, so the slices are bit-identical to three filtered
+    * passes over the same points).
+    */
+  def mergeableWith(metrics: DataFrame, config: Seq[RollupDef],
+      extraKeys: Seq[String] = Nil): DataFrame = {
     val m = metrics.withColumn("expr", exprKeyFor(config)(col("path")))
     val winArms: Column = {
       val ds = config
@@ -139,11 +147,11 @@ object Rollups {
       }
     }
     m.withColumn("win", explode(winArms))
-      .groupBy(
+      .groupBy(Seq(
         col("win.tbl").as("tbl"),
         col("path"),
         statTime(col("ts"), col("win.w")).as("stat_time"),
-        col("expr"))
+        col("expr")) ++ extraKeys.map(col): _*)
       .agg(
         sum(expr("CAST(round(value * 100) AS BIGINT)")).as("s_cents"),
         count(lit(1)).as("s_count"),
@@ -234,15 +242,27 @@ object Rollups {
       s"storeLifecycle: metrics table at $dir is empty — no day span to slice")
     val (d0, d1) = (span.getLong(0), span.getLong(1))
     val days = d1 - d0 + 1
-    def cycle(i: Int): DataFrame = {
-      val lo = d0 + i * days / 3
-      val hi = if (i == 2) d1 + 1 else d0 + (i + 1) * days / 3
-      mergeableFrom(m.filter(expr("ts DIV 86400") >= lo && expr("ts DIV 86400") < hi))
-    }
+    // ONE stream pass for all three flush cycles (r16, guide §1.2): the
+    // cycle id is a pure function of ts, so carrying it as an extra
+    // group key splits every (tbl, path, stat_time) group exactly like
+    // the r15 per-cycle point filters did — three scans + three
+    // aggregations of the metric stream become one. The 3-slice frame is
+    // localCheckpointed so each append reads blocks, and the blocks are
+    // swept before return (the returned plan reads the store's parquet).
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val (c1, c2) = (d0 + days / 3, d0 + 2 * days / 3)
+    val sliced = mergeableWith(
+      m.withColumn("cycle",
+        when(expr("ts DIV 86400") < c1, 0)
+          .when(expr("ts DIV 86400") < c2, 1).otherwise(2)),
+      graft.model.RollupConfig.reference, Seq("cycle")).localCheckpoint()
+    def cycle(i: Int): DataFrame = sliced.filter(col("cycle") === i).drop("cycle")
     RollupStore.appendStateSlice(cycle(0), store)
     RollupStore.appendStateSlice(cycle(1), store)
     RollupStore.compact(spark, store)
     RollupStore.appendStateSlice(cycle(2), store)
+    spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!pinnedBefore.contains(id)) rdd.unpersist(false) }
     RollupStore.readFinalized(spark, store)
   }
 

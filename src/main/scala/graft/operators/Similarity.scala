@@ -1198,14 +1198,14 @@ object Similarity {
       // each round's DAG references the previous lists THREE times (the
       // union's left arm + both sides of the expansion self-join); left
       // as lineage the recompute is ~3^rounds of the seed plan (measured
-      // 7.6 s at rounds=2 on the bench vs ~2 s spilled). Spill each
-      // round's input through the shared-storage gate (the knn_pagerank
-      // edge-spill precedent, same GC contract) so a round reads a
-      // k·n-row parquet once and the returned plan pins nothing.
-      val spill = graft.model.Spill.path(spark,
-        s"knn_refined_${tag}_${nprobe}_r${rounds}_lists_$r", dir)
-      lists.write.mode("overwrite").parquet(spill)
-      val prev = spark.read.parquet(spill)
+      // 7.6 s at rounds=2 on the bench vs ~2 s materialized). r16:
+      // localCheckpoint instead of a per-round parquet spill — the same
+      // lineage truncation without a filesystem write+read per round
+      // (the id-pair frame is k·n rows of two longs), and the blocks are
+      // freed by the sweep below; only the FINAL lists still go through
+      // the shared-storage spill gate, because the RETURNED plan must
+      // pin nothing (the dedup_cluster contract).
+      val prev = lists.localCheckpoint()
       val cand = prev
         .union(prev.as("a").join(prev.as("b"),
           col("a.n_id") === col("b.q_id") && col("b.n_id") =!= col("a.q_id"))

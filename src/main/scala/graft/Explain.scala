@@ -47,9 +47,20 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val byName = Registry.ops.map(o => o.name -> o).toMap
+    // -Dgraft.explain.exec=true: EXECUTE each query first and print the
+    // AQE FINAL plan (isFinalPlan=true) — the only view that shows
+    // runtime exchange reuse (`ReusedExchange` / stage-cache dedup of
+    // identical subtrees), which the pre-execution plan hides. Output
+    // frames here are small (top-k / audit rows), so the driving
+    // collect is cheap.
+    val exec = sys.props.get("graft.explain.exec").contains("true")
     names.foreach { n =>
       println(s"\n=================== $n ===================")
-      byName(n).run(spark, sfDir).explain("formatted")
+      val df = byName(n).run(spark, sfDir)
+      if (exec) {
+        df.collect()
+        println(df.queryExecution.executedPlan.toString)
+      } else df.explain("formatted")
     }
     spark.stop()
   }

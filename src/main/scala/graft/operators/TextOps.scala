@@ -926,12 +926,25 @@ object TextOps {
     * direction to compare).
     */
   private[graft] def hashedDenseDocs(spark: SparkSession, dir: String): DataFrame = {
+    // r16: row-local densify (guide §2.4) — the [[embedHashing]]-composed
+    // form paid the token explode + (doc, dim) exchange + the per-doc
+    // collect_list exchange; each document's vector is one
+    // hash-per-token transform + one native vec_hashbin bincount inside
+    // its own row, so the probe/corpus embedder never shuffles.
+    // Identical integers: same 60-bit token hash, same dim/sign rule
+    // (vec_hashbin's floorMod == % on the non-negative hashes), same
+    // nrm > 0 exclusion — Round16Spec pins this frame against the
+    // embedHashing-composed reference. The sparse (doc_id, dim, val)
+    // OPERATOR `embed_hashing` keeps the groupBy form (that row shape
+    // is its contract and its oracle).
     graft.functions.VecMath.register(spark)
-    embedHashing(spark, dir)
-      .groupBy("doc_id")
-      .agg(map_from_entries(collect_list(struct(col("dim"), col("val")))).as("m"))
-      .withColumn("v", expr(
-        s"transform(sequence(0, ${EmbedDims - 1}), i -> coalesce(try_element_at(m, i), CAST(0 AS BIGINT)))"))
+    Tables.documents(spark, dir)
+      // generator boundary (see chunkDenseRowLocal): keeps the hashing
+      // chain out of the pushed `nrm > 0` filter — one pass per doc
+      .select(col("doc_id"), explode(array(expr(
+        s"""vec_hashbin(transform(split(lower(text), ' '), tok ->
+           |  CAST(conv(substring(md5(CAST(tok AS BINARY)), 1, 15), 16, 10) AS BIGINT)),
+           |$EmbedDims)""".stripMargin))).as("v"))
       .withColumn("nrm", expr("vec_dot(v, v)"))
       .filter(col("nrm") > 0)
       .select("doc_id", "v", "nrm")
@@ -1031,7 +1044,22 @@ object TextOps {
     * so the candidate vector definition cannot drift between the baseline
     * and the scale path.
     */
-  private[graft] def chunkDense(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def chunkDense(spark: SparkSession, dir: String): DataFrame =
+    // r16: the batch path rides the ROW-LOCAL embedder too (guide §2.4)
+    // — the groupBy form below paid TWO exchanges of the whole chunk
+    // corpus (per-(doc, chunk, dim) signed counts, then the per-chunk
+    // collect_list densify) where the r14 stream-ingest form computes
+    // each chunk's vector inside its own row (hash per token once, one
+    // native vec_hashbin bincount). Round14Spec pins the two frames
+    // identical (integer sums are order-immune).
+    chunkDenseRowLocal(Tables.documents(spark, dir))
+
+  /** The original explode-then-groupBy chunk embedder — kept as the
+    * REFERENCE form (it is the algebra the DuckDB `ck_*` CTEs mirror,
+    * and Round14Spec pins [[chunkDenseRowLocal]] against it); no
+    * production path rides it since r16.
+    */
+  private[graft] def chunkDenseGroupBy(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VecMath.register(spark)
     val stride = ChunkTokens - ChunkOverlap
     val toks = Tables.documents(spark, dir)
@@ -1079,16 +1107,24 @@ object TextOps {
         explode(expr("sequence(0, nc - 1)")).as("chunk_id"))
       .withColumn("s", col("chunk_id") * stride)
       .withColumn("toks", expr(s"slice(t, s + 1, least($ChunkTokens, n - s))"))
-      .withColumn("hs", expr(
-        "transform(toks, tok -> CAST(conv(substring(md5(CAST(tok AS BINARY)), 1, 15), 16, 10) AS BIGINT))"))
       // the bincount is the native vec_hashbin kernel: the higher-order
       // form (transform × aggregate) is 64×|tokens| interpreted lambdas
-      // per chunk — measured 64 s for the live ingest at sf0.1 vs ~2 s
-      .withColumn("v", expr(s"vec_hashbin(hs, $EmbedDims)"))
+      // per chunk — measured 64 s for the live ingest at sf0.1 vs ~2 s.
+      // The kernel sits behind a GENERATOR boundary (explode of a
+      // 1-element array ≡ identity) — r16: as a plain projection,
+      // collapse-with-filter re-evaluated the whole hash+bincount chain
+      // inside the `nrm > 0` Filter node AND the Project (2-3 full
+      // hashing passes per chunk); a filter cannot be pushed through a
+      // generator output, so the chain runs exactly once and only the
+      // trivial 64-long vec_dot repeats in the filter.
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        explode(array(expr(
+          s"""vec_hashbin(transform(toks, tok ->
+             |  CAST(conv(substring(md5(CAST(tok AS BINARY)), 1, 15), 16, 10) AS BIGINT)),
+             |$EmbedDims)""".stripMargin))).as("v"))
       .withColumn("nrm", expr("vec_dot(v, v)"))
       .filter(col("nrm") > 0)
-      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
-        col("v"), col("nrm"))
+      .select(col("doc_id"), col("chunk_id"), col("v"), col("nrm"))
   }
 
   /** The document-query probe frame `(q_id, qv, qn)` — shared by

@@ -102,6 +102,27 @@ class Round16Spec extends AnyFunSuite with TestSpark {
         s"${(want diff got).take(5)}")
   }
 
+  test("hashedDenseDocs (row-local) equals the embedHashing-composed form") {
+    import graft.operators.TextOps
+    graft.functions.VecMath.register(spark)
+    val got = TextOps.hashedDenseDocs(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList, r.getLong(2))).toSet
+    // reference: the r15 densify — sparse (doc_id, dim, val) rows from the
+    // registered embed_hashing operator, collected into a dense vector
+    val want = TextOps.embedHashing(spark, Sf)
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("dim"), col("val")))).as("m"))
+      .withColumn("v", expr(
+        s"transform(sequence(0, ${TextOps.EmbedDims - 1}), i -> coalesce(try_element_at(m, i), CAST(0 AS BIGINT)))"))
+      .withColumn("nrm", expr("vec_dot(v, v)"))
+      .filter(col("nrm") > 0)
+      .select("doc_id", "v", "nrm")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList, r.getLong(2))).toSet
+    assert(got.nonEmpty && got == want,
+      s"row-local doc embedding diverged: ${(got diff want).take(2)} vs " +
+        s"${(want diff got).take(2)}")
+  }
+
   test("assignChunks equals the max_by aggregation form") {
     import graft.operators.{Similarity, TextOps}
     graft.functions.VecMath.register(spark)
